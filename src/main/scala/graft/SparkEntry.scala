@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.Tokenize
+import graft.queries.{LlmOps, Reference, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine is a library of composable DataFrame operators
+  * (`graft.operators.*`, `graft.functions.*`) plus this query catalog; the
+  * reference's sockets/threads/partitioners are subsumed by Spark's
+  * scheduler and Exchange (SURVEY.md §3-4), so every catalog entry is a
+  * declarative plan that Catalyst/Tungsten optimize (predicate pushdown,
+  * partial aggregation, broadcast joins, whole-stage codegen).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's end-to-end computation — global word count
+    * with count-desc/word-asc top-K (SURVEY.md §1 fine print 5 canonicalizes
+    * the global merge the reference left as dead code). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Tokenize.wordCount(docs, "text").orderBy(desc("cnt"), asc("word")).limit(20)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 additions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Reference.queries ++ Relational.queries ++ LlmOps.queries
+
+  /** DuckDB-runnable oracle twin for every query (same column names). */
+  def oracleSql: Map[String, String] =
+    Reference.oracle ++ Relational.oracle ++ LlmOps.oracle
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** The reference's positional-alphabetic word encoding
+  * (`WorkerSender.java:129-148`): lowercase the word; for each char c with
+  * code = c + 1 - 'a' in [0, 26] (backtick..'z' — the off-by-one at `:138`
+  * admits backtick as 00), append the zero-padded 2-digit code; all other
+  * chars are skipped. The reference routes shuffle traffic with
+  * `BigInteger(encode(w)) mod N` (`WorkerSender.java:223-224`); in Spark,
+  * routing is subsumed by Exchange hash partitioning, so this survives only
+  * as a scalar function (its emptiness IS the tokenizer keep-rule).
+  */
+object EncodeWord {
+  def encode(w: String): String = {
+    if (w == null) return null
+    val lw = w.toLowerCase
+    val sb = new StringBuilder(lw.length * 2)
+    var i = 0
+    while (i < lw.length) {
+      val code = lw.charAt(i) + 1 - 'a'
+      if (code >= 0 && code <= 26) {
+        if (code < 10) sb.append('0')
+        sb.append(code.toString)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  val encodeUdf: UserDefinedFunction = udf(encode _)
+}

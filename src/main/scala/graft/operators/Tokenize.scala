@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity tokenization.
+  *
+  * Semantics derived from the reference engine (remy-tang/SLR207-mapreduce):
+  *  - Delimiter class: `WorkerSender.java:216`
+  *    (`line.split("[!.:;_,'@?()/° \n\t]+")`). This is the distributed path's
+  *    regex (`+`-collapsed, empty-filtered) — canonicalized over the
+  *    sequential oracle's (`WordCounter.java:28`) which keeps interior empty
+  *    tokens; see SURVEY.md §1 fine print 2.
+  *  - Keep-rule: a token survives iff its `encode()` image is non-empty
+  *    (`WorkerSender.java:221`, encode at `:129-148`), i.e. its lowercased
+  *    form contains ≥1 char in the inclusive range backtick..'z' (the
+  *    reference's off-by-one admits backtick).
+  *  - Counting is case-sensitive while shuffle routing is not
+  *    (`WorkerSender.java:135,230`). Under Spark, routing is an execution
+  *    detail of `Exchange hashpartitioning`, so only the case-sensitive
+  *    counting semantics are preserved.
+  *
+  * Scale notes: tokenize is a narrow map (no shuffle); wordCount compiles to
+  * scan → generate → partial HashAggregate → single Exchange on `word` →
+  * final HashAggregate, all inside whole-stage codegen. Map-side partial
+  * aggregation is a strict improvement over the reference's per-occurrence
+  * network send (`ListenerReducer.java:123-139`) with identical results.
+  */
+object Tokenize {
+  /** `WorkerSender.java:216` delimiter class (Java & RE2 compatible). */
+  val Delim = """[!.:;_,'@?()/° \n\t]+"""
+
+  /** Keep a token iff lower(token) has a char in backtick..'z'. */
+  val KeepRegex = "[`-z]"
+
+  def keep(word: Column): Column = lower(word).rlike(KeepRegex)
+
+  /** One output row per kept token; original spelling preserved. */
+  def tokenize(df: DataFrame, textCol: String, out: String = "word"): DataFrame =
+    df.withColumn(out, explode(split(col(textCol), Delim))).where(keep(col(out)))
+
+  /** Whitespace-normalized, order-preserving token array (for shingling). */
+  def tokenArray(text: Column): Column =
+    split(trim(regexp_replace(text, Delim, " ")), " ")
+
+  /** Global word count: (word, cnt), single shuffle, partial agg map-side. */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    tokenize(df.select(col(textCol)), textCol)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,479 @@
+package graft.queries
+
+import graft.operators.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` and `embeddings` —
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search, and text analysis.
+  *
+  * Cross-engine determinism strategy (each query is DuckDB-oracle-checked):
+  *  - All hashing is md5-derived: Spark `md5()` and DuckDB `md5()` emit the
+  *    same lowercase hex, so hash families built from md5 substrings agree
+  *    bit-for-bit. 32-bit values are extracted from the hex digest (Spark:
+  *    `conv(substr,16,10)`; DuckDB: an 8-term positional polynomial) and
+  *    combined with the Kirsch-Mitzenmacher construction h_i = a + i·b,
+  *    giving 16 independent hashes from ONE md5 per shingle.
+  *  - Float vectors are quantized to integers (`floor(x*1000 + 0.5)`) before
+  *    dot products: integer sums are exact in double (< 2^53), hence
+  *    order-independent and identical across engines; the final cosine is a
+  *    single deterministic IEEE expression over those exact integers.
+  *
+  * Scale notes: the LSH path (shingle → minhash → band → bucket join) is the
+  * 100 TB design — cost is O(docs · shingles) plus a join whose width is
+  * controlled by band selectivity; the all-pairs paths are blocked (by
+  * `label` / `source`) and sampled, and exist as correctness baselines for
+  * the LSH/IVF variants.
+  */
+object LlmOps {
+  import Tokenize.Delim
+  private val DelimSql = Delim.replace("'", "''")
+
+  // ---- minhash / shingle constants (shared Spark + SQL) ----
+  private val K = 8        // char-shingle width
+  private val Stride = 3   // shingle stride (sampled positions)
+  private val H = 16       // minhash family size
+  private val Bands = 4    // LSH bands ...
+  private val R = 4        // ... of R rows each (H = Bands * R)
+  private val Mod = 4294967296L // 2^32
+
+  /** DuckDB: parse 8 hex chars of `hexExpr` starting at 1-based `start` into
+    * a BIGINT (mirrors Spark's `conv(substring(h, start, 8), 16, 10)`). */
+  private def hex2longSql(hexExpr: String, start: Int): String =
+    (0 until 8).map { p =>
+      val w = 1L << ((7 - p) * 4)
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tokenize.tokenize(docs(s, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "word")
+
+  // ---- language-ID stopword lists (tiny n-gram-free heuristic) ----
+  private val Stops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "que"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Deterministic argmax chain over the four scores (ties → earlier lang). */
+  private val PredCase: String =
+    """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+      |     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+      |     WHEN s_de >= s_es THEN 'de'
+      |     ELSE 'es' END""".stripMargin
+
+  /** BPE-ish token pattern for token counting (letters / digits / symbol). */
+  private val BpePattern = """[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"""
+
+  // ---- embedding quantization (shared semantics) ----
+  // q_i = floor(x_i * 1000 + 0.5) as BIGINT; |q| ≤ ~10^4 so dot products over
+  // 64 dims stay < 2^53 → exact in double → order-free.
+  private val QuantSpark =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
+  private def quantSqlElem(e: String) =
+    s"CAST(floor(CAST($e AS DOUBLE)*1000 + 0.5) AS BIGINT)"
+
+  private val CosExpr = // over exact-integer dot & norms, identical both engines
+    "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+
+  /** Quantized embeddings + exact integer self-norm. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("label"), expr(QuantSpark).as("q"))
+      .withColumn("nq",
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)"))
+
+  private val QuantizedNormSql = // norms CTE: per-vector exact integer norm
+    s"""qn AS (
+       |  SELECT vec_id, label, CAST(sum(q*q) AS BIGINT) AS nq
+       |  FROM (SELECT vec_id, label, ${quantSqlElem("unnest(embedding)")} AS q
+       |        FROM embeddings)
+       |  GROUP BY vec_id, label
+       |)""".stripMargin
+
+  // =========================================================================
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup: hash-groupBy on full text; keeper = min doc_id.
+    "q_dedup_exact" -> ((s, dir) =>
+      docs(s, dir).groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .select("keep_id", "n").orderBy("keep_id")),
+
+    // MinHash + LSH near-dup candidates: char-shingle → 16 minhashes from one
+    // md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows → band-bucket self-join.
+    // This is the 100 TB dedup path: no all-pairs comparison ever happens.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .where(length(col("text")) >= K)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
+            .as("i"), col("text"))
+        .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
+        .distinct()
+      val ab = sh.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
+        expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
+      val aggs = (0 until H).map(i =>
+        min((col("a") + lit(i.toLong) * col("b")) % lit(Mod)).as(s"h$i"))
+      val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until Bands).map(b =>
+        concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
+      val bands = sig.select(col("doc_id") +: bandCols: _*)
+        .selectExpr("doc_id",
+          s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
+      val pairs = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      pairs.groupBy("d1")
+        .agg(count(lit(1)).as("n_cand"), min(col("d2")).as("min_partner"))
+        .orderBy("d1")
+    }),
+
+    // SimHash: 16-bit signature from md5-derived token hashes (majority vote
+    // per bit over token occurrences). One narrow agg — linear at scale.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val a = toks(s, dir).select(col("doc_id"),
+        expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)").as("a"))
+      val sumAggs = (0 until 16).map(j =>
+        sum(expr(s"CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"))
+          .as(s"s$j"))
+      a.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j =>
+            expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END"))
+            .reduce(_ + _).cast("long").as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram (token 3-gram) Jaccard near-dup, blocked by `source` so the
+    // candidate join is bounded per block (global variant = q_dedup_minhash).
+    "q_dedup_ngram" -> ((s, dir) => {
+      val ws = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          Tokenize.tokenArray(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+      val tri = ws.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
+          .as("sh"))
+        .distinct()
+      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val co = tri.alias("x")
+        .join(tri.alias("y"),
+          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+      co.join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+        .withColumn("jac", expr("CAST(co AS DOUBLE) / (sa + sb - co)"))
+        .groupBy("d1")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END")).as("n_sim"),
+          max(round(col("jac"), 4)).as("max_jac"))
+        .orderBy("d1")
+    }),
+
+    // Embedding-cosine near-dup: exact-integer cosine over label-blocked,
+    // sampled pairs (the brute-force correctness baseline for LSH/IVF).
+    "q_dedup_embcos" -> ((s, dir) => {
+      val q = quantized(s, dir).where(col("vec_id") % 10 === 0)
+      val pairs = q.alias("x")
+        .join(q.alias("y"),
+          col("x.label") === col("y.label") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .where(col("x.nq") > 0 && col("y.nq") > 0)
+        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
+          expr("aggregate(zip_with(x.q, y.q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .as("dot"),
+          col("x.nq").as("na"), col("y.nq").as("nb"))
+        .withColumn("cos", expr(CosExpr))
+      pairs.groupBy("d1")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CASE WHEN cos >= 0.7 THEN 1 ELSE 0 END")).as("n_sim"),
+          max(round(col("cos"), 4)).as("max_cos"))
+        .orderBy("d1")
+    }),
+
+    // Brute-force cosine top-k ANN for sampled query vectors: the exactness
+    // baseline; rank by unrounded (but deterministic) cosine, tie-break id.
+    "q_ann_topk" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val qs = all.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nq").as("na"))
+      val scored = qs.join(all.where(col("nq") > 0), col("q_id") =!= col("vec_id"))
+        .where(col("na") > 0)
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .as("dot"),
+          col("na"), col("nq").as("nb"))
+        .withColumn("cos", expr(CosExpr))
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("cand_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Language ID: stopword-hit scoring with a deterministic argmax.
+    "q_lang_id" -> ((s, dir) => {
+      val scoreAggs = Stops.map { case (lang, words) =>
+        sum(expr(s"CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END"))
+          .cast("long").as(s"s_$lang")
+      }
+      toks(s, dir).groupBy("doc_id").agg(scoreAggs.head, scoreAggs.tail: _*)
+        .withColumn("pred", expr(PredCase))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token stats + stopword/digit ratios → composite score.
+    "q_quality" -> ((s, dir) => {
+      val en = Stops.head._2
+      val st = toks(s, dir).groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum(length(col("word"))).as("sum_len"),
+        sum(expr(s"CASE WHEN word IN ${inList(en)} THEN 1 ELSE 0 END")).as("n_stop"))
+      docs(s, dir).join(st, "doc_id")
+        .withColumn("avg_len", round(expr("CAST(sum_len AS DOUBLE) / n_tok"), 4))
+        .withColumn("stop_ratio", round(expr("CAST(n_stop AS DOUBLE) / n_tok"), 4))
+        .withColumn("digit_ratio",
+          round(expr("CAST(regexp_count(text, '[0-9]') AS DOUBLE) / greatest(length(text), 1)"), 4))
+        .withColumn("quality", round(
+          expr("least(CAST(n_tok AS DOUBLE)/100, 1.0)*0.5") +
+            expr("CASE WHEN avg_len >= 3 AND avg_len <= 8 THEN 0.3 ELSE 0.0 END") +
+            expr("least(stop_ratio*5, 1.0)*0.2"), 4))
+        .select(col("doc_id"), col("n_tok"), col("avg_len"), col("stop_ratio"),
+          col("digit_ratio"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex token stream.
+    // NB: regexp_count via the typed API — the SQL-literal path would eat
+    // the \s escape in the pattern.
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("CAST(size(split(trim(text), ' +')) AS BIGINT)").as("n_ws"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"),
+        col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint: md5 over the sorted distinct token set (bag-of-
+    // words identity, robust to word order — catches shuffled duplicates).
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(Tokenize.tokenArray(col("text")))))).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  // =========================================================================
+  //  DuckDB oracles
+  // =========================================================================
+
+  private val ToksSql = Reference.ToksSql
+
+  private val MinhashSigSql: String = {
+    val mins = (0 until H)
+      .map(i => s"min((a + $i*b) % $Mod) AS h$i").mkString(",\n    ")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, i, $K) AS sh
+       |  FROM (SELECT doc_id, text,
+       |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
+       |        FROM documents WHERE length(text) >= $K)
+       |),
+       |ab AS (
+       |  SELECT doc_id, ${hex2longSql("md5(sh)", 1)} AS a,
+       |         ${hex2longSql("md5(sh)", 9)} AS b
+       |  FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM ab GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private val BandsSql: String =
+    (0 until Bands).map { b =>
+      val v = (0 until R).map(r => s"CAST(h${b * R + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $v AS v FROM sig"
+    }.mkString("bands AS (\n  ", "\n  UNION ALL ", "\n)")
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |)
+         |SELECT d1, count(*) AS n_cand, min(d2) AS min_partner
+         |FROM pairs GROUP BY d1 ORDER BY d1""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n    ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH $ToksSql,
+         |a AS (SELECT doc_id, ${hex2longSql("md5(word)", 1)} AS a FROM toks),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM a GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
+         |  FROM documents
+         |),
+         |tt AS (SELECT * FROM t WHERE len(ws) >= 3),
+         |tri AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         |  FROM (SELECT doc_id, source, ws,
+         |               unnest(generate_series(1, len(ws)-2)) AS i FROM tt)
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+         |co AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS co
+         |  FROM tri x JOIN tri y
+         |    ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |j AS (
+         |  SELECT d1, d2, CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) AS jac
+         |  FROM co JOIN sz sa ON co.d1 = sa.doc_id JOIN sz sb ON co.d2 = sb.doc_id
+         |)
+         |SELECT d1, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim,
+         |  max(round(jac, 4)) AS max_jac
+         |FROM j GROUP BY d1 ORDER BY d1""".stripMargin,
+
+    "q_dedup_embcos" ->
+      s"""WITH $QuantizedNormSql,
+         |sel AS (SELECT e.vec_id, e.embedding, qn.label, qn.nq
+         |        FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |        WHERE e.vec_id % 10 = 0 AND qn.nq > 0),
+         |p AS (
+         |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.nq AS na, y.nq AS nb,
+         |         x.embedding AS ea, y.embedding AS eb
+         |  FROM sel x JOIN sel y ON x.label = y.label AND x.vec_id < y.vec_id
+         |),
+         |d AS (
+         |  SELECT d1, d2, na, nb,
+         |    CAST(sum(${quantSqlElem("ea[i]")} * ${quantSqlElem("eb[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
+         |  GROUP BY d1, d2, na, nb
+         |),
+         |c AS (SELECT d1, d2, $CosExpr AS cos FROM d)
+         |SELECT d1, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN cos >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim,
+         |  max(round(cos, 4)) AS max_cos
+         |FROM c GROUP BY d1 ORDER BY d1""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH $QuantizedNormSql,
+         |qs AS (SELECT e.vec_id AS q_id, e.embedding AS eq, qn.nq AS na
+         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |       WHERE e.vec_id % 20 = 0 AND qn.nq > 0),
+         |cand AS (SELECT e.vec_id AS cand_id, e.embedding AS ec, qn.nq AS nb
+         |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |         WHERE qn.nq > 0),
+         |p AS (SELECT q_id, cand_id, na, nb, eq, ec
+         |      FROM qs JOIN cand ON q_id <> cand_id),
+         |d AS (
+         |  SELECT q_id, cand_id, na, nb,
+         |    CAST(sum(${quantSqlElem("eq[i]")} * ${quantSqlElem("ec[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(eq))) AS i FROM p)
+         |  GROUP BY q_id, cand_id, na, nb
+         |),
+         |c AS (SELECT q_id, cand_id, $CosExpr AS cos FROM d),
+         |r AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+         |  FROM c
+         |)
+         |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q_lang_id" -> {
+      val scores = Stops.map { case (lang, words) =>
+        s"CAST(sum(CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH $ToksSql,
+         |sc AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, s_en, s_fr, s_de, s_es,
+         |  $PredCase AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" -> {
+      val en = inList(Stops.head._2)
+      s"""WITH $ToksSql,
+         |st AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    CAST(sum(length(word)) AS BIGINT) AS sum_len,
+         |    CAST(sum(CASE WHEN word IN $en THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |  FROM toks GROUP BY doc_id
+         |),
+         |m AS (
+         |  SELECT d.doc_id, st.n_tok,
+         |    round(CAST(sum_len AS DOUBLE) / n_tok, 4) AS avg_len,
+         |    round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+         |    round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         |          / greatest(length(text), 1), 4) AS digit_ratio
+         |  FROM documents d JOIN st ON d.doc_id = st.doc_id
+         |)
+         |SELECT doc_id, n_tok, avg_len, stop_ratio, digit_ratio,
+         |  round(least(CAST(n_tok AS DOUBLE)/100, 1.0)*0.5
+         |        + (CASE WHEN avg_len >= 3 AND avg_len <= 8 THEN 0.3 ELSE 0.0 END)
+         |        + least(stop_ratio*5, 1.0)*0.2, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.operators.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operator catalog — one query per SURVEY.md §2 row.
+  * Each query runs over the harness `documents` table (the corpus) and has a
+  * DuckDB oracle twin built from the same regex constants.
+  */
+object Reference {
+  import Tokenize.{Delim, KeepRegex}
+
+  /** Delim with single quotes doubled for embedding in a SQL string literal. */
+  private val DelimSql = Delim.replace("'", "''")
+
+  /** DuckDB CTE mirroring [[Tokenize.tokenize]] over `documents`. */
+  val ToksSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(text, '$DelimSql')) AS w FROM documents
+       |  ) WHERE regexp_matches(lower(w), '$KeepRegex')
+       |)""".stripMargin
+
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tokenize.tokenize(docs(s, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "word")
+
+  /** Word count (O6+O7): single shuffle with map-side partial aggregation. */
+  private def wordcount(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  private val WordcountSql =
+    s"""WITH $ToksSql
+       |SELECT word, count(*) AS cnt FROM toks GROUP BY word
+       |ORDER BY cnt DESC, word""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // O1: text scan — projection reaches the parquet reader (column pruning).
+    "q_scan_text" -> ((s, dir) =>
+      docs(s, dir).select("doc_id", "lang", "source", "n_chars", "text")
+        .orderBy("doc_id")),
+    // O2: repartition — count/sum preservation under RoundRobinPartitioning.
+    "q_repartition" -> ((s, dir) =>
+      docs(s, dir).repartition(32)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))),
+    // O3: tokenize (explode/generator) + O4 keep-filter.
+    "q_tokenize" -> ((s, dir) => toks(s, dir).orderBy("doc_id", "word")),
+    // O4: filter — per-doc kept-token counts.
+    "q_filter_nonempty" -> ((s, dir) =>
+      toks(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+        .orderBy("doc_id")),
+    // O5: scalar projection — normalize to the encodable char subset.
+    "q_encode" -> ((s, dir) =>
+      toks(s, dir).select("word").distinct()
+        .select(col("word"),
+          regexp_replace(lower(col("word")), s"[^`-z]", "").as("norm"))
+        .orderBy("word")),
+    // O6+O7: the flagship word count (shuffle + hash aggregate).
+    "q_wordcount" -> ((s, dir) =>
+      wordcount(s, dir).orderBy(desc("cnt"), asc("word"))),
+    // O8: global sort (range-partitioned SortExec) on a non-corpus table.
+    "q_sort_value_key" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("v"))
+        .orderBy(desc("v"), asc("event_id"))),
+    // O9: top-K → TakeOrderedAndProject (no full sort materialization).
+    "q_topk" -> ((s, dir) =>
+      wordcount(s, dir).orderBy(desc("cnt"), asc("word")).limit(20)),
+    // O14: distinct keyset.
+    "q_distinct" -> ((s, dir) =>
+      toks(s, dir).select("word").distinct().orderBy("word")),
+    // O11: file sink round-trip (write parquet, read back).
+    "q_sink_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/tmp/q_sink_roundtrip"
+      wordcount(s, dir).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy(desc("cnt"), asc("word"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_text" ->
+      "SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id",
+    "q_repartition" ->
+      "SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents",
+    "q_tokenize" ->
+      s"WITH $ToksSql SELECT doc_id, word FROM toks ORDER BY doc_id, word",
+    "q_filter_nonempty" ->
+      s"WITH $ToksSql SELECT doc_id, count(*) AS n_kept FROM toks GROUP BY doc_id ORDER BY doc_id",
+    "q_encode" ->
+      s"""WITH $ToksSql
+         |SELECT word, regexp_replace(lower(word), '[^`-z]', '', 'g') AS norm
+         |FROM (SELECT DISTINCT word FROM toks) ORDER BY word""".stripMargin,
+    "q_wordcount" -> WordcountSql,
+    "q_sort_value_key" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS v
+        |FROM events ORDER BY v DESC, event_id""".stripMargin,
+    "q_topk" -> (WordcountSql + " LIMIT 20"),
+    "q_distinct" ->
+      s"WITH $ToksSql SELECT DISTINCT word FROM toks ORDER BY word",
+    "q_sink_roundtrip" -> WordcountSql
+  )
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Standard relational coverage over the TPC-H-ish harness tables — the
+  * categories the reference lacks entirely (SURVEY.md §2b): joins of every
+  * flavor, multi-aggregate grouping with rollup/cube, window functions, set
+  * operations, scalar function families, and a multimodal (text ⋈ vector,
+  * binary-typed) join.
+  *
+  * Scale notes per query are inline; the common rules: dimension joins use
+  * explicit `broadcast()` hints (no shuffle of the fact side), fact-fact
+  * joins shuffle on the join key once and aggregate partially map-side, and
+  * sorts happen only on final (small) results or via range partitioning.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
+    // → tiny shuffle regardless of input size (scales linearly to 100 TB).
+    "q1_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Dimension join chain: nation & region broadcast — zero fact shuffles
+    // before the (tiny) aggregation exchange.
+    "q_join_broadcast" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("r_name")),
+
+    // Fact-fact join: shuffles both sides on the order key once (sort-merge /
+    // shuffled-hash chosen by AQE); revenue via exact decimal sum.
+    "q_join_sortmerge" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    // Left-semi: customers with ≥1 order (existence join, no row duplication).
+    "q_join_semi" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // Left-anti: customers with no URGENT order (the filter makes the
+    // result non-trivial — plain no-orders is empty on this data).
+    "q_join_anti" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders")
+            .where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // ROLLUP: hierarchical grouping sets in one pass (Expand + partial agg).
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // CUBE: all grouping-set combinations.
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Window functions: one hash-partitioned sort per user_id partition;
+    // running sum is decimal-exact so frame evaluation order is irrelevant.
+    "q_window" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(byUser).cast("long").as("rn"),
+          sum(col("value").cast(DecimalType(18, 4))).over(run)
+            .cast("double").as("run_sum"),
+          round(coalesce(lag(col("value"), 1).over(byUser), lit(0.0)), 4)
+            .as("lag_v"))
+        .orderBy("event_id")
+    }),
+
+    // Set operations: UNION (distinct), INTERSECT, EXCEPT — tagged rows.
+    "q_setops" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click").select("user_id")
+      val views = ev.where(col("event_type") === "view").select("user_id")
+      clicks.union(views).distinct().select(lit("union").as("op"), col("user_id"))
+        .unionByName(clicks.intersect(views)
+          .select(lit("intersect").as("op"), col("user_id")))
+        .unionByName(clicks.except(views)
+          .select(lit("except").as("op"), col("user_id")))
+        .orderBy("op", "user_id")
+    }),
+
+    // Scalar function families: json, date/time, math, string — all
+    // codegen'd built-ins, no UDFs in the hot path.
+    "q_scalar_funcs" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("d"),
+          hour(col("ts")).cast("long").as("h"),
+          round(sqrt(abs(col("value"))), 4).as("sqrt_v"),
+          upper(col("event_type")).as("etype_u"),
+          substring(col("event_type"), 1, 2).as("etype_pre"),
+          concat_ws("-", col("event_type"), col("user_id")).as("tag"),
+          length(col("props")).cast("long").as("props_len"))
+        .orderBy("event_id")),
+
+    // Multimodal: documents ⋈ embeddings with an opaque binary view of the
+    // payload (the pattern for image/audio columns: binary + typed metadata).
+    "q_multimodal_binary" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .join(table(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("n_chars"), col("label"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          sha2(col("text"), 256).as("sha"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  ${dsumSql("l_extendedprice", 2)} AS sum_price,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)*(1+l_tax)", 6)} AS sum_charge
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal", 2)} AS acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_sortmerge" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS run_sum,
+        |  round(coalesce(lag(value) OVER w, 0), 4) AS lag_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_setops" ->
+      """SELECT 'union' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='click'
+        |  UNION SELECT user_id FROM events WHERE event_type='view')
+        |UNION ALL
+        |SELECT 'intersect' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='click'
+        |  INTERSECT SELECT user_id FROM events WHERE event_type='view')
+        |UNION ALL
+        |SELECT 'except' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='click'
+        |  EXCEPT SELECT user_id FROM events WHERE event_type='view')
+        |ORDER BY op, user_id""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(year(ts) AS BIGINT) AS y,
+        |  CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(day(ts) AS BIGINT) AS d,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  round(sqrt(abs(value)), 4) AS sqrt_v,
+        |  upper(event_type) AS etype_u,
+        |  substr(event_type, 1, 2) AS etype_pre,
+        |  event_type || '-' || CAST(user_id AS VARCHAR) AS tag,
+        |  CAST(length(props) AS BIGINT) AS props_len
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_multimodal_binary" ->
+      """SELECT doc_id, n_chars, label,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS e0
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the query catalog.
+  *
+  * Determinism rules (every query must hash-match a DuckDB oracle at sf0.01):
+  *  - every query ends with a total, tie-broken ORDER BY;
+  *  - no raw double SUMs: double aggregates go through an exact DECIMAL cast
+  *    ([[queries.dsum]]) so summation order (Spark partitioning vs DuckDB)
+  *    cannot change the result;
+  *  - integer outputs are cast to BIGINT/long on BOTH sides so the dumped
+  *    parquet types line up;
+  *  - float math (cosine etc.) is quantized to integers first so dot products
+  *    are exact and order-free (see LlmOps).
+  */
+package object queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Load a harness table. `events.ts` is nanosecond parquet, which Spark
+    * only reads as long (spark.sql.legacy.parquet.nanosAsLong) — convert to
+    * a microsecond TimestampType here so queries see a timestamp column
+    * (DuckDB reads the same file natively as TIMESTAMP_NS). */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Exact decimal-backed sum of a double expression, returned as double.
+    * Decimal arithmetic is exact, so the sum is independent of partitioning /
+    * evaluation order and matches DuckDB's decimal sum bit-for-bit. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** DuckDB twin of [[dsum]]. */
+  def dsumSql(e: String, scale: Int): String =
+    s"CAST(sum(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+}
