@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-level invariants at sf0.001 (exact value matching against the
+  * DuckDB oracle is the driver's job / dev/check.py; these are fast sanity
+  * gates that keep `sbt test` meaningful per operator). */
+class CatalogSpec extends AnyFunSuite with SparkFixture {
+
+  test("every query has an oracle (or is explicitly rows-only)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+  }
+
+  test("entry returns the global top-20 with positive counts") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.forall(_ > 0) && counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("all queries execute at sf0.001 and return rows") {
+    val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, Sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with empty results: $empty")
+  }
+
+  test("q_topk is the 20-row prefix of q_wordcount's total order") {
+    val wc = SparkEntry.queries("q_wordcount")(spark, Sf).collect()
+    val topk = SparkEntry.queries("q_topk")(spark, Sf).collect()
+    assert(topk.toSeq == wc.take(20).toSeq)
+  }
+
+  test("ann_topk: ranks are 1..k and cosine is within [-1, 1] and descending") {
+    val rows = SparkEntry.queries("q_ann_topk")(spark, Sf)
+      .collect().groupBy(_.getLong(0))
+    for ((_, g) <- rows) {
+      val ranks = g.map(_.getLong(1)).toSeq
+      assert(ranks == (1L to ranks.length))
+      val cos = g.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dedup_exact partitions the corpus (keepers + dups = total docs)") {
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val agg = SparkEntry.queries("q_dedup_exact")(spark, Sf).collect()
+    assert(agg.map(_.getLong(1)).sum == total)
+  }
+
+  test("simhash of identical texts is identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc pairs with equal text must get equal simhash (hash is text-pure)
+    val sim = SparkEntry.queries("q_dedup_simhash")(spark, Sf)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val joined = docs.select($"doc_id", $"text")
+      .join(sim, "doc_id").select($"text", $"simhash")
+      .groupBy("text").agg(countDistinct("simhash").as("n"))
+    assert(joined.where(col("n") > 1).count() == 0)
+  }
+}
