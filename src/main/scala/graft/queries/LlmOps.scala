@@ -111,13 +111,16 @@ object LlmOps {
     // md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows → band-bucket self-join.
     // This is the 100 TB dedup path: no all-pairs comparison ever happens.
     "q_dedup_minhash" -> ((s, dir) => {
+      // NB: no distinct() on (doc_id, shingle) — min() over the multiset
+      // equals min() over the set, and skipping the dedup avoids a full
+      // shuffle of the shingle stream; the signature groupBy aggregates
+      // map-side (partial min) so only ~1 row/doc/partition crosses the wire.
       val sh = docs(s, dir)
         .where(length(col("text")) >= K)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
             .as("i"), col("text"))
         .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
-        .distinct()
       val ab = sh.select(col("doc_id"),
         expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
         expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
@@ -291,7 +294,7 @@ object LlmOps {
     val mins = (0 until H)
       .map(i => s"min((a + $i*b) % $Mod) AS h$i").mkString(",\n    ")
     s"""sh AS (
-       |  SELECT DISTINCT doc_id, substr(text, i, $K) AS sh
+       |  SELECT doc_id, substr(text, i, $K) AS sh
        |  FROM (SELECT doc_id, text,
        |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
        |        FROM documents WHERE length(text) >= $K)
