@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.operators.Tokenize
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event for the streaming operators (mirrors the harness `events` table). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Closed user session emitted by [[StreamOps.sessionize]]. */
+case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                   n_events: Long, sum_value: Double)
+
+private case class SessionState(start_ms: Long, end_ms: Long,
+                                n_events: Long, sum_value: Double)
+
+/** Structured Streaming operators.
+  *
+  * The reference has no stream query model — its sockets are shuffle
+  * transport with EOS markers (SURVEY.md §2 O13). These operators are the
+  * unbounded-input counterparts of the batch catalog: the SAME logical
+  * transformations (tokenize → count; window → agg) expressed over
+  * `readStream` sources, which is the Spark-native way to get incremental
+  * execution, watermarked state eviction, and exactly-once sinks.
+  *
+  * Scale notes: all operators are keyed so state is hash-partitioned across
+  * executors; watermarks bound state size (no unbounded aggregation state);
+  * sessionize uses flatMapGroupsWithState with event-time timeout so closed
+  * sessions are emitted and evicted instead of accumulating.
+  */
+object StreamOps {
+
+  /** Streaming flagship: the reference's word count over an unbounded line
+    * stream. Complete-mode aggregation state is bounded by vocabulary size. */
+  def streamingWordCount(lines: DataFrame, textCol: String = "value"): DataFrame =
+    Tokenize.tokenize(lines.select(col(textCol)), textCol)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Tumbling event-time window counts per event type with a watermark:
+    * late data beyond `watermarkDelay` is dropped, closed windows are
+    * evicted from state (append-mode emittable). */
+  def windowedCounts(events: Dataset[Event],
+                     windowLen: String = "10 minutes",
+                     watermarkDelay: String = "5 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMs` of event-time silence per user (state timeout), emitting
+    * one [[Session]] row. Custom state logic the built-in windows can't
+    * express — the Spark-native replacement for a hand-rolled reducer. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                (implicit enc1: org.apache.spark.sql.Encoder[Session],
+                 enc2: org.apache.spark.sql.Encoder[SessionState]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- events) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  cur = Some(SessionState(s.start_ms, t, s.n_events + 1,
+                    s.sum_value + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.EncodeWord
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EncodeWordExpressionSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("native expression matches the Scala function and the UDF") {
+    GraftExtensions.register(spark)
+    val words = Seq("abc", "The", "café", "123", "`", "z", "", "a1b2") ++
+      graft.operators.Tokenize
+        .tokenize(spark.read.parquet(s"$Sf/documents.parquet"), "text")
+        .select("word").distinct().as[String].collect().toSeq
+    val df = spark.createDataset(words).toDF("w")
+    val got = df.select(
+      GraftExtensions.encode_word(col("w")).as("native"),
+      EncodeWord.encodeUdf(col("w")).as("viaUdf"),
+      expr("encode_word(w)").as("viaSql"))
+      .collect()
+    for ((r, w) <- got.zip(words)) {
+      val want = EncodeWord.encode(w)
+      assert(r.getString(0) == want, s"native($w)")
+      assert(r.getString(1) == want, s"udf($w)")
+      assert(r.getString(2) == want, s"sql($w)")
+    }
+  }
+
+  test("expression handles nulls and participates in codegen") {
+    GraftExtensions.register(spark)
+    val df = Seq(Some("abc"), None).toDF("w")
+    val got = df.select(expr("encode_word(w)")).as[Option[String]].collect()
+    assert(got.toSet == Set(Some("010203"), None))
+    // codegen: over a real scan (a literal input gets constant-folded away)
+    // the pipeline containing the expression must be a WholeStageCodegen span
+    val plan = spark.read.parquet(s"$Sf/documents.parquet")
+      .where(expr("encode_word(lang) = '0618'")) // encode("fr")
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen span in the compact plan
+    assert(plan.contains("*(1) Filter (encode_word"), plan)
+    // and produce correct results through the codegen'd path
+    val n = spark.read.parquet(s"$Sf/documents.parquet")
+      .where(expr("encode_word(lang) = '0618'")).count() // "fr"
+    val expect = spark.read.parquet(s"$Sf/documents.parquet")
+      .where(col("lang") === "fr").count()
+    assert(n == expect && n > 0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.{Event, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+
+  test("streamingWordCount counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamOps.streamingWordCount(in.toDF())
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData("home fairy dance", "pop steal home")
+      q.processAllAvailable()
+      in.addData("python pop home")
+      q.processAllAvailable()
+      val got = spark.table("wc_out").as[(String, Long)].collect().toMap
+      assert(got("home") == 3 && got("pop") == 2 && got("python") == 1)
+    } finally q.stop()
+  }
+
+  test("windowedCounts: tumbling windows by event type, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(in.toDS(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(4), 10, "click", 2.0),
+        Event(3, ts(12), 11, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window…
+      in.addData(Event(4, ts(40), 12, "click", 1.0))
+      q.processAllAvailable()
+      // …then a very late event for the closed window: must be dropped
+      in.addData(Event(5, ts(2), 13, "click", 99.0))
+      q.processAllAvailable()
+      in.addData(Event(6, ts(80), 12, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .selectExpr("CAST(window.start AS LONG) AS start_s", "event_type", "n", "sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)))    // w[0,10) click: events 1,2 only
+      assert(rows.contains((600L, "view", 1L, 5.0)))   // w[10,20) view
+      assert(!rows.exists { case (s, t, _, v) => s == 0 && v == 99.0 }) // late dropped
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the gap and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    // NB: keep event times > 0 — a row at exactly the initial watermark (0)
+    // is considered late and dropped before reaching the state function.
+    val base = 60 // minutes
+    try {
+      // user 1: two events 5 min apart (one session), then silence
+      in.addData(Event(1, ts(base), 1, "click", 1.0),
+        Event(2, ts(base + 5), 1, "view", 2.0))
+      q.processAllAvailable()
+      // move the watermark past user 1's session timeout → session closes
+      in.addData(Event(3, ts(base + 60), 2, "click", 7.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(base + 120), 2, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .as[graft.streaming.Session].collect()
+      info("sessions: " + got.mkString("; "))
+      val u1 = got.filter(_.user_id == 1)
+      assert(u1.length == 1)
+      assert(u1.head.n_events == 2 && u1.head.sum_value == 3.0)
+      assert(u1.head.start_ms == base * 60000L &&
+        u1.head.end_ms == (base + 5) * 60000L)
+    } finally q.stop()
+  }
+}
