@@ -233,6 +233,72 @@ object LlmOps {
         .orderBy("q_id", "rank")
     }),
 
+    // TF-IDF over the corpus: tf per (doc, word), document frequency per
+    // word, idf = ln((N+1)/(df+1)). Two narrow aggregations plus a
+    // broadcast of the single-row N — no fact-side re-shuffle.
+    "q_tfidf" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = t.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(expr("tf * ln((n_docs + 1.0) / (df + 1.0))"), 4))
+        .select("doc_id", "word", "tf", "df", "tfidf")
+        .orderBy("doc_id", "word")
+    }),
+
+    // IVF-style ANN: centroid per label (coarse quantizer) → route each
+    // query to its nearest centroid → search only that partition. This is
+    // the scale path: probes 1/|labels| of the data vs q_ann_topk's full
+    // scan. Distances stay on exact integers (scaled by partition size) so
+    // both engines agree bit-for-bit.
+    "q_ann_ivf" -> ((s, dir) => {
+      val all = quantized(s, dir).where(col("nq") > 0)
+      // per-label, per-dimension integer sums (centroid = s/n, kept unscaled)
+      val cent = all.select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy("label", "pos")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      val qd = all.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), posexplode(col("q")).as(Seq("pos", "qv")))
+      // dist² to centroid, scaled by n²: Σ(qv·n − s)² — exact BIGINTs
+      val dist = qd.join(cent, "pos")
+        .groupBy("q_id", "label")
+        .agg(sum(expr("(qv * n - s) * (qv * n - s)")).as("dist_num"),
+          max("n").as("n"))
+      val best = dist
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(expr("CAST(dist_num AS DOUBLE) / (n * n)").asc, col("label").asc)))
+        .where(col("rn") === 1).select("q_id", "label")
+      val qs = all.select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("nq").as("na"))
+      val scored = best.join(qs, "q_id")
+        .join(all.select(col("vec_id").as("cand_id"), col("label"),
+          col("q"), col("nq").as("nb")), "label")
+        .where(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .as("dot"), col("na"), col("nb"))
+        .withColumn("cos", expr(CosExpr))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("cand_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Multimodal decode: binary payload → typed features via the batched
+    // mapPartitions plumbing in operators.Multimodal (codec stubbed, Spark
+    // side real: binary column, typed Dataset boundary, batch shape).
+    "q_multimodal_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.extract(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .orderBy("doc_id")),
+
     // Language ID: stopword-hit scoring with a deterministic argmax.
     "q_lang_id" -> ((s, dir) => {
       val scoreAggs = Stops.map { case (lang, words) =>
@@ -426,6 +492,77 @@ object LlmOps {
          |)
          |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH $ToksSql,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+         |SELECT doc_id, word, tf, df,
+         |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+         |FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         |ORDER BY doc_id, word""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $QuantizedNormSql,
+         |pe AS (
+         |  SELECT vec_id, label, i AS pos, ${quantSqlElem("embedding[i]")} AS qv
+         |  FROM (SELECT e.vec_id, e.label, e.embedding,
+         |               unnest(generate_series(1, len(e.embedding))) AS i
+         |        FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |        WHERE qn.nq > 0)
+         |),
+         |cent AS (
+         |  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+         |  FROM pe GROUP BY label, pos
+         |),
+         |dist AS (
+         |  SELECT pe.vec_id AS q_id, c.label,
+         |    CAST(sum((pe.qv * c.n - c.s) * (pe.qv * c.n - c.s)) AS BIGINT) AS dist_num,
+         |    max(c.n) AS n
+         |  FROM pe JOIN cent c ON pe.pos = c.pos
+         |  WHERE pe.vec_id % 20 = 0
+         |  GROUP BY q_id, c.label
+         |),
+         |best AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(dist_num AS DOUBLE) / (n * n), label) AS rn
+         |    FROM dist) WHERE rn = 1
+         |),
+         |sel AS (SELECT e.vec_id, qn.label, qn.nq, e.embedding
+         |        FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |        WHERE qn.nq > 0),
+         |p AS (
+         |  SELECT b.q_id, s.vec_id AS cand_id, eq.embedding AS eqv,
+         |         s.embedding AS ecv, eqn.nq AS na, s.nq AS nb
+         |  FROM best b
+         |  JOIN embeddings eq ON eq.vec_id = b.q_id
+         |  JOIN qn eqn ON eqn.vec_id = b.q_id
+         |  JOIN sel s ON s.label = b.label AND s.vec_id <> b.q_id
+         |),
+         |d AS (
+         |  SELECT q_id, cand_id, na, nb,
+         |    CAST(sum(${quantSqlElem("eqv[i]")} * ${quantSqlElem("ecv[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(eqv))) AS i FROM p)
+         |  GROUP BY q_id, cand_id, na, nb
+         |),
+         |c AS (SELECT q_id, cand_id, $CosExpr AS cos FROM d),
+         |r AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+         |  FROM c
+         |)
+         |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(list_aggregate(list_transform(split(text, ''), x -> ord(x)), 'sum') AS BIGINT) AS checksum,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       val scores = Stops.map { case (lang, words) =>

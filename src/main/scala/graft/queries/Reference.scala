@@ -77,6 +77,21 @@ object Reference {
       val out = "/root/repo/target/tmp/q_sink_roundtrip"
       wordcount(s, dir).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy(desc("cnt"), asc("word"))
+    }),
+    // CSV source/sink round-trip (schema-on-read with explicit schema).
+    "q_sink_csv_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/tmp/q_sink_csv"
+      wordcount(s, dir).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.schema("word STRING, cnt BIGINT").option("header", "true")
+        .csv(out).orderBy(desc("cnt"), asc("word"))
+    }),
+    // JSON-lines source/sink round-trip.
+    "q_sink_json_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/tmp/q_sink_json"
+      wordcount(s, dir).write.mode("overwrite").json(out)
+      s.read.schema("word STRING, cnt BIGINT").json(out)
+        .orderBy(desc("cnt"), asc("word"))
     })
   )
 
@@ -100,6 +115,8 @@ object Reference {
     "q_topk" -> (WordcountSql + " LIMIT 20"),
     "q_distinct" ->
       s"WITH $ToksSql SELECT DISTINCT word FROM toks ORDER BY word",
-    "q_sink_roundtrip" -> WordcountSql
+    "q_sink_roundtrip" -> WordcountSql,
+    "q_sink_csv_roundtrip" -> WordcountSql,
+    "q_sink_json_roundtrip" -> WordcountSql
   )
 }

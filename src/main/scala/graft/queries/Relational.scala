@@ -88,6 +88,15 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // GROUPING SETS: explicit grouping-set list in one Expand pass.
+    "q_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // Window functions: one hash-partitioned sort per user_id partition;
     // running sum is decimal-exact so frame evaluation order is irrelevant.
     "q_window" -> ((s, dir) => {
@@ -185,6 +194,12 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_window" ->
       """SELECT event_id, user_id,
