@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark's optimizer has no native operator for: as-of and
+  * point-in-interval (range) joins. Both are built from equi-join +
+  * window/bin primitives so they stay shuffle-based hash joins at scale —
+  * never the O(n·m) BroadcastNestedLoopJoin a naive non-equi condition
+  * falls back to.
+  */
+object Joins {
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightOrd <= leftOrd` among equal keys (ties broken by `tieBreak`
+    * descending). Classic market-data/event-enrichment semantics.
+    *
+    * Plan shape: one equi-join shuffle on the key + one window sort per
+    * left-row partition — no nested-loop fallback.
+    *
+    * @param leftId unique left row id (window partition key)
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftOrd: Column, rightOrd: Column,
+           leftId: Column, tieBreak: Column): DataFrame = {
+    val joined = left.join(right, leftKey === rightKey && rightOrd <= leftOrd)
+    val w = Window.partitionBy(leftId).orderBy(rightOrd.desc, tieBreak.desc)
+    joined.withColumn("__asof_rn", row_number().over(w))
+      .where(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
+  /** Binned point-in-interval join: match point rows to interval rows with
+    * `lo <= pt <= hi` (plus equi `keys`), implemented by exploding each
+    * interval into the fixed-width bins it covers and equi-joining on
+    * (keys, bin). Each (interval, point) pair appears exactly once because
+    * a point lives in exactly one bin.
+    *
+    * Scale notes: the naive formulation is a nested-loop join (O(n·m));
+    * this is a hash join with fan-out `≈ intervalWidth / binWidth + 1`,
+    * so choose `binWidth` on the order of the typical interval length.
+    * All ordinal columns must be integral (e.g. `unix_micros(ts)`).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], pt: String,
+                      lo: String, hi: String, binWidth: Long): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    val pts = points.withColumn("__bin", floor(col(pt) / binWidth))
+    pts.join(binned, keys :+ "__bin")
+      .where(col(pt) >= col(lo) && col(pt) <= col(hi))
+      .drop("__bin")
+  }
+}

@@ -88,6 +88,71 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // As-of join: each event enriched with the user's latest order at or
+    // before the event time (graft.operators.Joins.asof — equi-join +
+    // window, no nested-loop fallback).
+    "q_join_asof" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = table(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      graft.operators.Joins.asof(e, o,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftOrd = col("ts"), rightOrd = col("o_orderdate"),
+        leftId = col("event_id"), tieBreak = col("o_orderkey"))
+        .select("event_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    }),
+
+    // Range (point-in-interval) join via binning: events followed by a
+    // same-type event within 10 minutes. The binned equi-join replaces the
+    // O(n·m) nested-loop plan a naive range predicate would produce.
+    "q_join_range" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val points = e.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("pt"))
+      val iv = e.select(col("event_id").as("iv_id"), col("event_type"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + lit(600L * 1000000L)).as("hi"))
+      graft.operators.Joins
+        .pointInInterval(points, iv, Seq("event_type"), "pt", "lo", "hi",
+          binWidth = 600L * 1000000L)
+        .where(col("iv_id") < col("event_id"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("event_type")
+    }),
+
+    // Theta join: same-user event pairs with close values (non-equi
+    // predicate on top of the user_id equi-join shuffle).
+    "q_join_theta" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("event_id", "user_id", "value")
+      e.alias("x").join(e.alias("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_id") < col("y.event_id") &&
+          abs(col("x.value") - col("y.value")) <= 0.5)
+        .groupBy(col("x.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // Pivot: per-user event-type counts as columns (explicit value list).
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = table(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    // Exact percentiles (linear interpolation) per event type.
+    "q_percentile" -> ((s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // GROUPING SETS: explicit grouping-set list in one Expand pass.
     "q_grouping_sets" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -195,6 +260,41 @@ object Relational {
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_join_range" ->
+      """SELECT a.event_type, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON b.event_type = a.event_type AND a.event_id < b.event_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+    "q_join_theta" ->
+      """SELECT x.user_id, count(*) AS n_pairs
+        |FROM events x JOIN events y
+        |  ON x.user_id = y.user_id AND x.event_id < y.event_id
+        | AND abs(x.value - y.value) <= 0.5
+        |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
