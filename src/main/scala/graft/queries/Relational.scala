@@ -144,6 +144,25 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Exact distinct counts (the shuffle-heavy form; the sketch twin
+    // approx_count_distinct is spec-covered, not oracle-comparable).
+    "q_count_distinct" -> ((s, dir) =>
+      table(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(to_date(col("ts"))).as("n_days"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Custom typed UDAF (Aggregator with exact decimal buffer): sample
+    // variance, deterministic under any partitioning/merge order.
+    "q_udaf_variance" -> ((s, dir) => {
+      val varUdaf = udaf(graft.functions.VarianceAgg)
+      table(s, dir, "events").groupBy("event_type")
+        .agg(round(varUdaf(col("value")), 4).as("var_v"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // Exact percentiles (linear interpolation) per event type.
     "q_percentile" -> ((s, dir) =>
       table(s, dir, "events").groupBy("event_type")
@@ -288,6 +307,20 @@ object Relational {
         |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_udaf_variance" ->
+      """SELECT event_type,
+        |  round((CAST(sum(CAST(value*value AS DECIMAL(28,4))) AS DOUBLE)
+        |         - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |        / (count(*) - 1), 4) AS var_v,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 4) AS p25,
