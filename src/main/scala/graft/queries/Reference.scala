@@ -92,6 +92,19 @@ object Reference {
       wordcount(s, dir).write.mode("overwrite").json(out)
       s.read.schema("word STRING, cnt BIGINT").json(out)
         .orderBy(desc("cnt"), asc("word"))
+    }),
+    // Hive-style partitioned layout + partition pruning: only the lang=…
+    // directories named by the filter are read (PartitionFilters in the
+    // scan; at 100 TB this is the difference between scanning one
+    // partition and the whole table).
+    "q_partitioned_scan" -> ((s, dir) => {
+      val out = "/root/repo/target/tmp/docs_by_lang"
+      docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .where(col("lang").isin("en", "fr"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -117,6 +130,10 @@ object Reference {
       s"WITH $ToksSql SELECT DISTINCT word FROM toks ORDER BY word",
     "q_sink_roundtrip" -> WordcountSql,
     "q_sink_csv_roundtrip" -> WordcountSql,
-    "q_sink_json_roundtrip" -> WordcountSql
+    "q_sink_json_roundtrip" -> WordcountSql,
+    "q_partitioned_scan" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

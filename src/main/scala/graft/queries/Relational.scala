@@ -172,6 +172,22 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // MERGE/upsert: update 1/10 of orders, insert synthetic new keys, then
+    // aggregate the merged table (operators.Merge.upsert — one full-outer
+    // join). The oracle rebuilds the same state with UNION ALL + NOT IN,
+    // a different algorithm, so this cross-checks the merge semantics.
+    "q_upsert" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val updated = o.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderpriority", lit("0-UPDATED"))
+      val inserted = o.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      graft.operators.Merge.upsert(o, updated.unionByName(inserted), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // GROUPING SETS: explicit grouping-set list in one Expand pass.
     "q_grouping_sets" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -328,6 +344,25 @@ object Relational {
         |  round(quantile_cont(value, 0.75), 4) AS p75,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_upsert" ->
+      s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, '0-UPDATED' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 3
+         |),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM orders
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         |)
+         |SELECT o_orderpriority, count(*) AS n,
+         |  ${dsumSql("o_totalprice", 2)} AS total
+         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty

@@ -51,6 +51,16 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(agg.map(_.getLong(1)).sum == total)
   }
 
+  test("partitioned scan prunes partitions (PartitionFilters in plan)") {
+    // run the query once so the partitioned layout exists…
+    SparkEntry.queries("q_partitioned_scan")(spark, Sf).collect()
+    // …then check the read side prunes on lang
+    val plan = spark.read.parquet("/root/repo/target/tmp/docs_by_lang")
+      .where(org.apache.spark.sql.functions.col("lang").isin("en", "fr"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan)
+  }
+
   test("simhash of identical texts is identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
