@@ -18,6 +18,12 @@ object Smoke {
     println(s"ENTRY_ROWS=${rows.length}")
     rows.take(5).foreach(r => println(s"ENTRY_ROW $r"))
 
+    // reference-literal output shape: top-K per reducer
+    graft.operators.Tokenize.topKPerReducer(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text",
+      k = 3, numReducers = 4)
+      .collect().foreach(r => println(s"PERREDUCER_ROW $r"))
+
     // native expression through SQL over a real scan
     graft.plans.GraftExtensions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -30,4 +30,13 @@ object EncodeWord {
   }
 
   val encodeUdf: UserDefinedFunction = udf(encode _)
+
+  /** The reference's reducer routing: `BigInteger(encode(w)) mod n`
+    * (`WorkerSender.java:223-224`). Only defined for kept tokens (encode
+    * non-empty). */
+  def route(w: String, n: Int): Int =
+    new java.math.BigInteger(encode(w))
+      .mod(java.math.BigInteger.valueOf(n)).intValue()
+
+  val routeUdf: UserDefinedFunction = udf(route _)
 }

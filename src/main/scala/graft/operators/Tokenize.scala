@@ -47,4 +47,26 @@ object Tokenize {
   def wordCount(df: DataFrame, textCol: String): DataFrame =
     tokenize(df.select(col(textCol)), textCol)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The reference's literal output shape: top-K PER REDUCER
+    * (`WorkerSender.java:26,286-296` — each worker sorts and prints its own
+    * top-20; the global merge was left as dead code). Reducer identity uses
+    * the reference's own routing — `BigInteger(encode(word)) mod N`
+    * (`WorkerSender.java:223-224`) — so the result is deterministic and
+    * independent of physical partitioning (AQE may coalesce partitions;
+    * `spark_partition_id` would NOT be a faithful reducer id). Keysets per
+    * reducer are disjoint, counts are exact; only the top-K *selection* is
+    * local. Returns (reducer, word, cnt). The flagship uses the global
+    * top-K. */
+  def topKPerReducer(df: DataFrame, textCol: String, k: Int = 20,
+                     numReducers: Int = 4): DataFrame = {
+    val wc = wordCount(df, textCol)
+      .withColumn("reducer",
+        graft.functions.EncodeWord.routeUdf(col("word"), lit(numReducers)))
+    wc.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("reducer")
+        .orderBy(desc("cnt"), asc("word"))))
+      .where(col("rn") <= k)
+      .select("reducer", "word", "cnt")
+  }
 }

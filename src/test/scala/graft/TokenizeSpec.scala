@@ -44,6 +44,28 @@ class TokenizeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("topKPerReducer: disjoint keysets, exact counts, local selection") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").select("text")
+    val per = Tokenize.topKPerReducer(docs, "text", k = 10, numReducers = 4)
+      .collect()
+    val global = Tokenize.wordCount(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // each emitted (word, cnt) carries the exact global count
+    for (r <- per)
+      assert(global(r.getString(1)) == r.getLong(2), r.toString)
+    // a word appears under exactly one reducer (route-disjoint keysets)
+    val byWord = per.groupBy(_.getString(1))
+    assert(byWord.values.forall(_.map(_.getInt(0)).distinct.length == 1))
+    // each reducer emits at most k rows
+    assert(per.groupBy(_.getInt(0)).values.forall(_.length <= 10))
+    // reducer ids follow the reference routing exactly, and the observed
+    // reducer set matches the expected one (catches partition-id collapse)
+    for (r <- per)
+      assert(r.getInt(0) == graft.functions.EncodeWord.route(r.getString(1), 4))
+    val expected = global.keySet.map(graft.functions.EncodeWord.route(_, 4))
+    assert(per.map(_.getInt(0)).toSet == expected)
+  }
+
   test("tokenArray preserves order for shingling") {
     val arr = Seq("a!b c.d").toDF("text")
       .select(Tokenize.tokenArray(col("text")).as("ws"))
