@@ -129,6 +129,9 @@ object LlmOps {
       val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       val bandCols = (0 until Bands).map(b =>
         concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
+      // bands is both sides of the LSH bucket self-join; the pipeline runs
+      // twice (measured cheaper than persist() at sf0.1 — flip to a
+      // persist when the signature computation dominates at scale).
       val bands = sig.select(col("doc_id") +: bandCols: _*)
         .selectExpr("doc_id",
           s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
@@ -166,6 +169,10 @@ object LlmOps {
         .select(col("doc_id"), col("source"),
           Tokenize.tokenArray(col("text")).as("ws"))
         .where(size(col("ws")) >= 3)
+      // tri feeds three consumers (sizes + both join sides) and recomputes
+      // per consumer (pruned projections defeat ReuseExchange). Measured at
+      // sf0.1: persist() costs more than the recompute; at cluster scale
+      // with an expensive shingle set, persist(MEMORY_AND_DISK) it.
       val tri = ws.select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
