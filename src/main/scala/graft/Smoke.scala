@@ -46,6 +46,25 @@ object Smoke {
     q.stop()
     spark.table("smoke_wc").orderBy(org.apache.spark.sql.functions.desc("cnt"))
       .collect().take(3).foreach(r => println(s"STREAM_ROW $r"))
+
+    // streaming dedup over a real file-stream of Event JSON (dup event_ids)
+    import spark.implicits._
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_dedup_in")
+    java.nio.file.Files.writeString(dedupDir.resolve("e.json"),
+      """{"event_id":1,"ts":"2024-01-01T01:00:00","user_id":1,"event_type":"click","value":1.0}
+        |{"event_id":1,"ts":"2024-01-01T01:01:00","user_id":1,"event_type":"click","value":1.0}
+        |{"event_id":2,"ts":"2024-01-01T01:02:00","user_id":1,"event_type":"view","value":2.0}
+        |""".stripMargin)
+    val evStream = spark.readStream.format("json")
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .load(dedupDir.toString).as[graft.streaming.Event]
+    val dq = graft.streaming.StreamOps.dedupStream(evStream)
+      .writeStream.format("memory").queryName("smoke_dedup")
+      .outputMode("append").start()
+    dq.processAllAvailable()
+    dq.stop()
+    println(s"DEDUP_IDS=" + spark.table("smoke_dedup")
+      .select("event_id").as[Long].collect().sorted.mkString(","))
     spark.stop()
   }
 }

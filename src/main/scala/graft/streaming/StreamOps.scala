@@ -49,6 +49,21 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact deduplication on event_id with watermark-bounded
+    * state (dropDuplicatesWithinWatermark): duplicates arriving within the
+    * watermark delay are suppressed, and key state is evicted once the
+    * watermark passes — the unbounded-input twin of q_dedup_exact. */
+  def dedupStream(events: Dataset[Event],
+                  watermarkDelay: String = "10 minutes"): Dataset[Event] =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: per micro-batch broadcast hash join of the
+    * unbounded stream against a static dimension (the dimension is read
+    * fresh per batch — no stream state). */
+  def enrich(events: Dataset[Event], dim: DataFrame, dimKey: String): DataFrame =
+    events.toDF().join(broadcast(dim), col("user_id") === col(dimKey), "left")
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMs` of event-time silence per user (state timeout), emitting
     * one [[Session]] row. Custom state logic the built-in windows can't
