@@ -60,13 +60,20 @@ object Tokenize {
     * top-K. */
   def topKPerReducer(df: DataFrame, textCol: String, k: Int = 20,
                      numReducers: Int = 4): DataFrame = {
+    import df.sparkSession.implicits._
     val wc = wordCount(df, textCol)
       .withColumn("reducer",
         graft.functions.EncodeWord.routeUdf(col("word"), lit(numReducers)))
-    wc.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy("reducer")
-        .orderBy(desc("cnt"), asc("word"))))
-      .where(col("rn") <= k)
-      .select("reducer", "word", "cnt")
+    // bounded-memory groupwise top-K (O(k) state per reducer) — a window
+    // row_number formulation would fully sort each reducer's keyset
+    val topk = new graft.functions.TopKWords(k)
+    wc.select(col("reducer"), col("word"), col("cnt"))
+      .as[(Int, String, Long)]
+      .groupByKey(_._1)
+      .agg(topk.toColumn)
+      .flatMap { case (reducer, items) =>
+        items.map(w => (reducer, w.word, w.cnt))
+      }
+      .toDF("reducer", "word", "cnt")
   }
 }

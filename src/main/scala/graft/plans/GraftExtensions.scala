@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions.call_function
   * the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.encodeWordFn)
+    ext.injectOptimizerRule(_ => EncodeWordSimplification)
+  }
 }
 
 object GraftExtensions {
@@ -23,9 +25,13 @@ object GraftExtensions {
       EncodeWordExpression(children.head))
 
   /** Imperative registration for an existing session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       encodeWordFn._1, encodeWordFn._2, encodeWordFn._3)
+    if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ EncodeWordSimplification
+  }
 
   /** Column API over the registered function. */
   def encode_word(c: Column): Column = call_function("encode_word", c)

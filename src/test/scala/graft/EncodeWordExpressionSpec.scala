@@ -28,6 +28,22 @@ class EncodeWordExpressionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("optimizer rule strips redundant case-normalization under encode_word") {
+    GraftExtensions.register(spark)
+    val df = spark.read.parquet(s"$Sf/documents.parquet")
+    val optimized = df.select(expr("encode_word(lower(lang))"))
+      .queryExecution.optimizedPlan.toString
+    // the projection must be encode_word directly over the column (the
+    // output ALIAS still spells the original expression — ignore it)
+    assert(optimized.contains("[encode_word(lang#"), optimized)
+    // and results are unchanged
+    val a = df.select(expr("encode_word(lower(lang))").as("e"))
+      .collect().map(_.getString(0)).toSeq
+    val b = df.select(expr("encode_word(lang)").as("e"))
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b)
+  }
+
   test("expression handles nulls and participates in codegen") {
     GraftExtensions.register(spark)
     val df = Seq(Some("abc"), None).toDF("w")

@@ -64,6 +64,16 @@ class TokenizeSpec extends AnyFunSuite with SparkFixture {
       assert(r.getInt(0) == graft.functions.EncodeWord.route(r.getString(1), 4))
     val expected = global.keySet.map(graft.functions.EncodeWord.route(_, 4))
     assert(per.map(_.getInt(0)).toSet == expected)
+    // the bounded-memory aggregator must equal the window formulation
+    val viaWindow = Tokenize.wordCount(docs, "text")
+      .withColumn("reducer",
+        graft.functions.EncodeWord.routeUdf(col("word"), lit(4)))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("reducer")
+          .orderBy(desc("cnt"), asc("word"))))
+      .where(col("rn") <= 10).select("reducer", "word", "cnt")
+      .collect().map(_.toString).sorted.toSeq
+    assert(per.map(_.toString).sorted.toSeq == viaWindow)
   }
 
   test("tokenArray preserves order for shingling") {
