@@ -83,6 +83,52 @@ object LlmOps {
   private val CosExpr = // over exact-integer dot & norms, identical both engines
     "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
 
+  // ---- random-hyperplane LSH (deterministic, engine-independent) ----
+  // 8 hyperplanes of 64 integer weights in [-1000, 1000], derived from md5
+  // of "lsh:p:i" at catalog-build time and inlined as LITERALS into both
+  // the Spark plan and the oracle SQL — so there is nothing to keep in
+  // sync at runtime. Signs of exact integer dots → a 8-bit bucket.
+  private val LshPlanes = 8
+  private val LshDims = 64
+  private val LshW: IndexedSeq[IndexedSeq[Long]] =
+    (0 until LshPlanes).map { p =>
+      (0 until LshDims).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh:$p:$i".getBytes("UTF-8"))
+        val v = java.lang.Long.parseLong(
+          md.take(4).map("%02x".format(_)).mkString, 16)
+        (v % 2001L) - 1000L
+      }
+    }
+
+  /** SQL/expr fragment: the bucket of a quantized vector expression where
+    * element i is `qElem(i)` (1-based i). Generated identically for Spark
+    * (over an array column) and DuckDB (over unnested elements). */
+  private def lshBucketSparkExpr(qCol: String): String = {
+    // dot_p via aggregate over zip_with(q, literal array)
+    val bits = (0 until LshPlanes).map { p =>
+      val arr = LshW(p).mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with($qCol, $arr, (x, y) -> x*y), CAST(0 AS BIGINT), (a, v) -> a + v) > 0 THEN ${1 << p} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB bucket CTE over (vec_id, i, q) long-format rows. */
+  private def lshBucketSql: String = {
+    val sums = (0 until LshPlanes).map { p =>
+      val arr = LshW(p).mkString("[", ", ", "]")
+      s"(CASE WHEN sum(q * ($arr)[i]) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""buckets AS (
+       |  SELECT vec_id, CAST($sums AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id, i, ${quantSqlElem("embedding[i]")} AS q
+       |        FROM (SELECT vec_id, embedding,
+       |                     unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings))
+       |  GROUP BY vec_id
+       |)""".stripMargin
+  }
+
   /** Quantized embeddings + exact integer self-norm. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("label"), expr(QuantSpark).as("q"))
@@ -294,6 +340,34 @@ object LlmOps {
             .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
         .where(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("cand_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Random-hyperplane LSH ANN: 8 md5-seeded integer hyperplanes → 8-bit
+    // bucket per vector → search only the query's bucket. The scale path
+    // when no partition label exists (vs q_ann_ivf's label centroids);
+    // candidates per query drop ~256× for uniform buckets.
+    "q_ann_lsh" -> ((s, dir) => {
+      val all = quantized(s, dir).where(col("nq") > 0)
+        .withColumn("bucket", expr(lshBucketSparkExpr("q")).cast("long"))
+      val qs = all.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("nq").as("na"), col("bucket"))
+      val scored = qs.join(
+          all.select(col("vec_id").as("cand_id"), col("q"),
+            col("nq").as("nb"), col("bucket")), Seq("bucket"))
+        .where(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("bucket"), col("cand_id"),
+          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .as("dot"), col("na"), col("nb"))
+        .withColumn("cos", expr(CosExpr))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("bucket"), col("rank"), col("cand_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
     }),
@@ -561,6 +635,37 @@ object LlmOps {
          |  FROM c
          |)
          |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH $QuantizedNormSql,
+         |$lshBucketSql,
+         |sel AS (SELECT e.vec_id, e.embedding, qn.nq, b.bucket
+         |        FROM embeddings e
+         |        JOIN qn ON e.vec_id = qn.vec_id
+         |        JOIN buckets b ON e.vec_id = b.vec_id
+         |        WHERE qn.nq > 0),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, q.bucket, s.vec_id AS cand_id,
+         |         q.embedding AS eqv, s.embedding AS ecv,
+         |         q.nq AS na, s.nq AS nb
+         |  FROM sel q JOIN sel s
+         |    ON q.bucket = s.bucket AND s.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 20 = 0
+         |),
+         |d AS (
+         |  SELECT q_id, bucket, cand_id, na, nb,
+         |    CAST(sum(${quantSqlElem("eqv[i]")} * ${quantSqlElem("ecv[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(eqv))) AS i FROM p)
+         |  GROUP BY q_id, bucket, cand_id, na, nb
+         |),
+         |c AS (SELECT q_id, bucket, cand_id, $CosExpr AS cos FROM d),
+         |r AS (
+         |  SELECT q_id, bucket, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+         |  FROM c
+         |)
+         |SELECT q_id, bucket, rank, cand_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_multimodal_decode" ->
