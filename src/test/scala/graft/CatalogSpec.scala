@@ -12,6 +12,11 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
   }
 
+  test("bench headline set stays valid (all names resolve to queries)") {
+    val missing = Bench.Headline -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline names with no query: $missing")
+  }
+
   test("entry returns the global top-20 with positive counts") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 20)
