@@ -13,28 +13,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen, parquet footer reads) so the first
-    // measured query doesn't absorb JVM/session init.
+    // measured query doesn't absorb JVM/session init. Must not be able to
+    // kill the run — a broken sfDir has to surface as per-query penalties
+    // in the JSON line, not a missing line.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
+    }
+    // A failed query must read as a REGRESSION, not a speedup: record a
+    // penalty sentinel instead of its time-to-exception.
+    val FailPenalty = 999.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the expensive projections.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> FailPenalty
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // The graded total is the sum over the FROZEN round-1 headline set, so
     // adding queries in later rounds cannot inflate it into a fake
     // regression; the per-query map still reports everything.
-    val total =
-      if (results.nonEmpty)
-        results.view.filterKeys(Headline).values.sum
-      else 0.0
+    val total = results.view.filterKeys(Headline).values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
