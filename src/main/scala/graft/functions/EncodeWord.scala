@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions.udf
 object EncodeWord {
   def encode(w: String): String = {
     if (w == null) return null
-    val lw = w.toLowerCase
+    // Locale.ROOT: a tr-TR default locale would map "I" → dotless ı (code
+    // 209, skipped), making a KEPT token encode to "" and route() throw.
+    val lw = w.toLowerCase(java.util.Locale.ROOT)
     val sb = new StringBuilder(lw.length * 2)
     var i = 0
     while (i < lw.length) {

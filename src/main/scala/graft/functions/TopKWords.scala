@@ -23,8 +23,16 @@ class TopKWords(k: Int)
     (a ++ b).sortBy(w => (-w.cnt, w.word)).take(k)
 
   override def zero: TopKBuf = TopKBuf(Nil)
-  override def reduce(b: TopKBuf, x: (Int, String, Long)): TopKBuf =
+  override def reduce(b: TopKBuf, x: (Int, String, Long)): TopKBuf = {
+    // fast path: buffer full and x can't beat the current k-th item —
+    // skip the O(k log k) re-sort (the steady state over a large keyset)
+    if (b.items.length >= k) {
+      val worst = b.items.last
+      if (x._3 < worst.cnt || (x._3 == worst.cnt && x._2 >= worst.word))
+        return b
+    }
     TopKBuf(best(b.items, Seq(WordCnt(x._2, x._3))))
+  }
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     TopKBuf(best(a.items, b.items))
   override def finish(b: TopKBuf): Seq[WordCnt] = b.items

@@ -18,6 +18,15 @@ object BloomPrune {
   def preFilter(fact: DataFrame, factKey: String,
                 dim: DataFrame, dimKey: String,
                 expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // explicit contract: long keys only. A mistyped key column would be
+    // implicitly cast under the Long-typed UDF and silently filter
+    // everything out instead of erroring.
+    val lt = org.apache.spark.sql.types.LongType
+    require(fact.schema(factKey).dataType == lt &&
+      dim.schema(dimKey).dataType == lt,
+      s"BloomPrune.preFilter requires BIGINT keys; got " +
+        s"$factKey: ${fact.schema(factKey).dataType.catalogString}, " +
+        s"$dimKey: ${dim.schema(dimKey).dataType.catalogString}")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))

@@ -25,8 +25,12 @@ object Joins {
            leftKey: Column, rightKey: Column,
            leftOrd: Column, rightOrd: Column,
            leftId: Column, tieBreak: Column): DataFrame = {
-    val joined = left.join(right, leftKey === rightKey && rightOrd <= leftOrd)
-    val w = Window.partitionBy(leftId).orderBy(rightOrd.desc, tieBreak.desc)
+    // left-outer: a left row with no qualifying right row survives with
+    // null enrichment (nulls sort last so any real match wins rank 1)
+    val joined = left.join(right,
+      leftKey === rightKey && rightOrd <= leftOrd, "left_outer")
+    val w = Window.partitionBy(leftId)
+      .orderBy(rightOrd.desc_nulls_last, tieBreak.desc_nulls_last)
     joined.withColumn("__asof_rn", row_number().over(w))
       .where(col("__asof_rn") === 1)
       .drop("__asof_rn")

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Upsert `updates` into `target` (same schema) by unique `key`. */
-  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
-    val cols = target.columns.toSeq
-    target.alias("t")
-      .join(updates.alias("u"), col(s"t.$key") === col(s"u.$key"), "full_outer")
-      .select(cols.map(c => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
-  }
+  /** Upsert `updates` into `target` (same schema) by unique `key`, with
+    * full-ROW replacement semantics: a matched update row replaces the
+    * target row entirely — including columns the update sets to NULL.
+    * (A per-column `coalesce(u.c, t.c)` would silently resurrect old
+    * values on legitimate NULL updates.) Update keys must be unique. */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      target.join(updates.select(key), Seq(key), "left_anti"))
 }

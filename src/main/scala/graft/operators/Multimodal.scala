@@ -27,12 +27,13 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
 object Multimodal {
 
   /** STUB decoder: deterministic fake standing in for a real codec.
-    * Produces a byte checksum and fake dimensions derived from the payload
-    * so tests and oracles can pin the plumbing end-to-end. */
+    * Produces a codepoint checksum (UTF-8-decodes the payload — engine-
+    * independent even for non-ASCII text payloads, unlike a raw byte sum)
+    * and fake dimensions derived from the payload size, so tests and
+    * oracles can pin the plumbing end-to-end. */
   def decodeStub(payload: Array[Byte]): MediaFeatures = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    val sum = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().asLongStream().sum()
     MediaFeatures(doc_id = -1, n_bytes = payload.length, checksum = sum,
       width = payload.length % 640, height = payload.length % 480)
   }

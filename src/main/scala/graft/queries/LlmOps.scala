@@ -28,7 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
   import Tokenize.Delim
-  private val DelimSql = Delim.replace("'", "''")
 
   // ---- minhash / shingle constants (shared Spark + SQL) ----
   private val K = 8        // char-shingle width
@@ -48,9 +47,7 @@ object LlmOps {
 
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
-  private def toks(s: SparkSession, dir: String): DataFrame =
-    Tokenize.tokenize(docs(s, dir).select("doc_id", "text"), "text")
-      .select("doc_id", "word")
+  private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 
   // ---- language-ID stopword lists (tiny n-gram-free heuristic) ----
   private val Stops: Seq[(String, Seq[String])] = Seq(
@@ -294,9 +291,13 @@ object LlmOps {
       val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = t.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+      // idf is pre-rounded to 8 decimals: ln() is not correctly-rounded,
+      // so a 1-ulp Java-vs-C libm difference could otherwise flip the
+      // final 4th decimal; quantizing the (few, per-word) idf values first
+      // confines the boundary risk to |vocab| values at 1e-8 granularity.
       tf.join(dfreq, "word").crossJoin(broadcast(n))
         .withColumn("tfidf",
-          round(expr("tf * ln((n_docs + 1.0) / (df + 1.0))"), 4))
+          round(col("tf") * expr("round(ln((n_docs + 1.0) / (df + 1.0)), 8)"), 4))
         .select("doc_id", "word", "tf", "df", "tfidf")
         .orderBy("doc_id", "word")
     }),
@@ -580,7 +581,7 @@ object LlmOps {
          |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
          |SELECT doc_id, word, tf, df,
-         |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+         |  round(tf * round(ln((n_docs + 1.0) / (df + 1.0)), 8), 4) AS tfidf
          |FROM tf JOIN dfreq USING (word) CROSS JOIN n
          |ORDER BY doc_id, word""".stripMargin,
 
@@ -671,7 +672,9 @@ object LlmOps {
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(list_aggregate(list_transform(split(text, ''), x -> ord(x)), 'sum') AS BIGINT) AS checksum,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_aggregate(list_transform(split(text, ''), x -> ord(x)), 'sum')
+        |  END AS BIGINT) AS checksum,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,

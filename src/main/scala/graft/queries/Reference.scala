@@ -9,10 +9,7 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle twin built from the same regex constants.
   */
 object Reference {
-  import Tokenize.{Delim, KeepRegex}
-
-  /** Delim with single quotes doubled for embedding in a SQL string literal. */
-  private val DelimSql = Delim.replace("'", "''")
+  import Tokenize.KeepRegex
 
   /** DuckDB CTE mirroring [[Tokenize.tokenize]] over `documents`. */
   val ToksSql: String =
@@ -23,9 +20,7 @@ object Reference {
        |)""".stripMargin
 
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
-  private def toks(s: SparkSession, dir: String): DataFrame =
-    Tokenize.tokenize(docs(s, dir).select("doc_id", "text"), "text")
-      .select("doc_id", "word")
+  private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 
   /** Word count (O6+O7): single shuffle with map-side partial aggregation. */
   private def wordcount(s: SparkSession, dir: String): DataFrame =

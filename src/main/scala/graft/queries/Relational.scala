@@ -299,8 +299,9 @@ object Relational {
       """SELECT event_id, o_orderkey, o_orderdate FROM (
         |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id
-        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e JOIN orders o
+        |      ORDER BY o.o_orderdate DESC NULLS LAST,
+        |               o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_join_range" ->
@@ -331,10 +332,11 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_udaf_variance" ->
       """SELECT event_type,
-        |  round((CAST(sum(CAST(value*value AS DECIMAL(28,4))) AS DOUBLE)
-        |         - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-        |           * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-        |        / (count(*) - 1), 4) AS var_v,
+        |  CASE WHEN count(*) < 2 THEN 0.0 ELSE
+        |    round((CAST(sum(CAST(value*value AS DECIMAL(28,4))) AS DOUBLE)
+        |           - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |          / (count(*) - 1), 4) END AS var_v,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentile" ->

@@ -39,4 +39,14 @@ package object queries {
   /** DuckDB twin of [[dsum]]. */
   def dsumSql(e: String, scale: Int): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** [[graft.operators.Tokenize.Delim]] escaped for a SQL string literal —
+    * single source of the quote-doubling rule for every oracle. */
+  val DelimSql: String = graft.operators.Tokenize.Delim.replace("'", "''")
+
+  /** The corpus tokens (doc_id, word) shared by every text query. */
+  def corpusToks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Tokenize
+      .tokenize(table(s, dir, "documents").select("doc_id", "text"), "text")
+      .select("doc_id", "word")
 }

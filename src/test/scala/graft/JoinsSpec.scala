@@ -34,7 +34,8 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
       leftOrd = col("t"), rightOrd = col("rt"),
       leftId = col("id"), tieBreak = col("rt"))
       .select("id", "tag").as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "a", 2L -> "b")) // id 3: no right row ≤ 50
+    // left-outer semantics: id 3 (no right row ≤ 50) survives with null
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> null))
   }
 
   test("saltedJoin is row-identical to the plain equi-join") {
