@@ -126,6 +126,42 @@ object LlmOps {
        |)""".stripMargin
   }
 
+  /** Sampled char shingles (doc_id, sh) — multiset (no distinct; min-agg
+    * consumers don't need it, set consumers call .distinct()). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .where(length(col("text")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
+          .as("i"), col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
+
+  /** LSH candidate pairs (d1 < d2): shingle → 16 minhashes from one md5
+    * (Kirsch-Mitzenmacher) → 4 bands × 4 rows → band-bucket self-join.
+    * The 100 TB dedup path: no all-pairs comparison ever happens. */
+  private def minhashCandPairs(s: SparkSession, dir: String): DataFrame = {
+    val ab = shingles(s, dir).select(col("doc_id"),
+      expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
+      expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
+    val aggs = (0 until H).map(i =>
+      min((col("a") + lit(i.toLong) * col("b")) % lit(Mod)).as(s"h$i"))
+    val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
+    // bands is both sides of the LSH bucket self-join; the pipeline runs
+    // twice (measured cheaper than persist() at sf0.1 — flip to a persist
+    // when the signature computation dominates at scale).
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
+    bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Quantized embeddings + exact integer self-norm. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("label"), expr(QuantSpark).as("q"))
@@ -153,40 +189,32 @@ object LlmOps {
     // MinHash + LSH near-dup candidates: char-shingle → 16 minhashes from one
     // md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows → band-bucket self-join.
     // This is the 100 TB dedup path: no all-pairs comparison ever happens.
-    "q_dedup_minhash" -> ((s, dir) => {
-      // NB: no distinct() on (doc_id, shingle) — min() over the multiset
-      // equals min() over the set, and skipping the dedup avoids a full
-      // shuffle of the shingle stream; the signature groupBy aggregates
-      // map-side (partial min) so only ~1 row/doc/partition crosses the wire.
-      val sh = docs(s, dir)
-        .where(length(col("text")) >= K)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
-            .as("i"), col("text"))
-        .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
-      val ab = sh.select(col("doc_id"),
-        expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
-        expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
-      val aggs = (0 until H).map(i =>
-        min((col("a") + lit(i.toLong) * col("b")) % lit(Mod)).as(s"h$i"))
-      val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = (0 until Bands).map(b =>
-        concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
-      // bands is both sides of the LSH bucket self-join; the pipeline runs
-      // twice (measured cheaper than persist() at sf0.1 — flip to a
-      // persist when the signature computation dominates at scale).
-      val bands = sig.select(col("doc_id") +: bandCols: _*)
-        .selectExpr("doc_id",
-          s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
-      val pairs = bands.alias("x")
-        .join(bands.alias("y"),
-          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      pairs.groupBy("d1")
+    "q_dedup_minhash" -> ((s, dir) =>
+      minhashCandPairs(s, dir)
+        .groupBy("d1")
         .agg(count(lit(1)).as("n_cand"), min(col("d2")).as("min_partner"))
-        .orderBy("d1")
+        .orderBy("d1")),
+
+    // LSH verify stage: exact shingle-Jaccard computed ONLY on the LSH
+    // candidate pairs (never all pairs) — the candidates→verify dedup
+    // pipeline end to end; cost is O(|candidates| · shingles/doc).
+    "q_dedup_minhash_verified" -> ((s, dir) => {
+      val pairs = minhashCandPairs(s, dir)
+      val sets = shingles(s, dir).distinct()
+      val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val co = pairs
+        .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .where(col("sh") === col("sh2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+      pairs
+        .join(co, Seq("d1", "d2"), "left_outer")
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+        .withColumn("jac", round(
+          expr("CAST(coalesce(co, 0) AS DOUBLE) / (sa + sb - coalesce(co, 0))"), 4))
+        .select("d1", "d2", "jac")
+        .orderBy("d1", "d2")
     }),
 
     // SimHash: 16-bit signature from md5-derived token hashes (majority vote
@@ -481,6 +509,32 @@ object LlmOps {
          |)
          |SELECT d1, count(*) AS n_cand, min(d2) AS min_partner
          |FROM pairs GROUP BY d1 ORDER BY d1""".stripMargin,
+
+    "q_dedup_minhash_verified" ->
+      s"""WITH $MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         |co AS (
+         |  SELECT p.d1, p.d2, count(*) AS co
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.d1
+         |  JOIN sets b ON b.doc_id = p.d2 AND b.sh = a.sh
+         |  GROUP BY p.d1, p.d2
+         |)
+         |SELECT p.d1, p.d2,
+         |  round(CAST(coalesce(co.co, 0) AS DOUBLE)
+         |        / (sa.sz + sb.sz - coalesce(co.co, 0)), 4) AS jac
+         |FROM pairs p
+         |LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
+         |JOIN sz sa ON sa.doc_id = p.d1
+         |JOIN sz sb ON sb.doc_id = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(j =>
