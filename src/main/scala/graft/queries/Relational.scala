@@ -212,6 +212,70 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Batch sessionization (gap-based), the bounded-input twin of
+    // streaming.StreamOps.sessionize: lag → new-session flag → running sum
+    // as session id → per-session aggregates. Two windows + one groupBy,
+    // all partitioned by user (no global ops).
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000000 // 30 min
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Fuzzy matching: vocabulary word pairs within levenshtein distance 2
+    // (both engines implement the same edit-distance definition).
+    "q_fuzzy_match" -> ((s, dir) => {
+      val words = corpusToks(s, dir).select("word").distinct()
+      words.alias("x").join(words.alias("y"),
+          col("x.word") < col("y.word"))
+        .select(col("x.word").as("w1"), col("y.word").as("w2"),
+          levenshtein(col("x.word"), col("y.word")).cast("long").as("dist"))
+        .where(col("dist") <= 2)
+        .orderBy("w1", "w2")
+    }),
+
+    // Window ranking family over events.
+    "q_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(desc("value"), asc("event_id"))
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("v"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .where(col("rnk") <= 50)
+        .orderBy("event_type", "rnk")
+    }),
+
+    // Array functions: per-user ordered event-type array + distinct count.
+    "q_array_funcs" -> ((s, dir) =>
+      table(s, dir, "events").groupBy("user_id")
+        .agg(
+          sort_array(collect_list(col("event_type"))).as("types_sorted"),
+          sort_array(array_distinct(collect_list(col("event_type"))))
+            .as("types_distinct"),
+          size(sort_array(collect_list(col("event_type")))).cast("long").as("n"))
+        .select(col("user_id"),
+          concat_ws(",", col("types_sorted")).as("types_csv"),
+          concat_ws(",", col("types_distinct")).as("distinct_csv"),
+          col("n"))
+        .orderBy("user_id")),
+
     // Set operations: UNION (distinct), INTERSECT, EXCEPT — tagged rows.
     "q_setops" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -382,6 +446,48 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+        |),
+        |f AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |g AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_fuzzy_match" ->
+      s"""WITH ${Reference.ToksSql},
+         |words AS (SELECT DISTINCT word FROM toks)
+         |SELECT x.word AS w1, y.word AS w2,
+         |  CAST(levenshtein(x.word, y.word) AS BIGINT) AS dist
+         |FROM words x JOIN words y ON x.word < y.word
+         |WHERE levenshtein(x.word, y.word) <= 2
+         |ORDER BY w1, w2""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT event_id, event_type, round(value, 4) AS v,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |QUALIFY rnk <= 50
+        |ORDER BY event_type, rnk""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS distinct_csv,
+        |  CAST(len(list(event_type)) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_setops" ->
       """SELECT 'union' AS op, user_id FROM (
         |  SELECT user_id FROM events WHERE event_type='click'
