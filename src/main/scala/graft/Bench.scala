@@ -3,15 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build()
     // Warm up the session (codegen, parquet footer reads) so the first
     // measured query doesn't absorb JVM/session init. Must not be able to
     // kill the run — a broken sfDir has to surface as per-query penalties
@@ -21,9 +13,6 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
     }
-    // A failed query must read as a REGRESSION, not a speedup: record a
-    // penalty sentinel instead of its time-to-exception.
-    val FailPenalty = 999.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
@@ -41,11 +30,18 @@ object Bench {
       .mkString("{", ",", "}")
     // The graded total is the sum over the FROZEN round-1 headline set, so
     // adding queries in later rounds cannot inflate it into a fake
-    // regression; the per-query map still reports everything.
-    val total = results.view.filterKeys(Headline).values.sum
+    // regression; the per-query map still reports everything. A headline
+    // query that no longer EXISTS (renamed/removed) counts as the failure
+    // penalty — losing a query must not read as a speedup.
+    val total = results.view.filterKeys(Headline).values.sum +
+      (Headline -- results.keySet).size * FailPenalty
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** A failed (or missing) query must read as a REGRESSION, not a
+    * speedup: recorded instead of its time-to-exception. */
+  val FailPenalty = 999.0
 
   /** Round-1 query set — frozen; do not remove entries, only measure. */
   val Headline: Set[String] = Set(

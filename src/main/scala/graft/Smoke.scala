@@ -5,14 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Local smoke of the driver's entry contract: prints row count + top rows. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.build(cpus = "4", logLevel = "ERROR")
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
     println(s"ENTRY_ROWS=${rows.length}")

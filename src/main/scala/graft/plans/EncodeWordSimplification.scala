@@ -1,18 +1,22 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.Lower
+import org.apache.spark.sql.catalyst.expressions.{Lower, Upper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Optimizer rule: `encode_word(lower(x))` ≡ `encode_word(x)` — the
-  * encoding lowercases internally (`WorkerSender.java:135`) and lowercasing
-  * is idempotent, so a user-written lower() under it is dead work. Removing
-  * it keeps the child column eligible for pushdown and saves a per-row
-  * string allocation.
+/** Optimizer rule: `lower(encode_word(x))` ≡ `upper(encode_word(x))` ≡
+  * `encode_word(x)` — the encoding's output is a digit string, and case
+  * mapping is the identity on digits in every locale, so a defensive case
+  * normalization ABOVE the expression is dead work (one string allocation
+  * per row).
   *
-  * NOT rewritten: `encode_word(upper(x))` — upper-then-lower is NOT the
-  * identity (e.g. "straße".toUpperCase = "STRASSE" lowers back to
-  * "strasse" ≠ "straße"), so that rewrite would change results.
+  * NOT rewritten: case normalization BELOW the expression.
+  * `encode_word(lower(x))` → `encode_word(x)` looks safe because encode
+  * lowercases internally, but Spark's `Lower` lowercases with the JVM
+  * default locale while encode pins Locale.ROOT — on a tr-TR JVM
+  * `lower("Iş")` is "ış" (dotless ı, dropped by encode) while
+  * `encode_word("Iş")` is "09", so that rewrite would change results.
+  * Same for `upper` ("straße" → "STRASSE" → "strasse" ≠ "straße").
   *
   * Demonstrates the `Rule[LogicalPlan]` extension tier (SURVEY.md §7):
   * algebraic simplification over an engine-owned expression, injected via
@@ -21,6 +25,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object EncodeWordSimplification extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case EncodeWordExpression(Lower(child)) => EncodeWordExpression(child)
+      case Lower(e: EncodeWordExpression) => e
+      case Upper(e: EncodeWordExpression) => e
     }
 }

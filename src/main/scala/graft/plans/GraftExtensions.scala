@@ -21,8 +21,11 @@ object GraftExtensions {
   private val encodeWordFn = (
     new FunctionIdentifier("encode_word"),
     new ExpressionInfo(classOf[EncodeWordExpression].getName, "encode_word"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      EncodeWordExpression(children.head))
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1,
+        s"encode_word expects exactly 1 argument, got ${children.length}")
+      EncodeWordExpression(children.head)
+    })
 
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {

@@ -60,20 +60,23 @@ object StreamOps {
 
   /** Stream-static enrichment: per micro-batch broadcast hash join of the
     * unbounded stream against a static dimension (the dimension is read
-    * fresh per batch — no stream state). */
-  def enrich(events: Dataset[Event], dim: DataFrame, dimKey: String): DataFrame =
-    events.toDF().join(broadcast(dim), col("user_id") === col(dimKey), "left")
+    * fresh per batch — no stream state). Join columns are qualified via
+    * their Datasets so a dimension that also has a `user_id` column (or
+    * dimKey == "user_id") resolves unambiguously. */
+  def enrich(events: Dataset[Event], dim: DataFrame, dimKey: String): DataFrame = {
+    val e = events.toDF()
+    e.join(broadcast(dim), e("user_id") === dim(dimKey), "left")
+  }
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMs` of event-time silence per user (state timeout), emitting
     * one [[Session]] row. Custom state logic the built-in windows can't
     * express — the Spark-native replacement for a hand-rolled reducer. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
-                (implicit enc1: org.apache.spark.sql.Encoder[Session],
-                 enc2: org.apache.spark.sql.Encoder[SessionState]): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -89,12 +92,20 @@ object StreamOps {
             for (e <- events) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end_ms <= gapMs =>
-                  cur = Some(SessionState(s.start_ms, t, s.n_events + 1,
-                    s.sum_value + e.value))
-                case Some(s) =>
+                // within the gap of the session INTERVAL (either side) —
+                // min/max so a late in-order-violating event extends the
+                // bounds instead of rewinding end_ms (which would fire the
+                // timeout early and split the session)
+                case Some(s) if t >= s.start_ms - gapMs && t <= s.end_ms + gapMs =>
+                  cur = Some(SessionState(math.min(s.start_ms, t),
+                    math.max(s.end_ms, t), s.n_events + 1, s.sum_value + e.value))
+                case Some(s) if t > s.end_ms + gapMs =>
                   closed ::= Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // older than (start - gap): a straggler predating the
+                  // open session — emit as its own closed singleton
+                  closed ::= Session(userId, t, t, 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

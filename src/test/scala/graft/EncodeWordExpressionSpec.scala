@@ -28,16 +28,20 @@ class EncodeWordExpressionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("optimizer rule strips redundant case-normalization under encode_word") {
+  test("optimizer rule strips case-normalization ABOVE encode_word only") {
     GraftExtensions.register(spark)
     val df = spark.read.parquet(s"$Sf/documents.parquet")
-    val optimized = df.select(expr("encode_word(lower(lang))"))
+    // lower(encode_word(x)) → encode_word(x): digits are case-invariant
+    val stripped = df.select(expr("lower(encode_word(lang))"))
       .queryExecution.optimizedPlan.toString
-    // the projection must be encode_word directly over the column (the
-    // output ALIAS still spells the original expression — ignore it)
-    assert(optimized.contains("[encode_word(lang#"), optimized)
-    // and results are unchanged
-    val a = df.select(expr("encode_word(lower(lang))").as("e"))
+    assert(stripped.contains("[encode_word(lang#"), stripped)
+    // encode_word(lower(x)) must NOT be rewritten: Spark's Lower uses the
+    // default locale while encode pins Locale.ROOT (tr-TR divergence)
+    val kept = df.select(expr("encode_word(lower(lang))"))
+      .queryExecution.optimizedPlan.toString
+    assert(kept.contains("encode_word(lower(lang#"), kept)
+    // and results are unchanged by the strip
+    val a = df.select(expr("lower(encode_word(lang))").as("e"))
       .collect().map(_.getString(0)).toSeq
     val b = df.select(expr("encode_word(lang)").as("e"))
       .collect().map(_.getString(0)).toSeq

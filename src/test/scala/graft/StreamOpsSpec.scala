@@ -53,6 +53,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sessionize: a late event inside the gap extends, never rewinds, bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapMs = 15 * 60000L)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode(OutputMode.Append()).start()
+    val base = 60
+    try {
+      in.addData(Event(1, ts(base), 1, "click", 1.0),
+        Event(2, ts(base + 10), 1, "view", 2.0))
+      q.processAllAvailable()
+      // late event BETWEEN the session bounds (within watermark): must
+      // merge without rewinding end_ms (a rewind would split the session)
+      in.addData(Event(3, ts(base + 5), 1, "click", 4.0))
+      q.processAllAvailable()
+      // close the session via watermark advance
+      in.addData(Event(4, ts(base + 120), 2, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(5, ts(base + 240), 2, "click", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late_out")
+        .as[graft.streaming.Session].collect().filter(_.user_id == 1)
+      assert(u1.length == 1, u1.mkString(";"))
+      assert(u1.head.n_events == 3 && u1.head.sum_value == 7.0)
+      assert(u1.head.start_ms == base * 60000L &&
+        u1.head.end_ms == (base + 10) * 60000L)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap and evicts state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -32,11 +32,12 @@ class StreamRecoverySpec extends AnyFunSuite with SparkFixture {
 
   test("stream-static enrichment joins each micro-batch against the dim") {
     implicit val sqlCtx = spark.sqlContext
+    // dim keyed on a column NAMED user_id — must resolve unambiguously
     val dim = spark.read.parquet(s"$Sf/customer.parquet")
-      .select(col("c_custkey"), col("c_mktsegment"))
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val in = MemoryStream[Event]
-    val q = StreamOps.enrich(in.toDS(), dim, "c_custkey")
-      .select("event_id", "user_id", "c_mktsegment")
+    val q = StreamOps.enrich(in.toDS(), dim, "user_id")
+      .select("event_id", "c_mktsegment")
       .writeStream.format("memory").queryName("enrich_out")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -44,9 +45,9 @@ class StreamRecoverySpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       val rows = spark.table("enrich_out").collect()
       assert(rows.length == 1)
-      val expect = dim.where(col("c_custkey") === 5)
+      val expect = dim.where(col("user_id") === 5)
         .select("c_mktsegment").as[String].head()
-      assert(rows.head.getString(2) == expect)
+      assert(rows.head.getString(1) == expect)
     } finally q.stop()
   }
 
