@@ -315,10 +315,14 @@ object LlmOps {
     // word, idf = ln((N+1)/(df+1)). Two narrow aggregations plus a
     // broadcast of the single-row N — no fact-side re-shuffle.
     "q_tfidf" -> ((s, dir) => {
-      val t = toks(s, dir)
-      val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val tf = toks(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // dfreq derives from tf (same canonical exchange → AQE stage reuse);
+      // n_docs = docs with ≥1 kept token ≡ docs containing any keepable
+      // char — a bare scan+count, no tokenize pipeline at all.
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val n = t.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+      val n = docs(s, dir)
+        .where(Tokenize.keep(col("text")))
+        .agg(count(lit(1)).as("n_docs"))
       // idf is pre-rounded to 8 decimals: ln() is not correctly-rounded,
       // so a 1-ulp Java-vs-C libm difference could otherwise flip the
       // final 4th decimal; quantizing the (few, per-word) idf values first
@@ -633,7 +637,8 @@ object LlmOps {
       s"""WITH $ToksSql,
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
          |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+         |n AS (SELECT count(*) AS n_docs FROM documents
+         |      WHERE regexp_matches(lower(text), '[`-z]'))
          |SELECT doc_id, word, tf, df,
          |  round(tf * round(ln((n_docs + 1.0) / (df + 1.0)), 8), 4) AS tfidf
          |FROM tf JOIN dfreq USING (word) CROSS JOIN n
