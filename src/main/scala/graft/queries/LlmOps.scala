@@ -217,6 +217,31 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
+    // Dedup APPLY: the pipeline's final step — drop every doc that appears
+    // as the greater id (d2) of a verified near-dup pair (greedy keep-first
+    // policy; ids are totally ordered so the survivor set is well-defined
+    // without connected components). Returns the kept corpus summary.
+    "q_dedup_apply" -> ((s, dir) => {
+      val dups = {
+        val pairs = minhashCandPairs(s, dir)
+        val sets = shingles(s, dir).distinct()
+        val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        pairs
+          .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+          .where(col("sh") === col("sh2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+          .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+          .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+          .where(expr("CAST(co AS DOUBLE) / (sa + sb - co) >= 0.5"))
+          .select(col("d2").as("doc_id")).distinct()
+      }
+      docs(s, dir)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // SimHash: 16-bit signature from md5-derived token hashes (majority vote
     // per bit over token occurrences). One narrow agg — linear at scale.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -539,6 +564,33 @@ object LlmOps {
          |JOIN sz sa ON sa.doc_id = p.d1
          |JOIN sz sb ON sb.doc_id = p.d2
          |ORDER BY p.d1, p.d2""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH $MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         |dups AS (
+         |  SELECT DISTINCT p.d2 AS doc_id
+         |  FROM pairs p
+         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
+         |        FROM pairs p2
+         |        JOIN sets a ON a.doc_id = p2.d1
+         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
+         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
+         |  JOIN sz sa ON sa.doc_id = p.d1
+         |  JOIN sz sb ON sb.doc_id = p.d2
+         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
+         |)
+         |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(j =>
