@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle twin built from the same regex constants.
   */
 object Reference {
-  import Tokenize.KeepRegex
+  import Tokenize.{Delim, KeepRegex}
 
   /** DuckDB CTE mirroring [[Tokenize.tokenize]] over `documents`. */
   val ToksSql: String =
@@ -88,6 +88,32 @@ object Reference {
       s.read.schema("word STRING, cnt BIGINT").json(out)
         .orderBy(desc("cnt"), asc("word"))
     }),
+    // Text source/sink round-trip: the reference's native format
+    // (line-oriented text, O1/O11) — serialize as word<TAB>cnt lines,
+    // read back, parse.
+    "q_sink_text_roundtrip" -> ((s, dir) => {
+      val out = "/root/repo/target/tmp/q_sink_text"
+      wordcount(s, dir)
+        .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(element_at(col("kv"), 1).as("word"),
+          element_at(col("kv"), 2).cast("long").as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+    }),
+    // SQL front door: the flagship expressed through spark.sql over a temp
+    // view — the catalog is equally reachable via SQL text. NB the Spark
+    // SQL literal needs backslashes doubled (the parser consumes escapes).
+    "q_sql_frontend" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("documents_v")
+      val delimSqlLit = Delim.replace("\\", "\\\\").replace("'", "\\'")
+      s.sql(
+        s"""SELECT word, count(*) AS cnt FROM (
+           |  SELECT explode(split(text, '$delimSqlLit')) AS word FROM documents_v
+           |) WHERE lower(word) RLIKE '$KeepRegex'
+           |GROUP BY word ORDER BY cnt DESC, word""".stripMargin)
+    }),
     // Hive-style partitioned layout + partition pruning: only the lang=…
     // directories named by the filter are read (PartitionFilters in the
     // scan; at 100 TB this is the difference between scanning one
@@ -126,6 +152,8 @@ object Reference {
     "q_sink_roundtrip" -> WordcountSql,
     "q_sink_csv_roundtrip" -> WordcountSql,
     "q_sink_json_roundtrip" -> WordcountSql,
+    "q_sink_text_roundtrip" -> WordcountSql,
+    "q_sql_frontend" -> WordcountSql,
     "q_partitioned_scan" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'fr')
