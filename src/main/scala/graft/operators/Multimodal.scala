@@ -54,4 +54,24 @@ object Multimodal {
     import df.sparkSession.implicits._
     extractFeatures(df.as[MediaRecord]).toDF()
   }
+
+  /** Production shape: corrupt payloads (null/empty — where a real codec
+    * would throw) are dropped and COUNTED via an accumulator instead of
+    * failing the job. Returns (features, corruptCounter); read the counter
+    * after an action. */
+  def extractWithMetrics(df: DataFrame, batchSize: Int = 64)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    import df.sparkSession.implicits._
+    val corrupt = df.sparkSession.sparkContext
+      .longAccumulator("graft.multimodal.corrupt")
+    val out = df.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          if (r.payload == null || r.payload.isEmpty) { corrupt.add(1); None }
+          else Some(decodeStub(r.payload).copy(doc_id = r.doc_id))
+        }
+      }
+    }
+    (out.toDF(), corrupt)
+  }
 }

@@ -438,6 +438,49 @@ object LlmOps {
         docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
         .orderBy("doc_id")),
 
+    // CAPSTONE — the full training-data prep pipeline in one plan:
+    // quality gate (≥ minTok kept tokens) → language gate (predicted 'en')
+    // → exact dedup (first doc per text survives) → near-dedup
+    // (MinHash-LSH candidates → verified Jaccard ≥ 0.5 → greedy apply) →
+    // kept-corpus summary. Every stage is the same logic as its standalone
+    // query, so the composition is oracle-checked end to end.
+    "q_pipeline_prep" -> ((s, dir) => {
+      val minTok = 20
+      val scoreAggs = Stops.map { case (lang, words) =>
+        sum(expr(s"CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END"))
+          .cast("long").as(s"s_$lang")
+      }
+      val sc = toks(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), scoreAggs: _*)
+        .withColumn("pred", expr(PredCase))
+      val exactDups = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+        docs(s, dir).withColumn("keep", min(col("doc_id")).over(w))
+          .where(col("doc_id") =!= col("keep")).select("doc_id")
+      }
+      val nearDups = {
+        val pairs = minhashCandPairs(s, dir)
+        val sets = shingles(s, dir).distinct()
+        val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        pairs
+          .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+          .where(col("sh") === col("sh2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+          .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+          .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+          .where(expr("CAST(co AS DOUBLE) / (sa + sb - co) >= 0.5"))
+          .select(col("d2").as("doc_id")).distinct()
+      }
+      docs(s, dir)
+        .join(sc.where(col("n_tok") >= minTok && col("pred") === "en")
+          .select("doc_id"), "doc_id")
+        .join(exactDups, Seq("doc_id"), "left_anti")
+        .join(nearDups, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Language ID: stopword-hit scoring with a deterministic argmax.
     "q_lang_id" -> ((s, dir) => {
       val scoreAggs = Stops.map { case (lang, words) =>
@@ -789,6 +832,53 @@ object LlmOps {
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_prep" -> {
+      val scores = Stops.map { case (lang, words) =>
+        s"CAST(sum(CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH $ToksSql,
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    $scores
+         |  FROM toks GROUP BY doc_id
+         |),
+         |scp AS (SELECT doc_id, n_tok, $PredCase AS pred FROM sc),
+         |$MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         |neardups AS (
+         |  SELECT DISTINCT p.d2 AS doc_id
+         |  FROM pairs p
+         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
+         |        FROM pairs p2
+         |        JOIN sets a ON a.doc_id = p2.d1
+         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
+         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
+         |  JOIN sz sa ON sa.doc_id = p.d1
+         |  JOIN sz sb ON sb.doc_id = p.d2
+         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
+         |),
+         |exactdups AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
+         |    FROM documents)
+         |  WHERE doc_id <> keep
+         |)
+         |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+         |FROM documents d
+         |JOIN scp ON d.doc_id = scp.doc_id
+         |WHERE scp.n_tok >= 20 AND scp.pred = 'en'
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardups)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM exactdups)""".stripMargin
+    },
 
     "q_lang_id" -> {
       val scores = Stops.map { case (lang, words) =>
