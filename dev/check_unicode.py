@@ -21,7 +21,8 @@ TEXT_QUERIES = [
     "q_filter_nonempty", "q_fingerprint", "q_token_count", "q_quality",
     "q_lang_id", "q_multimodal_decode", "q_dedup_exact", "q_dedup_minhash",
     "q_dedup_minhash_verified", "q_dedup_simhash", "q_dedup_ngram",
-    "q_scan_text",
+    "q_scan_text", "q_dedup_apply", "q_pipeline_prep", "q_tfidf",
+    "q_fuzzy_match", "q_sink_text_roundtrip", "q_sql_frontend",
 ]
 
 DOCS = [

@@ -58,7 +58,13 @@ object Multimodal {
   /** Production shape: corrupt payloads (null/empty — where a real codec
     * would throw) are dropped and COUNTED via an accumulator instead of
     * failing the job. Returns (features, corruptCounter); read the counter
-    * after an action. */
+    * after an action.
+    *
+    * Accumulator caveat (standard Spark semantics): updates inside a
+    * TRANSFORMATION are at-least-once — task retries, speculation, or
+    * running a second action over the result re-count. Treat the value as
+    * a diagnostic; for an exactly-once metric attach `df.observe` to the
+    * single action instead (see ObservabilitySpec). */
   def extractWithMetrics(df: DataFrame, batchSize: Int = 64)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import df.sparkSession.implicits._

@@ -162,6 +162,26 @@ object LlmOps {
       .distinct()
   }
 
+  /** doc_ids dropped by the greedy near-dedup policy: the greater id of
+    * every LSH candidate pair whose exact shingle-Jaccard ≥ `thr`. Single
+    * source for q_dedup_apply and q_pipeline_prep (Spark side;
+    * [[NearDupsSql]] is the oracle twin). */
+  private def verifiedDupIds(s: SparkSession, dir: String,
+                             thr: Double = 0.5): DataFrame = {
+    val pairs = minhashCandPairs(s, dir)
+    val sets = shingles(s, dir).distinct()
+    val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .where(col("sh") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+      .where(expr(s"CAST(co AS DOUBLE) / (sa + sb - co) >= $thr"))
+      .select(col("d2").as("doc_id")).distinct()
+  }
+
   /** Quantized embeddings + exact integer self-norm. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("label"), expr(QuantSpark).as("q"))
@@ -222,22 +242,8 @@ object LlmOps {
     // policy; ids are totally ordered so the survivor set is well-defined
     // without connected components). Returns the kept corpus summary.
     "q_dedup_apply" -> ((s, dir) => {
-      val dups = {
-        val pairs = minhashCandPairs(s, dir)
-        val sets = shingles(s, dir).distinct()
-        val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        pairs
-          .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
-          .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-          .where(col("sh") === col("sh2"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
-          .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
-          .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-          .where(expr("CAST(co AS DOUBLE) / (sa + sb - co) >= 0.5"))
-          .select(col("d2").as("doc_id")).distinct()
-      }
       docs(s, dir)
-        .join(dups, Seq("doc_id"), "left_anti")
+        .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
@@ -341,13 +347,13 @@ object LlmOps {
     // broadcast of the single-row N — no fact-side re-shuffle.
     "q_tfidf" -> ((s, dir) => {
       val tf = toks(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      // dfreq derives from tf (same canonical exchange → AQE stage reuse);
-      // n_docs = docs with ≥1 kept token ≡ docs containing any keepable
-      // char — a bare scan+count, no tokenize pipeline at all.
+      // dfreq AND n_docs derive from tf: same canonical exchange → AQE
+      // stage reuse, and the doc set is locale-consistent with the token
+      // pipeline (a whole-text keep(text) shortcut would route non-ASCII
+      // text through Spark's default-locale lower() and could disagree
+      // with the per-token keep on a non-ROOT-locale JVM).
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val n = docs(s, dir)
-        .where(Tokenize.keep(col("text")))
-        .agg(count(lit(1)).as("n_docs"))
+      val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
       // idf is pre-rounded to 8 decimals: ln() is not correctly-rounded,
       // so a 1-ulp Java-vs-C libm difference could otherwise flip the
       // final 4th decimal; quantizing the (few, per-word) idf values first
@@ -458,20 +464,7 @@ object LlmOps {
         docs(s, dir).withColumn("keep", min(col("doc_id")).over(w))
           .where(col("doc_id") =!= col("keep")).select("doc_id")
       }
-      val nearDups = {
-        val pairs = minhashCandPairs(s, dir)
-        val sets = shingles(s, dir).distinct()
-        val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        pairs
-          .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
-          .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-          .where(col("sh") === col("sh2"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
-          .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
-          .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-          .where(expr("CAST(co AS DOUBLE) / (sa + sb - co) >= 0.5"))
-          .select(col("d2").as("doc_id")).distinct()
-      }
+      val nearDups = verifiedDupIds(s, dir)
       docs(s, dir)
         .join(sc.where(col("n_tok") >= minTok && col("pred") === "en")
           .select("doc_id"), "doc_id")
@@ -559,6 +552,30 @@ object LlmOps {
        |)""".stripMargin
   }
 
+  /** Oracle twin of [[verifiedDupIds]] (threshold 0.5); requires the
+    * [[MinhashSigSql]] + [[BandsSql]] CTEs upstream. Defines CTEs
+    * `pairs`, `sets`, `sz`, `neardups`. */
+  private lazy val NearDupsSql: String =
+    """pairs AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+      |),
+      |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+      |neardups AS (
+      |  SELECT DISTINCT p.d2 AS doc_id
+      |  FROM pairs p
+      |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
+      |        FROM pairs p2
+      |        JOIN sets a ON a.doc_id = p2.d1
+      |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
+      |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
+      |  JOIN sz sa ON sa.doc_id = p.d1
+      |  JOIN sz sb ON sb.doc_id = p.d2
+      |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
+      |)""".stripMargin
+
   private val BandsSql: String =
     (0 until Bands).map { b =>
       val v = (0 until R).map(r => s"CAST(h${b * R + r} AS VARCHAR)")
@@ -611,29 +628,11 @@ object LlmOps {
     "q_dedup_apply" ->
       s"""WITH $MinhashSigSql,
          |$BandsSql,
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |dups AS (
-         |  SELECT DISTINCT p.d2 AS doc_id
-         |  FROM pairs p
-         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
-         |        FROM pairs p2
-         |        JOIN sets a ON a.doc_id = p2.d1
-         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
-         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |  JOIN sz sa ON sa.doc_id = p.d1
-         |  JOIN sz sb ON sb.doc_id = p.d2
-         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
-         |)
+         |$NearDupsSql
          |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+         |WHERE doc_id NOT IN (SELECT doc_id FROM neardups)""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(j =>
@@ -732,8 +731,7 @@ object LlmOps {
       s"""WITH $ToksSql,
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
          |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |n AS (SELECT count(*) AS n_docs FROM documents
-         |      WHERE regexp_matches(lower(text), '[`-z]'))
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
          |SELECT doc_id, word, tf, df,
          |  round(tf * round(ln((n_docs + 1.0) / (df + 1.0)), 8), 4) AS tfidf
          |FROM tf JOIN dfreq USING (word) CROSS JOIN n
@@ -846,25 +844,7 @@ object LlmOps {
          |scp AS (SELECT doc_id, n_tok, $PredCase AS pred FROM sc),
          |$MinhashSigSql,
          |$BandsSql,
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |neardups AS (
-         |  SELECT DISTINCT p.d2 AS doc_id
-         |  FROM pairs p
-         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
-         |        FROM pairs p2
-         |        JOIN sets a ON a.doc_id = p2.d1
-         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
-         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |  JOIN sz sa ON sa.doc_id = p.d1
-         |  JOIN sz sb ON sb.doc_id = p.d2
-         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
-         |),
+         |$NearDupsSql,
          |exactdups AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep

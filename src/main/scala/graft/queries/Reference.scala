@@ -90,10 +90,13 @@ object Reference {
     }),
     // Text source/sink round-trip: the reference's native format
     // (line-oriented text, O1/O11) — serialize as word<TAB>cnt lines,
-    // read back, parse.
+    // read back, parse. Words containing CR/LF are excluded (the tokenizer
+    // splits LF but lets CR through, and a CR inside a line would be read
+    // back as a line break — silent row corruption otherwise).
     "q_sink_text_roundtrip" -> ((s, dir) => {
       val out = "/root/repo/target/tmp/q_sink_text"
       wordcount(s, dir)
+        .where(!col("word").rlike("[\\r\\n]"))
         .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
         .write.mode("overwrite").text(out)
       s.read.text(out)
@@ -152,7 +155,11 @@ object Reference {
     "q_sink_roundtrip" -> WordcountSql,
     "q_sink_csv_roundtrip" -> WordcountSql,
     "q_sink_json_roundtrip" -> WordcountSql,
-    "q_sink_text_roundtrip" -> WordcountSql,
+    "q_sink_text_roundtrip" ->
+      s"""WITH $ToksSql
+         |SELECT word, count(*) AS cnt FROM toks
+         |WHERE NOT regexp_matches(word, '[\\r\\n]')
+         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q_sql_frontend" -> WordcountSql,
     "q_partitioned_scan" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -234,10 +234,13 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
-    // Fuzzy matching: vocabulary word pairs within levenshtein distance 2
-    // (both engines implement the same edit-distance definition).
+    // Fuzzy matching: vocabulary word pairs within levenshtein distance 2.
+    // Restricted to printable-ASCII words: Spark's levenshtein counts
+    // codepoints while DuckDB's counts BYTES, so multi-byte words would
+    // diverge cross-engine ('café'/'cafe': Spark 1, DuckDB 2).
     "q_fuzzy_match" -> ((s, dir) => {
       val words = corpusToks(s, dir).select("word").distinct()
+        .where(col("word").rlike("^[ -~]+$"))
       words.alias("x").join(words.alias("y"),
           col("x.word") < col("y.word"))
         .select(col("x.word").as("w1"), col("y.word").as("w2"),
@@ -269,7 +272,7 @@ object Relational {
           sort_array(collect_list(col("event_type"))).as("types_sorted"),
           sort_array(array_distinct(collect_list(col("event_type"))))
             .as("types_distinct"),
-          size(sort_array(collect_list(col("event_type")))).cast("long").as("n"))
+          count(lit(1)).as("n")) // == list length; no array materialization
         .select(col("user_id"),
           concat_ws(",", col("types_sorted")).as("types_csv"),
           concat_ws(",", col("types_distinct")).as("distinct_csv"),
@@ -466,7 +469,8 @@ object Relational {
         |ORDER BY user_id, session_id""".stripMargin,
     "q_fuzzy_match" ->
       s"""WITH ${Reference.ToksSql},
-         |words AS (SELECT DISTINCT word FROM toks)
+         |words AS (SELECT DISTINCT word FROM toks
+         |          WHERE regexp_matches(word, '^[ -~]+$$'))
          |SELECT x.word AS w1, y.word AS w2,
          |  CAST(levenshtein(x.word, y.word) AS BIGINT) AS dist
          |FROM words x JOIN words y ON x.word < y.word
