@@ -292,6 +292,35 @@ object Relational {
         .orderBy("op", "user_id")
     }),
 
+    // Multiset (ALL) set operations — bag semantics twins of q_setops.
+    "q_setops_all" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click").select("user_id")
+      val views = ev.where(col("event_type") === "view").select("user_id")
+      clicks.unionAll(views).select(lit("union_all").as("op"), col("user_id"))
+        .unionByName(clicks.intersectAll(views)
+          .select(lit("intersect_all").as("op"), col("user_id")))
+        .unionByName(clicks.exceptAll(views)
+          .select(lit("except_all").as("op"), col("user_id")))
+        .orderBy("op", "user_id")
+    }),
+
+    // Date/time function family (dow normalized: Spark is 1=Sunday,
+    // DuckDB 0=Sunday).
+    "q_scalar_dates" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          to_date(col("ts")).as("d"),
+          date_add(to_date(col("ts")), 7).as("d_plus7"),
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("days_since"),
+          dayofweek(col("ts")).cast("long").as("dow"),
+          weekofyear(col("ts")).cast("long").as("woy"),
+          quarter(col("ts")).cast("long").as("q"),
+          last_day(col("ts")).as("eom"),
+          trunc(to_date(col("ts")), "month").as("som"))
+        .orderBy("event_id")),
+
     // Scalar function families: json, date/time, math, string — all
     // codegen'd built-ins, no UDFs in the hot path.
     "q_scalar_funcs" -> ((s, dir) =>
@@ -505,6 +534,30 @@ object Relational {
         |  SELECT user_id FROM events WHERE event_type='click'
         |  EXCEPT SELECT user_id FROM events WHERE event_type='view')
         |ORDER BY op, user_id""".stripMargin,
+    "q_setops_all" ->
+      """SELECT 'union_all' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='click'
+        |  UNION ALL SELECT user_id FROM events WHERE event_type='view')
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='click'
+        |  INTERSECT ALL SELECT user_id FROM events WHERE event_type='view')
+        |UNION ALL
+        |SELECT 'except_all' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='click'
+        |  EXCEPT ALL SELECT user_id FROM events WHERE event_type='view')
+        |ORDER BY op, user_id""".stripMargin,
+    "q_scalar_dates" ->
+      """SELECT event_id,
+        |  CAST(ts AS DATE) AS d,
+        |  CAST(ts AS DATE) + 7 AS d_plus7,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(ts) AS BIGINT) AS woy,
+        |  CAST(quarter(ts) AS BIGINT) AS q,
+        |  last_day(CAST(ts AS DATE)) AS eom,
+        |  CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS som
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -68,6 +68,23 @@ object StreamOps {
     e.join(broadcast(dim), e("user_id") === dim(dimKey), "left")
   }
 
+  /** Stream-stream inner join: match each click to purchases by the same
+    * user within `windowMs` AFTER the click. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can evict
+    * buffered state — the required shape for an unbounded-unbounded join. */
+  def clickToPurchase(clicks: Dataset[Event], purchases: Dataset[Event],
+                      windowMs: Long = 30 * 60000L,
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", watermarkDelay).alias("c")
+    val p = purchases.toDF().withWatermark("ts", watermarkDelay).alias("p")
+    c.join(p,
+      col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") <= col("c.ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"), col("p.value").as("purchase_value"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMs` of event-time silence per user (state timeout), emitting
     * one [[Session]] row. Custom state logic the built-in windows can't
