@@ -121,6 +121,24 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Outer joins: full-outer merge of per-user click and purchase
+    // aggregates — null sides coalesced (covers left/right/full outer
+    // null semantics in one query).
+    "q_join_outer" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purch"),
+          dsum(col("value"), 2).as("purch_value"))
+      clicks.join(purchases, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+          coalesce(col("purch_value"), lit(0.0)).as("purch_value"))
+        .orderBy("user_id")
+    }),
+
     // Theta join: same-user event pairs with close values (non-equi
     // predicate on top of the user_id equi-join shuffle).
     "q_join_theta" -> ((s, dir) => {
@@ -406,6 +424,18 @@ object Relational {
         |  ON b.event_type = a.event_type AND a.event_id < b.event_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+    "q_join_outer" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+         |           WHERE event_type='click' GROUP BY user_id),
+         |p AS (SELECT user_id, count(*) AS n_purch,
+         |             ${dsumSql("value", 2)} AS purch_value
+         |      FROM events WHERE event_type='purchase' GROUP BY user_id)
+         |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         |  coalesce(n_clicks, 0) AS n_clicks,
+         |  coalesce(n_purch, 0) AS n_purch,
+         |  coalesce(purch_value, 0.0) AS purch_value
+         |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+         |ORDER BY user_id""".stripMargin,
     "q_join_theta" ->
       """SELECT x.user_id, count(*) AS n_pairs
         |FROM events x JOIN events y
