@@ -23,6 +23,7 @@ TEXT_QUERIES = [
     "q_dedup_minhash_verified", "q_dedup_simhash", "q_dedup_ngram",
     "q_scan_text", "q_dedup_apply", "q_pipeline_prep", "q_tfidf",
     "q_fuzzy_match", "q_sink_text_roundtrip", "q_sql_frontend",
+    "q_lang_ngram",
 ]
 
 DOCS = [

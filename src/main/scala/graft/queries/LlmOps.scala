@@ -59,6 +59,14 @@ object LlmOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Language-characteristic character bigrams (same length per
+    * alternative — keeps non-overlapping scan counts engine-identical). */
+  private val Bigrams: Seq[(String, String)] = Seq(
+    "en" -> "th|he|in|er|an",
+    "fr" -> "le|de|es|en|on",
+    "de" -> "ch|ei|ie|un|sc",
+    "es" -> "ll|el|la|os|as")
+
   /** Deterministic argmax chain over the four scores (ties → earlier lang). */
   private val PredCase: String =
     """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
@@ -485,6 +493,18 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Language ID, character-n-gram variant: score = count of language-
+    // characteristic bigrams (all alternatives same-length so Java-regex
+    // and RE2 scanning agree), deterministic argmax as in q_lang_id.
+    "q_lang_ngram" -> ((s, dir) => {
+      val scoreCols = Bigrams.map { case (lang, pat) =>
+        regexp_count(col("text"), lit(pat)).cast("long").as(s"s_$lang")
+      }
+      docs(s, dir).select(col("doc_id") +: scoreCols: _*)
+        .withColumn("pred", expr(PredCase))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: token stats + stopword/digit ratios → composite score.
     "q_quality" -> ((s, dir) => {
       val en = Stops.head._2
@@ -872,6 +892,19 @@ object LlmOps {
          |)
          |SELECT doc_id, s_en, s_fr, s_de, s_es,
          |  $PredCase AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_ngram" -> {
+      val scores = Bigrams.map { case (lang, pat) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM documents
+         |)
+         |SELECT doc_id, s_en, s_fr, s_de, s_es, $PredCase AS pred
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
