@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: correctness is the oracle gate's job;
+  * these pin the SHAPE that makes each query scale — a regression that
+  * keeps results right but, say, drops a broadcast hint or widens a scan
+  * fails here instead of in production. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_join_broadcast: both dimension joins are broadcast hash joins") {
+    val p = plan("q_join_broadcast")
+    // formatted mode prints each join once in the tree ("... Inner BuildX")
+    assert("BroadcastHashJoin Inner".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1_agg: scan is column-pruned to exactly the 6 needed columns") {
+    val p = plan("q1_agg")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 6, readSchema)
+    // map-side partial aggregation present (partial + final HashAggregate)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_join_semi / q_join_anti: existence joins, no row-duplicating join") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_topk: top-K runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_scan_text: pushed filters reach the parquet scan") {
+    val p = plan("q_wordcount")
+    // the keep-filter itself isn't pushable (regex), but the scan must be
+    // pruned to the single text column
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema == "text:string", readSchema)
+  }
+
+  test("q_join_range: binned join is a real equi join, not nested-loop") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_minhash: no cartesian fallback in the LSH bucket join") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
