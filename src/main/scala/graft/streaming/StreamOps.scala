@@ -80,7 +80,7 @@ object StreamOps {
     c.join(p,
       col("c.user_id") === col("p.user_id") &&
         col("p.ts") >= col("c.ts") &&
-        col("p.ts") <= col("c.ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $windowMs MILLISECONDS"))
       .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
         col("c.user_id").as("user_id"), col("p.value").as("purchase_value"))
   }

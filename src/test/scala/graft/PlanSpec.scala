@@ -23,9 +23,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q1_agg")
     val readSchema = "ReadSchema: struct<([^>]*)>".r
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
-    assert(readSchema.split(",").length == 6, readSchema)
-    // map-side partial aggregation present (partial + final HashAggregate)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    // count field NAMES (type parameters may themselves contain commas)
+    val fields = "(\\w+):".r.findAllIn(readSchema).length
+    assert(fields == 6, readSchema)
+    // map-side partial aggregation present (partial_* agg functions in the
+    // first HashAggregate — node counts are unreliable in formatted mode,
+    // which prints every node twice)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
   }
 
   test("q_join_semi / q_join_anti: existence joins, no row-duplicating join") {
@@ -38,13 +43,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_scan_text: pushed filters reach the parquet scan") {
+  test("q_wordcount: scan pruned to the single text column") {
     val p = plan("q_wordcount")
     // the keep-filter itself isn't pushable (regex), but the scan must be
     // pruned to the single text column
     val readSchema = "ReadSchema: struct<([^>]*)>".r
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
     assert(readSchema == "text:string", readSchema)
+  }
+
+  test("q_scan_text: scan reads exactly the five projected columns") {
+    val p = plan("q_scan_text")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val names = "(\\w+):".r.findAllMatchIn(readSchema).map(_.group(1)).toSet
+    assert(names == Set("doc_id", "lang", "source", "n_chars", "text"), readSchema)
   }
 
   test("q_join_range: binned join is a real equi join, not nested-loop") {
