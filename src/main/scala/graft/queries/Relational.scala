@@ -252,18 +252,19 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
-    // Fuzzy matching: vocabulary word pairs within levenshtein distance 2.
+    // Fuzzy matching: vocabulary word pairs within levenshtein distance 2,
+    // via deletion-neighborhood blocking (operators.FuzzyJoin) — candidates
+    // from an equi-join on ≤2-deletion variants, exact levenshtein only on
+    // candidates. The oracle keeps the naive all-pairs form (correct by
+    // definition; fine at oracle scale), so the hash-match doubles as a
+    // completeness proof of the blocking scheme on real data.
     // Restricted to printable-ASCII words: Spark's levenshtein counts
     // codepoints while DuckDB's counts BYTES, so multi-byte words would
     // diverge cross-engine ('café'/'cafe': Spark 1, DuckDB 2).
     "q_fuzzy_match" -> ((s, dir) => {
       val words = corpusToks(s, dir).select("word").distinct()
         .where(col("word").rlike("^[ -~]+$"))
-      words.alias("x").join(words.alias("y"),
-          col("x.word") < col("y.word"))
-        .select(col("x.word").as("w1"), col("y.word").as("w2"),
-          levenshtein(col("x.word"), col("y.word")).cast("long").as("dist"))
-        .where(col("dist") <= 2)
+      graft.operators.FuzzyJoin.matchPairs(words, "word", maxDist = 2)
         .orderBy("w1", "w2")
     }),
 

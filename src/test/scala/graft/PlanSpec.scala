@@ -70,4 +70,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_fuzzy_match: blocked candidates, no nested-loop / cartesian join") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
