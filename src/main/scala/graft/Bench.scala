@@ -13,18 +13,32 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation of every output column —
-      // count() would let Catalyst prune the expensive projections.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> FailPenalty
+    // Fixed (sorted) execution order and median-of-3 per query: an n=1
+    // unordered run on a contended box can triple the recorded total
+    // (round 1: driver 178 s vs judge re-run 59.9 s of the same binary);
+    // the median absorbs one-off stalls and the order makes runs
+    // comparable across rounds.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation of every output column —
+        // count() would let Catalyst prune the expensive projections.
+        val t = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            FailPenalty
+        }
+        // drop caches persist()ed inside query builders (dedup pipelines)
+        // so repeat runs measure cold plans, not cache hits
+        spark.catalog.clearCache()
+        t
       }
+      name -> times.sorted.apply(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -33,8 +47,9 @@ object Bench {
     // regression; the per-query map still reports everything. A headline
     // query that no longer EXISTS (renamed/removed) counts as the failure
     // penalty — losing a query must not read as a speedup.
-    val total = results.view.filterKeys(Headline).values.sum +
-      (Headline -- results.keySet).size * FailPenalty
+    val resultKeys = results.map(_._1).toSet
+    val total = results.collect { case (k, v) if Headline(k) => v }.sum +
+      (Headline -- resultKeys).size * FailPenalty
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
@@ -42,6 +57,9 @@ object Bench {
   /** A failed (or missing) query must read as a REGRESSION, not a
     * speedup: recorded instead of its time-to-exception. */
   val FailPenalty = 999.0
+
+  /** Runs per query; the reported time is the median. */
+  val Reps = 3
 
   /** Round-1 query set — frozen; do not remove entries, only measure. */
   val Headline: Set[String] = Set(

@@ -134,21 +134,56 @@ object LlmOps {
        |)""".stripMargin
   }
 
-  /** Sampled char shingles (doc_id, sh) — multiset (no distinct; min-agg
-    * consumers don't need it, set consumers call .distinct()). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  /** Cap on docs sharing one LSH (band, value) bucket. A bucket of k docs
+    * yields C(k,2) candidate pairs; without a cap a cluster of k
+    * near-identical boilerplate docs (the common case in web corpora)
+    * produces k² pairs. Oversized buckets are dropped — at ≥ [[BandBucketCap]]
+    * docs a bucket is boilerplate, not dedup signal — bounding pairs per
+    * bucket at C(cap,2) ≈ 2·10³ regardless of corpus size. Mirrored in the
+    * oracle SQL ([[BandsSql]]). */
+  private val BandBucketCap = 64
+
+  /** Per-(source, trigram) document-frequency cap for q_dedup_ngram: a
+    * shingle shared by more than this many docs in a block is corpus
+    * boilerplate — it carries no dedup signal but contributes df² join
+    * rows. Jaccard is computed over the df-filtered shingle set (both
+    * engines). */
+  private val NgramDfCap = 64
+
+  /** Exact-duplicate collapse: one representative (min doc_id) per
+    * distinct text. Near-dedup runs over representatives only — a cluster
+    * of k exact duplicates shares every band and would otherwise feed k²
+    * candidate pairs into the LSH join; after collapse it contributes one
+    * row, and its non-representatives are dropped by the exact stage of
+    * [[verifiedDupIds]]. The final drop-set is provably identical: a
+    * non-rep x is dropped either way (exact stage here; the (rep,x)
+    * Jaccard-1.0 pair before), and a rep x is dropped iff some smaller
+    * doc's text is near-identical, which collapses to the rep-pair
+    * (rep_B, x) with the same Jaccard. */
+  private def repDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+
+  /** Sampled char shingles (doc_id, sh) of the deduped representatives —
+    * multiset (no distinct; min-agg consumers don't need it, set consumers
+    * call .distinct()). */
+  private def repShingles(s: SparkSession, dir: String): DataFrame =
+    repDocs(s, dir)
       .where(length(col("text")) >= K)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
           .as("i"), col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
 
-  /** LSH candidate pairs (d1 < d2): shingle → 16 minhashes from one md5
-    * (Kirsch-Mitzenmacher) → 4 bands × 4 rows → band-bucket self-join.
-    * The 100 TB dedup path: no all-pairs comparison ever happens. */
+  /** LSH candidate pairs (d1 < d2) over exact-dup representatives:
+    * shingle → 16 minhashes from one md5 (Kirsch-Mitzenmacher) → 4 bands ×
+    * 4 rows → capped band-bucket self-join. The 100 TB dedup path: no
+    * all-pairs comparison ever happens, and no bucket exceeds
+    * [[BandBucketCap]] docs. `bands` is persisted — it feeds the bucket
+    * sizing AND both self-join sides (callers run inside Bench/Verify,
+    * which clearCache() per query). */
   private def minhashCandPairs(s: SparkSession, dir: String): DataFrame = {
-    val ab = shingles(s, dir).select(col("doc_id"),
+    val ab = repShingles(s, dir).select(col("doc_id"),
       expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
       expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
     val aggs = (0 until H).map(i =>
@@ -156,30 +191,41 @@ object LlmOps {
     val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until Bands).map(b =>
       concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
-    // bands is both sides of the LSH bucket self-join; the pipeline runs
-    // twice (measured cheaper than persist() at sf0.1 — flip to a persist
-    // when the signature computation dominates at scale).
     val bands = sig.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
         s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
-    bands.alias("x")
-      .join(bands.alias("y"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = bands.groupBy("band", "v")
+      .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
+      .select("band", "v")
+    val capped = bands.join(smallBuckets, Seq("band", "v"))
+    capped.alias("x")
+      .join(capped.alias("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
   }
 
-  /** doc_ids dropped by the greedy near-dedup policy: the greater id of
-    * every LSH candidate pair whose exact shingle-Jaccard ≥ `thr`. Single
-    * source for q_dedup_apply and q_pipeline_prep (Spark side;
-    * [[NearDupsSql]] is the oracle twin). */
+  /** doc_ids dropped by the full dedup policy: every exact duplicate that
+    * is not its cluster's representative, plus the greater id of every LSH
+    * candidate pair whose exact shingle-Jaccard ≥ `thr` (greedy keep-first
+    * over representatives). Single source for q_dedup_apply and
+    * q_pipeline_prep (Spark side; [[NearDupsSql]] is the oracle twin).
+    * `sets` is persisted — it feeds both verify-join sides plus the size
+    * aggregate. */
   private def verifiedDupIds(s: SparkSession, dir: String,
                              thr: Double = 0.5): DataFrame = {
+    val exact = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      docs(s, dir).withColumn("keep", min(col("doc_id")).over(w))
+        .where(col("doc_id") =!= col("keep")).select("doc_id")
+    }
     val pairs = minhashCandPairs(s, dir)
-    val sets = shingles(s, dir).distinct()
+    val sets = repShingles(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs
+    val near = pairs
       .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .where(col("sh") === col("sh2"))
@@ -187,7 +233,8 @@ object LlmOps {
       .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
       .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
       .where(expr(s"CAST(co AS DOUBLE) / (sa + sb - co) >= $thr"))
-      .select(col("d2").as("doc_id")).distinct()
+      .select(col("d2").as("doc_id"))
+    exact.unionByName(near).distinct()
   }
 
   /** Quantized embeddings + exact integer self-norm. */
@@ -214,9 +261,10 @@ object LlmOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .select("keep_id", "n").orderBy("keep_id")),
 
-    // MinHash + LSH near-dup candidates: char-shingle → 16 minhashes from one
-    // md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows → band-bucket self-join.
-    // This is the 100 TB dedup path: no all-pairs comparison ever happens.
+    // MinHash + LSH near-dup candidates: exact-dup collapse → char-shingle
+    // → 16 minhashes from one md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows
+    // → capped band-bucket self-join. This is the 100 TB dedup path: no
+    // all-pairs comparison ever happens and no bucket exceeds BandBucketCap.
     "q_dedup_minhash" -> ((s, dir) =>
       minhashCandPairs(s, dir)
         .groupBy("d1")
@@ -228,7 +276,8 @@ object LlmOps {
     // pipeline end to end; cost is O(|candidates| · shingles/doc).
     "q_dedup_minhash_verified" -> ((s, dir) => {
       val pairs = minhashCandPairs(s, dir)
-      val sets = shingles(s, dir).distinct()
+      val sets = repShingles(s, dir).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val co = pairs
         .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
@@ -245,10 +294,12 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
-    // Dedup APPLY: the pipeline's final step — drop every doc that appears
-    // as the greater id (d2) of a verified near-dup pair (greedy keep-first
-    // policy; ids are totally ordered so the survivor set is well-defined
-    // without connected components). Returns the kept corpus summary.
+    // Dedup APPLY: the pipeline's final step — drop every exact duplicate
+    // (non-representative of its text cluster) and every doc that appears
+    // as the greater id (d2) of a verified near-dup pair over the
+    // representatives (greedy keep-first policy; ids are totally ordered so
+    // the survivor set is well-defined without connected components).
+    // Returns the kept corpus summary.
     "q_dedup_apply" -> ((s, dir) => {
       docs(s, dir)
         .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
@@ -274,23 +325,32 @@ object LlmOps {
 
     // n-gram (token 3-gram) Jaccard near-dup, blocked by `source` so the
     // candidate join is bounded per block (global variant = q_dedup_minhash).
+    // Trigrams with per-block document frequency > NgramDfCap are dropped
+    // BEFORE the self-join (and from the Jaccard denominators): a shingle in
+    // df docs contributes df² join rows but zero dedup signal once df is
+    // large — the cap bounds pairs-per-shingle at C(cap,2) at any corpus
+    // size. Jaccard is over the df-filtered shingle sets in both engines.
     "q_dedup_ngram" -> ((s, dir) => {
       val ws = docs(s, dir)
         .select(col("doc_id"), col("source"),
           Tokenize.tokenArray(col("text")).as("ws"))
         .where(size(col("ws")) >= 3)
-      // tri feeds three consumers (sizes + both join sides) and recomputes
-      // per consumer (pruned projections defeat ReuseExchange). Measured at
-      // sf0.1: persist() costs more than the recompute; at cluster scale
-      // with an expensive shingle set, persist(MEMORY_AND_DISK) it.
+      // tri feeds the df computation and (via trif) sizes + both join
+      // sides — persist (callers run inside Bench/Verify, which
+      // clearCache() per query).
       val tri = ws.select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
           .as("sh"))
         .distinct()
-      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val co = tri.alias("x")
-        .join(tri.alias("y"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = tri.groupBy("source", "sh")
+        .agg(count(lit(1)).as("dfreq")).where(col("dfreq") <= NgramDfCap)
+        .select("source", "sh")
+      val trif = tri.join(rare, Seq("source", "sh"))
+      val sz = trif.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val co = trif.alias("x")
+        .join(trif.alias("y"),
           col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -467,17 +527,12 @@ object LlmOps {
       val sc = toks(s, dir).groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), scoreAggs: _*)
         .withColumn("pred", expr(PredCase))
-      val exactDups = {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
-        docs(s, dir).withColumn("keep", min(col("doc_id")).over(w))
-          .where(col("doc_id") =!= col("keep")).select("doc_id")
-      }
-      val nearDups = verifiedDupIds(s, dir)
+      // verifiedDupIds is the whole dedup stage: exact (non-representative
+      // of a text cluster) ∪ verified near-dup representatives.
       docs(s, dir)
         .join(sc.where(col("n_tok") >= minTok && col("pred") === "en")
           .select("doc_id"), "doc_id")
-        .join(exactDups, Seq("doc_id"), "left_anti")
-        .join(nearDups, Seq("doc_id"), "left_anti")
+        .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
@@ -554,11 +609,14 @@ object LlmOps {
   private val MinhashSigSql: String = {
     val mins = (0 until H)
       .map(i => s"min((a + $i*b) % $Mod) AS h$i").mkString(",\n    ")
-    s"""sh AS (
+    s"""reps AS (
+       |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+       |),
+       |sh AS (
        |  SELECT doc_id, substr(text, i, $K) AS sh
        |  FROM (SELECT doc_id, text,
        |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
-       |        FROM documents WHERE length(text) >= $K)
+       |        FROM reps WHERE length(text) >= $K)
        |),
        |ab AS (
        |  SELECT doc_id, ${hex2longSql("md5(sh)", 1)} AS a,
@@ -574,11 +632,11 @@ object LlmOps {
 
   /** Oracle twin of [[verifiedDupIds]] (threshold 0.5); requires the
     * [[MinhashSigSql]] + [[BandsSql]] CTEs upstream. Defines CTEs
-    * `pairs`, `sets`, `sz`, `neardups`. */
+    * `pairs`, `sets`, `sz`, `neardups`, `exactdups`, `dropids`. */
   private lazy val NearDupsSql: String =
     """pairs AS (
       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-      |  FROM bands x JOIN bands y
+      |  FROM cbands x JOIN cbands y
       |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
       |),
       |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
@@ -594,14 +652,32 @@ object LlmOps {
       |  JOIN sz sa ON sa.doc_id = p.d1
       |  JOIN sz sb ON sb.doc_id = p.d2
       |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
+      |),
+      |exactdups AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
+      |    FROM documents)
+      |  WHERE doc_id <> keep
+      |),
+      |dropids AS (
+      |  SELECT doc_id FROM neardups UNION SELECT doc_id FROM exactdups
       |)""".stripMargin
 
+  /** Band rows + the bucket-size cap: `cbands` is `bands` minus buckets
+    * holding more than [[BandBucketCap]] docs (twin of the Spark-side
+    * `smallBuckets` join in `minhashCandPairs`). */
   private val BandsSql: String =
     (0 until Bands).map { b =>
       val v = (0 until R).map(r => s"CAST(h${b * R + r} AS VARCHAR)")
         .mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band, $v AS v FROM sig"
-    }.mkString("bands AS (\n  ", "\n  UNION ALL ", "\n)")
+    }.mkString("bands AS (\n  ", "\n  UNION ALL ", "\n)") +
+      s""",
+         |bsz AS (SELECT band, v, count(*) AS bn FROM bands GROUP BY band, v),
+         |cbands AS (
+         |  SELECT bands.doc_id, bands.band, bands.v
+         |  FROM bands JOIN bsz USING (band, v) WHERE bsz.bn <= $BandBucketCap
+         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -613,7 +689,7 @@ object LlmOps {
          |$BandsSql,
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
+         |  FROM cbands x JOIN cbands y
          |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
          |)
          |SELECT d1, count(*) AS n_cand, min(d2) AS min_partner
@@ -624,7 +700,7 @@ object LlmOps {
          |$BandsSql,
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
+         |  FROM cbands x JOIN cbands y
          |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
          |),
          |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
@@ -652,7 +728,7 @@ object LlmOps {
          |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM neardups)""".stripMargin,
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(j =>
@@ -684,10 +760,15 @@ object LlmOps {
          |  FROM (SELECT doc_id, source, ws,
          |               unnest(generate_series(1, len(ws)-2)) AS i FROM tt)
          |),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+         |tdf AS (SELECT source, sh, count(*) AS dfreq FROM tri GROUP BY source, sh),
+         |trif AS (
+         |  SELECT tri.doc_id, tri.source, tri.sh
+         |  FROM tri JOIN tdf USING (source, sh) WHERE tdf.dfreq <= $NgramDfCap
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM trif GROUP BY doc_id),
          |co AS (
          |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS co
-         |  FROM tri x JOIN tri y
+         |  FROM trif x JOIN trif y
          |    ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2
          |),
@@ -864,20 +945,13 @@ object LlmOps {
          |scp AS (SELECT doc_id, n_tok, $PredCase AS pred FROM sc),
          |$MinhashSigSql,
          |$BandsSql,
-         |$NearDupsSql,
-         |exactdups AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
-         |    FROM documents)
-         |  WHERE doc_id <> keep
-         |)
+         |$NearDupsSql
          |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
          |FROM documents d
          |JOIN scp ON d.doc_id = scp.doc_id
          |WHERE scp.n_tok >= 20 AND scp.pred = 'en'
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardups)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM exactdups)""".stripMargin
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin
     },
 
     "q_lang_id" -> {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape proof of the dedup safeguards that the harness corpus is too
+  * small to exercise (no exact duplicates, no high-df boilerplate at
+  * sf0.01): a synthetic corpus with a 200-doc exact-duplicate cluster and
+  * shared boilerplate text, written in the harness documents schema, run
+  * through the REAL catalog queries. Round-1 plans produced k² candidate
+  * pairs on this input; the collapsed/capped plans must stay linear. */
+class DedupScaleSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def sentence(n: Int): String =
+      Seq.fill(n)(Seq.fill(3 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val cluster = sentence(40) // one text, duplicated 200x
+    val boiler = sentence(30)  // boilerplate prefix shared by ALL uniques
+    val nearA = sentence(40)
+    val nearB = nearA + " tail" // near-identical pair
+    val rows =
+      (1 to 200).map(i => (i.toLong, cluster)) ++
+        Seq((201L, nearA), (202L, nearB)) ++
+        (203 to 300).map(i => (i.toLong, boiler + " " + sentence(25)))
+    val out = "/root/repo/target/tmp/dedup_scale_corpus"
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s" + "0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("exact-dup cluster collapses: minhash candidates don't scale as k^2") {
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    val totalCands = pairs.agg(sum("n_cand")).collect()(0).getLong(0)
+    // round-1 shape: the 200-dup cluster alone yields C(200,2) = 19900
+    // pairs. Collapsed, the cluster contributes zero; what remains are the
+    // uniques' legitimate candidates (they share ~50% boilerplate content
+    // by construction, so LSH correctly surfaces a few hundred).
+    assert(totalCands < 2000, s"candidate pairs exploded: $totalCands")
+    spark.catalog.clearCache()
+  }
+
+  test("dedup apply keeps one representative per cluster + drops near-dup") {
+    val row = SparkEntry.queries("q_dedup_apply")(spark, dir).collect()(0)
+    // kept = 1 (cluster rep) + 1 (nearA; nearB dropped, Jaccard > 0.5)
+    //        + 98 uniques = 100
+    assert(row.getAs[Long]("n_kept") == 100L, row)
+    spark.catalog.clearCache()
+  }
+
+  test("ngram join is bounded by the df-cap under shared boilerplate") {
+    // All 98 unique docs share the boilerplate prefix: df(boiler trigrams)
+    // = 98 > NgramDfCap, so those trigrams must be dropped before the
+    // self-join; surviving pair counts come only from genuine overlap.
+    val res = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+    val nPairs = res.agg(sum("n_pairs")).collect()(0).getLong(0)
+    // boilerplate-only joins would give ~C(98,2)≈4753 pairs (every unique
+    // doc pairs with every other); df-capped, only the dup cluster rep /
+    // near pair relationships remain
+    assert(nPairs < 100, s"boilerplate trigrams leaked into the join: $nPairs")
+    spark.catalog.clearCache()
+  }
+}
