@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default locale: Spark's lower()/upper() non-ASCII path
+  // uses it, and a tr-TR default ('I' -> dotless ı) would diverge from
+  // the locale-independent DuckDB oracle and the Locale.ROOT encode.
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

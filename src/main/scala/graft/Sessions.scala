@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
             logLevel: String = "WARN"): SparkSession = {
+    // Locale-independence belt+braces (build.sbt pins -Duser.language for
+    // forked JVMs; this covers spark-submit / embedded callers): Spark's
+    // lower() non-ASCII path and Java toLowerCase use the JVM default
+    // locale, which must not drift from the DuckDB oracle's behavior.
+    java.util.Locale.setDefault(java.util.Locale.US)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -29,7 +29,9 @@ object BloomPrune {
         s"$dimKey: ${dim.schema(dimKey).dataType.catalogString}")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    // named so plan tests (and humans reading .explain) can see the prune
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      .withName("bloom_might_contain")
     fact.where(mightContain(col(factKey)))
   }
 }

@@ -22,6 +22,18 @@ object Reference {
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 
+  /** DuckDB twin of `EncodeWord.encode`: per character of lower(e), chars
+    * in backtick..'z' append their zero-padded 2-digit code (backtick = 00
+    * — the reference's off-by-one), all others are skipped. `strpos`
+    * against an explicit alphabet avoids collation-dependent BETWEEN on
+    * non-ASCII input (a multi-byte char just misses → skipped, matching
+    * the JVM's per-char code test). */
+  private def encodeSql(e: String): String =
+    "array_to_string(list_transform(split(lower(" + e + "), ''), c -> " +
+      "CASE WHEN strpos('`abcdefghijklmnopqrstuvwxyz', c) > 0 " +
+      "THEN lpad(CAST(strpos('`abcdefghijklmnopqrstuvwxyz', c) - 1 AS VARCHAR), 2, '0') " +
+      "ELSE '' END), '')"
+
   /** Word count (O6+O7): single shuffle with map-side partial aggregation. */
   private def wordcount(s: SparkSession, dir: String): DataFrame =
     toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -52,9 +64,29 @@ object Reference {
         .select(col("word"),
           regexp_replace(lower(col("word")), s"[^`-z]", "").as("norm"))
         .orderBy("word")),
+    // O5 exact: the reference's positional 2-digit encoding itself
+    // (`WorkerSender.java:129-148`), evaluated by the native Catalyst
+    // expression (plans.EncodeWordExpression, codegen'd) — the oracle twin
+    // recomputes the digit string in pure DuckDB string SQL.
+    "q_encode_exact" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      toks(s, dir).select("word").distinct()
+        .select(col("word"),
+          graft.plans.GraftExtensions.encode_word(col("word")).as("enc"))
+        .orderBy("word")
+    }),
     // O6+O7: the flagship word count (shuffle + hash aggregate).
     "q_wordcount" -> ((s, dir) =>
       wordcount(s, dir).orderBy(desc("cnt"), asc("word"))),
+    // The reference's LITERAL output shape: top-20 per reducer, reducer
+    // identity = BigInteger(encode(word)) mod 4 (`WorkerSender.java:
+    // 223-224,286-296`) — deterministic and partitioning-independent, so
+    // it is oracle-checkable even though the selection is reducer-local.
+    "q_topk_per_reducer" -> ((s, dir) =>
+      Tokenize.topKPerReducer(docs(s, dir), "text")
+        .select(col("reducer").cast("long").as("reducer"),
+          col("word"), col("cnt"))
+        .orderBy(asc("reducer"), desc("cnt"), asc("word"))),
     // O8: global sort (range-partitioned SortExec) on a non-corpus table.
     "q_sort_value_key" -> ((s, dir) =>
       table(s, dir, "events")
@@ -69,13 +101,13 @@ object Reference {
       toks(s, dir).select("word").distinct().orderBy("word")),
     // O11: file sink round-trip (write parquet, read back).
     "q_sink_roundtrip" -> ((s, dir) => {
-      val out = "/root/repo/target/tmp/q_sink_roundtrip"
+      val out = s"$TmpRoot/q_sink_roundtrip"
       wordcount(s, dir).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy(desc("cnt"), asc("word"))
     }),
     // CSV source/sink round-trip (schema-on-read with explicit schema).
     "q_sink_csv_roundtrip" -> ((s, dir) => {
-      val out = "/root/repo/target/tmp/q_sink_csv"
+      val out = s"$TmpRoot/q_sink_csv"
       wordcount(s, dir).write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.schema("word STRING, cnt BIGINT").option("header", "true")
@@ -83,7 +115,7 @@ object Reference {
     }),
     // JSON-lines source/sink round-trip.
     "q_sink_json_roundtrip" -> ((s, dir) => {
-      val out = "/root/repo/target/tmp/q_sink_json"
+      val out = s"$TmpRoot/q_sink_json"
       wordcount(s, dir).write.mode("overwrite").json(out)
       s.read.schema("word STRING, cnt BIGINT").json(out)
         .orderBy(desc("cnt"), asc("word"))
@@ -94,7 +126,7 @@ object Reference {
     // splits LF but lets CR through, and a CR inside a line would be read
     // back as a line break — silent row corruption otherwise).
     "q_sink_text_roundtrip" -> ((s, dir) => {
-      val out = "/root/repo/target/tmp/q_sink_text"
+      val out = s"$TmpRoot/q_sink_text"
       wordcount(s, dir)
         .where(!col("word").rlike("[\\r\\n]"))
         .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
@@ -122,7 +154,7 @@ object Reference {
     // scan; at 100 TB this is the difference between scanning one
     // partition and the whole table).
     "q_partitioned_scan" -> ((s, dir) => {
-      val out = "/root/repo/target/tmp/docs_by_lang"
+      val out = s"$TmpRoot/docs_by_lang"
       docs(s, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
         .where(col("lang").isin("en", "fr"))
@@ -145,6 +177,26 @@ object Reference {
       s"""WITH $ToksSql
          |SELECT word, regexp_replace(lower(word), '[^`-z]', '', 'g') AS norm
          |FROM (SELECT DISTINCT word FROM toks) ORDER BY word""".stripMargin,
+    "q_encode_exact" ->
+      s"""WITH $ToksSql
+         |SELECT word, ${encodeSql("word")} AS enc
+         |FROM (SELECT DISTINCT word FROM toks) ORDER BY word""".stripMargin,
+    // reducer = BigInteger(enc) mod 4 = last-two-digits mod 4, because
+    // 100 ≡ 0 (mod 4): enc is a decimal digit string, so
+    // n = 100·prefix + suffix2 ⇒ n mod 4 = suffix2 mod 4. right(enc, 2)
+    // is enc itself when enc has one digit.
+    "q_topk_per_reducer" ->
+      s"""WITH $ToksSql,
+         |wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+         |enc AS (SELECT word, cnt, ${encodeSql("word")} AS e FROM wc),
+         |r AS (SELECT CAST(CAST(right(e, 2) AS BIGINT) % 4 AS BIGINT) AS reducer,
+         |             word, cnt FROM enc),
+         |t AS (SELECT reducer, word, cnt,
+         |        row_number() OVER (PARTITION BY reducer
+         |                           ORDER BY cnt DESC, word) AS rn
+         |      FROM r)
+         |SELECT reducer, word, cnt FROM t WHERE rn <= 20
+         |ORDER BY reducer, cnt DESC, word""".stripMargin,
     "q_wordcount" -> WordcountSql,
     "q_sort_value_key" ->
       """SELECT event_id, user_id, event_type, round(value, 4) AS v

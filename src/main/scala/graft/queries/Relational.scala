@@ -357,6 +357,44 @@ object Relational {
           length(col("props")).cast("long").as("props_len"))
         .orderBy("event_id")),
 
+    // Salted fact-fact join (operators.Skew.saltedJoin): the left side
+    // splits each key over 8 salts, the right replicates once per salt —
+    // row-identical to the plain join (same oracle SQL as
+    // q_join_sortmerge), but a hot orderkey fans out over 8 reducers
+    // instead of one. The deterministic fallback when AQE skew splitting
+    // isn't enough.
+    "q_join_salted" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("jk"), col("l_extendedprice"),
+          col("l_discount"), col("l_linenumber"))
+      val r = table(s, dir, "orders")
+        .select(col("o_orderkey").as("jk"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(l, r, "jk", numSalts = 8,
+        leftSaltSrc = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Bloom-pruned join (operators.BloomPrune): broadcast a Bloom filter
+    // of the dimension keys and drop non-matching fact rows BEFORE the
+    // shuffle — false positives only waste shuffle rows, the join
+    // re-checks exactly, so the plain-join oracle applies unchanged. The
+    // 100 TB semi-join reduction when the build side is too big for a
+    // broadcast hash relation.
+    "q_join_bloom" -> ((s, dir) => {
+      val dim = table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val pruned = graft.operators.BloomPrune.preFilter(
+        table(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "l_orderkey", dim, "o_orderkey")
+      pruned.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // Multimodal: documents ⋈ embeddings with an opaque binary view of the
     // payload (the pattern for image/audio columns: binary + typed metadata).
     "q_multimodal_binary" -> ((s, dir) =>
@@ -390,6 +428,17 @@ object Relational {
          |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // row-identical to the plain join by construction — same oracle
+    "q_join_salted" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Bloom pruning is transparent: the join re-checks exactly
+    "q_join_bloom" ->
+      s"""SELECT count(*) AS n, ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

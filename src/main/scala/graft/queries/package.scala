@@ -44,6 +44,14 @@ package object queries {
     * single source of the quote-doubling rule for every oracle. */
   val DelimSql: String = graft.operators.Tokenize.Delim.replace("'", "''")
 
+  /** Per-process scratch root for sink round-trip queries: two JVMs (e.g.
+    * a Bench run while the driver's Verify is still writing) must not
+    * overwrite each other's outputs mid-read. Within one process reruns
+    * reuse (overwrite) the same directory, which is safe — evaluation is
+    * sequential per session. */
+  lazy val TmpRoot: String =
+    s"/root/repo/target/tmp/run-${ProcessHandle.current().pid()}"
+
   /** The corpus tokens (doc_id, word) shared by every text query. */
   def corpusToks(s: SparkSession, dir: String): DataFrame =
     graft.operators.Tokenize

@@ -120,8 +120,17 @@ object StreamOps {
                   closed ::= Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(_) =>
-                  // older than (start - gap): a straggler predating the
-                  // open session — emit as its own closed singleton
+                  // Older than (start - gap): a straggler predating the
+                  // open session — emitted as its own closed singleton.
+                  // ACCEPTED DIVERGENCE from the batch twin (q_sessionize):
+                  // two such stragglers that would form one session in
+                  // batch each become a singleton here, because state
+                  // tracks only the newest open session per user. Tracking
+                  // a bounded list of open sessions would close the gap at
+                  // the cost of unbounded-ish state per hot user; within
+                  // the watermark the common late-event case (t inside
+                  // [start-gap, end+gap]) is merged exactly, and events
+                  // older than the watermark are dropped either way.
                   closed ::= Session(userId, t, t, 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))

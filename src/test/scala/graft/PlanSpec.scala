@@ -76,4 +76,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_join_salted: salt column participates in the join keys") {
+    val p = plan("q_join_salted")
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q_join_bloom: bloom prune filters the fact side before the join") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("bloom_might_contain"), p)
+  }
 }
