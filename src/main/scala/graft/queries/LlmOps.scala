@@ -49,6 +49,30 @@ object LlmOps {
   private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
   private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 
+  /** Persist break-even for multi-consumer dedup intermediates, on the
+    * optimizer's size estimate of the intermediate: below it, recomputing
+    * the narrow codegen'd pipeline 2-3× beats materialization (measured at
+    * sf0.1: the minhash trio runs 13.2 s recomputed vs 21.7 s persisted —
+    * SCALE.md "Persist points"); above it the corpus scan dominates and
+    * reuse wins. */
+  private val PersistAutoBytes = BigInt(256L * 1024 * 1024)
+
+  /** Cache a multi-consumer dedup intermediate (bands / shingle sets /
+    * trigram incidence), governed by `spark.graft.dedup.persist`:
+    * `auto` (default) persists when the plan's estimated size exceeds
+    * [[PersistAutoBytes]]; `true`/`false` force it. Callers run inside
+    * Bench/Verify, which clearCache() per query. */
+  private def maybePersist(df: DataFrame): DataFrame = {
+    val mode = df.sparkSession.conf.get("spark.graft.dedup.persist", "auto")
+    val on = mode match {
+      case "auto" =>
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > PersistAutoBytes
+      case v => v.toBoolean
+    }
+    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+  }
+
   // ---- language-ID stopword lists (tiny n-gram-free heuristic) ----
   private val Stops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
@@ -191,10 +215,9 @@ object LlmOps {
     val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until Bands).map(b =>
       concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
+    val bands = maybePersist(sig.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
-        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)"))
     val smallBuckets = bands.groupBy("band", "v")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
       .select("band", "v")
@@ -222,8 +245,7 @@ object LlmOps {
         .where(col("doc_id") =!= col("keep")).select("doc_id")
     }
     val pairs = minhashCandPairs(s, dir)
-    val sets = repShingles(s, dir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = maybePersist(repShingles(s, dir).distinct())
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val near = pairs
       .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
@@ -276,8 +298,7 @@ object LlmOps {
     // pipeline end to end; cost is O(|candidates| · shingles/doc).
     "q_dedup_minhash_verified" -> ((s, dir) => {
       val pairs = minhashCandPairs(s, dir)
-      val sets = repShingles(s, dir).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = maybePersist(repShingles(s, dir).distinct())
       val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val co = pairs
         .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
@@ -338,12 +359,11 @@ object LlmOps {
       // tri feeds the df computation and (via trif) sizes + both join
       // sides — persist (callers run inside Bench/Verify, which
       // clearCache() per query).
-      val tri = ws.select(col("doc_id"), col("source"),
+      val tri = maybePersist(ws.select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
           .as("sh"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .distinct())
       val rare = tri.groupBy("source", "sh")
         .agg(count(lit(1)).as("dfreq")).where(col("dfreq") <= NgramDfCap)
         .select("source", "sh")
