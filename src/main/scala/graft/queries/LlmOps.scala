@@ -617,8 +617,95 @@ object LlmOps {
       docs(s, dir).select(col("doc_id"),
         md5(concat_ws(" ",
           array_sort(array_distinct(Tokenize.tokenArray(col("text")))))).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Deterministic hash sampling: keep docs whose stable md5-derived
+    // bucket (of the KEY, not the row — re-runs and re-partitions agree)
+    // falls under the rate. The scalable sampling primitive: a narrow
+    // filter, no shuffle, no RNG state, reproducible across engines and
+    // cluster sizes.
+    "q_sample_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .where(expr(s"$HashBucketSpark < 10"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Deterministic train/val/test split (80/10/10) by the same key hash,
+    // with per-split stats: the split is a pure function of doc_id, so
+    // adding data never moves an existing doc across splits.
+    "q_split_train" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket", expr(HashBucketSpark))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("split")),
+
+    // PII scrubbing: URLs, emails, then long digit runs masked with typed
+    // placeholders (RE2-safe patterns — no backrefs/lookahead — so Java
+    // and DuckDB regex engines agree). The corpus has no PII, so the
+    // query plants synthetic markers derived from doc_id and the oracle
+    // plants the same — masking is genuinely exercised on every row.
+    "q_scrub_pii" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.com/u/"), col("doc_id").cast("string"),
+        lit(" ref "), (col("doc_id") * 1000000 + 424242).cast("string"))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(aug, lit(UrlRe), lit("<URL>")),
+            lit(EmailRe), lit("<EMAIL>")),
+          lit(DigitsRe), lit("<NUM>"))
+      docs(s, dir).select(col("doc_id"),
+        regexp_count(aug, lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(aug, lit(UrlRe)).cast("long").as("n_url"),
+        scrubbed.as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: concatenate docs (in doc_id order) into training
+    // rows of ~512 whitespace tokens, greedy running-sum binning. Packing
+    // is per-lang so the window is partition-parallel — the 100 TB shape
+    // is "pack within shard", never a global single-partition window.
+    "q_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(size(split(trim(text), ' +')) AS BIGINT)").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(byLang))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")) / lit(PackBudget)).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    })
   )
+
+  // ---- sampling / scrubbing / packing constants (shared Spark + SQL) ----
+
+  /** Stable per-doc bucket in [0, 100): first 8 md5 hex chars of the key
+    * as an integer, mod 100. Identical in both engines (md5 hex parity). */
+  private val HashBucketSpark =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+  private def hashBucketSql =
+    s"${hex2longSql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100"
+
+  /** RE2-safe scrub patterns (no backrefs / lookaround): both Java regex
+    * and DuckDB's RE2 interpret them identically. URL first (it may
+    * contain @ and digits), then email, then long digit runs. */
+  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DigitsRe = "[0-9]{6,}"
+
+  /** Token budget per packed training row. */
+  private val PackBudget = 512
 
   // =========================================================================
   //  DuckDB oracles
@@ -1037,6 +1124,57 @@ object LlmOps {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(
          |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE $hashBucketSql < 10 ORDER BY doc_id""".stripMargin,
+
+    "q_split_train" ->
+      s"""WITH b AS (SELECT doc_id, n_chars, $hashBucketSql AS bucket
+         |           FROM documents),
+         |s AS (SELECT doc_id, n_chars,
+         |        CASE WHEN bucket < 80 THEN 'train'
+         |             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM b)
+         |SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_scrub_pii" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or https://ex.com/u/' || CAST(doc_id AS VARCHAR)
+         |      || ' ref ' || CAST(doc_id*1000000 + 424242 AS VARCHAR) AS aug
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$UrlRe')) AS BIGINT) AS n_url,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$UrlRe', '<URL>', 'g'),
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$DigitsRe', '<NUM>', 'g') AS clean
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d
+         |),
+         |b AS (SELECT lang, doc_id, n_tok,
+         |        CAST(floor((cum - n_tok) / $PackBudget.0) AS BIGINT) AS bin
+         |      FROM c)
+         |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
   )
 }

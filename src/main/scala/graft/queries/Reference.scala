@@ -120,6 +120,12 @@ object Reference {
       s.read.schema("word STRING, cnt BIGINT").json(out)
         .orderBy(desc("cnt"), asc("word"))
     }),
+    // ORC source/sink round-trip (the second columnar format Spark ships).
+    "q_sink_orc_roundtrip" -> ((s, dir) => {
+      val out = s"$TmpRoot/q_sink_orc"
+      wordcount(s, dir).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(desc("cnt"), asc("word"))
+    }),
     // Text source/sink round-trip: the reference's native format
     // (line-oriented text, O1/O11) — serialize as word<TAB>cnt lines,
     // read back, parse. Words containing CR/LF are excluded (the tokenizer
@@ -207,6 +213,7 @@ object Reference {
     "q_sink_roundtrip" -> WordcountSql,
     "q_sink_csv_roundtrip" -> WordcountSql,
     "q_sink_json_roundtrip" -> WordcountSql,
+    "q_sink_orc_roundtrip" -> WordcountSql,
     "q_sink_text_roundtrip" ->
       s"""WITH $ToksSql
          |SELECT word, count(*) AS cnt FROM toks
