@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension tier (SURVEY.md §7: custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan`): group-wise top-K as a native physical
+  * operator.
+  *
+  * Spark's built-in spelling — `row_number().over(Window.partitionBy(key)
+  * .orderBy(ord)) <= k` — SORTS every group in full: O(n log n) per group
+  * and the whole group materialized per task. This operator keeps a bounded
+  * heap of k rows per key, and plans as TWO stages around one Exchange —
+  * a map-side partial prune (top-k of a union is the top-k of per-partition
+  * top-k's, so each map partition forwards ≤ k rows per key) and a final
+  * per-key prune after the shuffle. Memory is O(keys·k) per task and the
+  * shuffle carries ≤ k rows per key per map partition — the same shape that
+  * makes partial aggregation scale, applied to selection. The typed
+  * `functions.TopKWords` Aggregator expresses the same idea over Dataset
+  * rows; this is the engine-level variant: UnsafeRow in, UnsafeRow out, no
+  * encoder boxing, usable from any DataFrame.
+  */
+case class TopKPerKey(keys: Seq[Attribute], ordering: Seq[SortOrder],
+                      k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Physical node. `partial = true` runs before the Exchange with no
+  * distribution requirement (pure map-side pruning); the final node
+  * requires clustering on `keys`, which EnsureRequirements satisfies with
+  * one hash Exchange — exactly the partial/final HashAggregate shape. */
+case class TopKPerKeyExec(keys: Seq[Attribute], ordering: Seq[SortOrder],
+                          k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, so, out, kk) = (keys, ordering, child.output, k)
+    child.execute().mapPartitions({ iter =>
+      // codegen'd projections/orderings are created per partition — they
+      // are not serializable, only their expression trees are
+      val keyProj = UnsafeProjection.create(ks, out)
+      val rowProj = UnsafeProjection.create(out, out)
+      val ord = RowOrdering.create(so, out).asInstanceOf[Ordering[InternalRow]]
+      // max-heap by sort order: top = worst retained row, evicted first
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+            ord.asInstanceOf[Ordering[UnsafeRow]])
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.enqueue(rowProj(row).copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(rowProj(row).copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial → (Exchange via EnsureRequirements)
+  * → final. Registered through `spark.experimental.extraStrategies`
+  * (operators.TopK does this lazily) or `GraftExtensions`. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, ordering, k, child) =>
+      val mapSide = TopKPerKeyExec(keys, ordering, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, ordering, k, partial = false, mapSide) :: Nil
+    case _ => Nil
+  }
+}

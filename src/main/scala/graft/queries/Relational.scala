@@ -268,6 +268,21 @@ object Relational {
         .orderBy("w1", "w2")
     }),
 
+    // Native group-wise top-K: the custom LogicalPlan/SparkStrategy/
+    // SparkPlan operator (plans.TopKPerKeyExec) — map-side bounded-heap
+    // prune → one Exchange → final prune, never a per-group full sort.
+    // The oracle computes the same rows via window row_number, a different
+    // algorithm, cross-checking the operator end to end.
+    "q_topk_grouped" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.TopK.perKey(e, Seq("event_type"),
+          Seq(("value", false), ("event_id", true)), 5)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 4).as("v"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // Window ranking family over events.
     "q_window_ranks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -585,6 +600,13 @@ object Relational {
          |FROM words x JOIN words y ON x.word < y.word
          |WHERE levenshtein(x.word, y.word) <= 2
          |ORDER BY w1, w2""".stripMargin,
+    "q_topk_grouped" ->
+      """SELECT event_type, event_id, round(value, 4) AS v FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
     "q_window_ranks" ->
       """SELECT event_id, event_type, round(value, 4) AS v,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
