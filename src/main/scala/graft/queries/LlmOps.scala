@@ -237,17 +237,14 @@ object LlmOps {
     * q_pipeline_prep (Spark side; [[NearDupsSql]] is the oracle twin).
     * `sets` is persisted — it feeds both verify-join sides plus the size
     * aggregate. */
-  private def verifiedDupIds(s: SparkSession, dir: String,
-                             thr: Double = 0.5): DataFrame = {
-    val exact = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
-      docs(s, dir).withColumn("keep", min(col("doc_id")).over(w))
-        .where(col("doc_id") =!= col("keep")).select("doc_id")
-    }
+  /** Verified near-dup pairs (d1 < d2, over exact-dup representatives):
+    * LSH candidates whose exact shingle-Jaccard ≥ `thr`. */
+  private def verifiedPairs(s: SparkSession, dir: String,
+                            thr: Double = 0.5): DataFrame = {
     val pairs = minhashCandPairs(s, dir)
     val sets = maybePersist(repShingles(s, dir).distinct())
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val near = pairs
+    pairs
       .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .where(col("sh") === col("sh2"))
@@ -255,7 +252,17 @@ object LlmOps {
       .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
       .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
       .where(expr(s"CAST(co AS DOUBLE) / (sa + sb - co) >= $thr"))
-      .select(col("d2").as("doc_id"))
+      .select("d1", "d2")
+  }
+
+  private def verifiedDupIds(s: SparkSession, dir: String,
+                             thr: Double = 0.5): DataFrame = {
+    val exact = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+      docs(s, dir).withColumn("keep", min(col("doc_id")).over(w))
+        .where(col("doc_id") =!= col("keep")).select("doc_id")
+    }
+    val near = verifiedPairs(s, dir, thr).select(col("d2").as("doc_id"))
     exact.unionByName(near).distinct()
   }
 
@@ -619,6 +626,39 @@ object LlmOps {
           array_sort(array_distinct(Tokenize.tokenArray(col("text")))))).as("fp"))
         .orderBy("doc_id")),
 
+    // Near-dup CLUSTERS via connected components: min-label propagation
+    // over the verified-pair graph to a fixpoint (the union-find view of
+    // dedup — the greedy d2-drop of q_dedup_apply is one policy; this
+    // exposes the clusters themselves). Pregel shape: each iteration is
+    // one distributed join + min-agg; the driver only checks convergence
+    // (diameter-bounded iterations — near-dup clusters are shallow).
+    // localCheckpoint() truncates lineage per round so plans don't grow
+    // exponentially. Oracle = DuckDB recursive CTE, a different
+    // fixpoint algorithm entirely.
+    "q_dedup_components" -> ((s, dir) => {
+      val vp = verifiedPairs(s, dir)
+      val edges = vp.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(vp.select(col("d2").as("a"), col("d1").as("b")))
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("v")).distinct()
+        .withColumn("l", col("v")).localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, col("b") === col("v"))
+          .select(col("a").as("v"), col("l"))
+          .unionByName(labels)
+          .groupBy("v").agg(min(col("l")).as("l"))
+          .localCheckpoint()
+        converged = prop.join(labels.withColumnRenamed("l", "lo"), "v")
+          .where(col("l") =!= col("lo")).isEmpty
+        labels = prop
+      }
+      labels.groupBy("l").agg(count(lit(1)).as("n_members"),
+          max(col("v")).as("max_id"))
+        .select(col("l").as("comp_id"), col("n_members"), col("max_id"))
+        .orderBy("comp_id")
+    }),
+
     // Deterministic hash sampling: keep docs whose stable md5-derived
     // bucket (of the KEY, not the row — re-runs and re-partitions agree)
     // falls under the rate. The scalable sampling primitive: a narrow
@@ -836,6 +876,44 @@ object LlmOps {
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin,
+
+    // Recursive-CTE fixpoint (a different algorithm than the Spark side's
+    // label propagation): reach(v, l) holds every (vertex, label-that-
+    // reaches-it); min per vertex = component min id. UNION dedup
+    // guarantees termination.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM cbands x JOIN cbands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         |vp AS (
+         |  SELECT p.d1, p.d2
+         |  FROM pairs p
+         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
+         |        FROM pairs p2
+         |        JOIN sets a ON a.doc_id = p2.d1
+         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
+         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
+         |  JOIN sz sa ON sa.doc_id = p.d1
+         |  JOIN sz sb ON sb.doc_id = p.d2
+         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
+         |),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM vp
+         |          UNION ALL SELECT d2 AS a, d1 AS b FROM vp),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach AS (
+         |  SELECT v, v AS l FROM verts
+         |  UNION
+         |  SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v
+         |),
+         |comp AS (SELECT v, min(l) AS comp_id FROM reach GROUP BY v)
+         |SELECT comp_id, count(*) AS n_members, max(v) AS max_id
+         |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(j =>

@@ -162,6 +162,21 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Data profiling: per-column null/distinct/extremes stats in one pass
+    // per column family — the ANALYZE-style operator a pipeline runs
+    // before training. Each column is one narrow agg; the union is tiny.
+    "q_profile" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      def prof(c: String): org.apache.spark.sql.DataFrame =
+        e.agg(count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("col"), col("n"), col("n_null"), col("n_distinct"))
+      Seq("event_id", "user_id", "event_type", "props")
+        .map(prof).reduce(_.unionByName(_))
+        .orderBy("col")
+    }),
+
     // Exact distinct counts (the shuffle-heavy form; the sketch twin
     // approx_count_distinct is spec-covered, not oracle-comparable).
     "q_count_distinct" -> ((s, dir) =>
@@ -515,6 +530,15 @@ object Relational {
         |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_profile" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS col, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM events""".stripMargin
+      Seq("event_id", "user_id", "event_type", "props").map(prof)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    },
     "q_count_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

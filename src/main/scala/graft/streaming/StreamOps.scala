@@ -58,6 +58,20 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup: suppress documents whose bag-of-words
+    * fingerprint (md5 of the sorted distinct token set — the same identity
+    * as batch q_fingerprint) was already seen within the watermark. This
+    * catches re-posts and shuffled near-copies that an id-dedup misses,
+    * with the same watermark-bounded state guarantee. Input: (doc_id, ts,
+    * text) rows; output keeps the first arrival of each fingerprint. */
+  def dedupByFingerprint(docs: DataFrame,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(Tokenize.tokenArray(col("text")))))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-static enrichment: per micro-batch broadcast hash join of the
     * unbounded stream against a static dimension (the dimension is read
     * fresh per batch — no stream state). Join columns are qualified via

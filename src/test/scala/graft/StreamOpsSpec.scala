@@ -26,6 +26,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedupByFingerprint suppresses shuffled re-posts, keeps first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.dedupByFingerprint(
+        in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("fp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(1), "the quick brown fox"))
+      q.processAllAvailable()
+      // same bag of words, different order + duplicate token -> same fp
+      in.addData((2L, ts(2), "brown fox the quick the"))
+      // genuinely new content
+      in.addData((3L, ts(3), "an entirely different doc"))
+      q.processAllAvailable()
+      val ids = spark.table("fp_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), ids)
+    } finally q.stop()
+  }
+
   test("windowedCounts: tumbling windows by event type, late data dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
