@@ -24,6 +24,8 @@ TEXT_QUERIES = [
     "q_scan_text", "q_dedup_apply", "q_pipeline_prep", "q_tfidf",
     "q_fuzzy_match", "q_sink_text_roundtrip", "q_sql_frontend",
     "q_lang_ngram",
+    "q_encode_exact", "q_topk_per_reducer", "q_scrub_pii",
+    "q_pack_sequences", "q_dedup_components",
 ]
 
 DOCS = [
