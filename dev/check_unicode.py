@@ -25,7 +25,7 @@ TEXT_QUERIES = [
     "q_fuzzy_match", "q_sink_text_roundtrip", "q_sql_frontend",
     "q_lang_ngram",
     "q_encode_exact", "q_topk_per_reducer", "q_scrub_pii",
-    "q_pack_sequences", "q_dedup_components",
+    "q_pack_sequences", "q_dedup_components", "q_char_entropy",
 ]
 
 DOCS = [

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.encodeWordFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
@@ -34,6 +35,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
   }
 
   /** Column API over the registered function. */

@@ -659,6 +659,35 @@ object LlmOps {
         .orderBy("comp_id")
     }),
 
+    // Character-entropy quality signal: H = -Σ p·ln(p) over the per-doc
+    // character distribution (gibberish and template spam sit at the
+    // entropy extremes). Determinism: p = cnt/total is one exact IEEE
+    // division; ln is pre-rounded to 8 decimals (libm 1-ulp differences);
+    // each term is cast to DECIMAL before the sum so accumulation order
+    // can't change the result (same technique as q_tfidf's idf).
+    "q_char_entropy" -> ((s, dir) => {
+      val ch = docs(s, dir).where(length(col("text")) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      val cnt = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("doc_id").agg(sum(col("cnt")).as("total"))
+      cnt.join(tot, "doc_id")
+        .withColumn("term", expr(
+          "CAST((CAST(cnt AS DOUBLE)/total) * round(ln(CAST(cnt AS DOUBLE)/total), 8) AS DECIMAL(28,10))"))
+        .groupBy("doc_id")
+        .agg(round((-sum(col("term"))).cast("double"), 4).as("entropy"),
+          count(lit(1)).as("n_classes"))
+        .orderBy("doc_id")
+    }),
+
+    // Document-length histogram (100-char buckets): the size-distribution
+    // profile that drives packing budgets and truncation policies.
+    "q_len_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(floor(col("n_chars") / lit(100)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket")),
+
     // Deterministic hash sampling: keep docs whose stable md5-derived
     // bucket (of the KEY, not the row — re-runs and re-partitions agree)
     // falls under the rate. The scalable sampling primitive: a narrow
@@ -1203,6 +1232,30 @@ object LlmOps {
          |  md5(array_to_string(list_sort(list_distinct(
          |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0
+        |),
+        |cnt AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total
+        |        FROM cnt GROUP BY doc_id),
+        |t AS (
+        |  SELECT cnt.doc_id,
+        |    CAST((CAST(cnt AS DOUBLE)/total)
+        |         * round(ln(CAST(cnt AS DOUBLE)/total), 8)
+        |         AS DECIMAL(28,10)) AS term
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |)
+        |SELECT doc_id, round(-CAST(sum(term) AS DOUBLE), 4) AS entropy,
+        |  count(*) AS n_classes
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_len_histogram" ->
+      """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
