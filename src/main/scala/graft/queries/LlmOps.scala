@@ -37,14 +37,6 @@ object LlmOps {
   private val R = 4        // ... of R rows each (H = Bands * R)
   private val Mod = 4294967296L // 2^32
 
-  /** DuckDB: parse 8 hex chars of `hexExpr` starting at 1-based `start` into
-    * a BIGINT (mirrors Spark's `conv(substring(h, start, 8), 16, 10)`). */
-  private def hex2longSql(hexExpr: String, start: Int): String =
-    (0 until 8).map { p =>
-      val w = 1L << ((7 - p) * 4)
-      s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * $w"
-    }.mkString("(", " + ", ")")
-
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
   private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)

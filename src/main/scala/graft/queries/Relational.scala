@@ -162,18 +162,21 @@ object Relational {
         .orderBy("user_id")
     }),
 
-    // Data profiling: per-column null/distinct/extremes stats in one pass
-    // per column family — the ANALYZE-style operator a pipeline runs
-    // before training. Each column is one narrow agg; the union is tiny.
+    // Data profiling: per-column null/distinct stats — the ANALYZE-style
+    // operator a pipeline runs before training. ONE scan: all columns'
+    // aggregates in a single agg (multi-distinct plans one Expand pass),
+    // then stack to rows. A per-column union would scan the fact table
+    // once per column — 4 scans of a 100 TB table instead of 1.
     "q_profile" -> ((s, dir) => {
-      val e = table(s, dir, "events")
-      def prof(c: String): org.apache.spark.sql.DataFrame =
-        e.agg(count(lit(1)).as("n"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("col"), col("n"), col("n_null"), col("n_distinct"))
-      Seq("event_id", "user_id", "event_type", "props")
-        .map(prof).reduce(_.unionByName(_))
+      val cols = Seq("event_id", "user_id", "event_type", "props")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+      val stack = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+      table(s, dir, "events")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n", s"stack(${cols.length}, $stack) AS (col, n_null, n_distinct)")
+        .select("col", "n", "n_null", "n_distinct")
         .orderBy("col")
     }),
 
@@ -296,6 +299,39 @@ object Relational {
         .select(col("event_type"), col("event_id"),
           round(col("value"), 4).as("v"))
         .orderBy("event_type", "event_id")
+    }),
+
+    // RANGE-frame window: trailing 10-minute per-user activity (event-time
+    // range frame, not row frame — frame membership depends on VALUES, the
+    // window feature q_window's ROWS frames don't cover).
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-600000000L, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_10m"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("sum_10m"))
+        .orderBy("event_id")
+    }),
+
+    // Stratified (re-balancing) sample: per-lang keep rates — the data-mix
+    // operator (upsample scarce languages, downsample dominant ones) — via
+    // the same deterministic hash bucket as q_sample_hash, so the mix is
+    // reproducible and growth-stable.
+    "q_sample_stratified" -> ((s, dir) => {
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang") === "fr", 50).otherwise(90)
+      table(s, dir, "documents")
+        .where(bucket < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     }),
 
     // Window ranking family over events.
@@ -631,6 +667,27 @@ object Relational {
         |                       ORDER BY value DESC, event_id) AS rn
         |  FROM events)
         |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH b AS (
+         |  SELECT lang, n_chars,
+         |    ${hex2longSql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100 AS bucket
+         |  FROM documents
+         |)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM b
+         |WHERE bucket < (CASE WHEN lang = 'en' THEN 10
+         |                     WHEN lang = 'fr' THEN 50 ELSE 90 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_window_ranks" ->
       """SELECT event_id, event_type, round(value, 4) AS v,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,

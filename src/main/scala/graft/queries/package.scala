@@ -44,6 +44,16 @@ package object queries {
     * single source of the quote-doubling rule for every oracle. */
   val DelimSql: String = graft.operators.Tokenize.Delim.replace("'", "''")
 
+  /** DuckDB: parse 8 hex chars of `hexExpr` starting at 1-based `start`
+    * into a BIGINT (mirrors Spark's `conv(substring(h, start, 8), 16, 10)`
+    * — DuckDB has no base-conversion function, so this is a positional
+    * polynomial over the hex digits). */
+  def hex2longSql(hexExpr: String, start: Int): String =
+    (0 until 8).map { p =>
+      val w = 1L << ((7 - p) * 4)
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
   /** Per-process scratch root for sink round-trip queries: two JVMs (e.g.
     * a Bench run while the driver's Verify is still writing) must not
     * overwrite each other's outputs mid-read. Within one process reruns
