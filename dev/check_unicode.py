@@ -26,6 +26,7 @@ TEXT_QUERIES = [
     "q_lang_ngram",
     "q_encode_exact", "q_topk_per_reducer", "q_scrub_pii",
     "q_pack_sequences", "q_dedup_components", "q_char_entropy",
+    "q_lm_score", "q_contamination",
 ]
 
 DOCS = [

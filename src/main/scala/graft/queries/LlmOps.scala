@@ -651,6 +651,54 @@ object LlmOps {
         .orderBy("comp_id")
     }),
 
+    // n-gram LM quality scoring (the CCNet/KenLM-style filter): train a
+    // char-bigram model on the corpus itself (P(c2|c1) = cnt(c1c2) /
+    // cnt(c1 at non-final positions)), then score each doc by its average
+    // negative log-likelihood — low = typical text, high = gibberish.
+    // The model is |charset|² rows → broadcast joins; scoring is one
+    // narrow pass. Same determinism scheme as q_char_entropy: exact
+    // integer-ratio division, ln pre-rounded to 8, decimal-summed terms.
+    "q_lm_score" -> ((s, dir) => {
+      val bg = docs(s, dir).where(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("c1"),
+          expr("substring(text, i, 2)").as("bgm"))
+      val bgCnt = bg.groupBy("bgm").agg(count(lit(1)).as("bc"))
+      val c1Cnt = bg.groupBy("c1").agg(count(lit(1)).as("cc"))
+      bg.join(broadcast(bgCnt), "bgm").join(broadcast(c1Cnt), "c1")
+        .withColumn("term", expr(
+          "CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(28,10))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round((-sum(col("term"))).cast("double") / count(lit(1)), 4)
+            .as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: fraction of each doc's 8-char shingles
+    // that appear in a held-out "benchmark" set (here: every 97th doc
+    // stands in for an eval suite). The real-pipeline shape: benchmark
+    // shingle set is small → broadcast; the corpus side is one narrow
+    // pass + one broadcast semi-probe, never a corpus-corpus join.
+    "q_contamination" -> ((s, dir) => {
+      val s8 = docs(s, dir).where(length(col("text")) >= K)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
+            .as("i"), col("text"))
+        .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
+        .distinct()
+      val bench = s8.where(col("doc_id") % 97 === 0).select("sh").distinct()
+      s8.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("frac", round(expr("CAST(n_hit AS DOUBLE) / n_sh"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Character-entropy quality signal: H = -Σ p·ln(p) over the per-doc
     // character distribution (gibberish and template spam sit at the
     // entropy extremes). Determinism: p = cnt/total is one exact IEEE
@@ -1224,6 +1272,40 @@ object LlmOps {
          |  md5(array_to_string(list_sort(list_distinct(
          |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, i, 1) AS c1, substr(text, i, 2) AS bgm
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - 1)) AS i
+        |        FROM documents WHERE length(text) >= 2)
+        |),
+        |bgc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
+        |c1c AS (SELECT c1, count(*) AS cc FROM bg GROUP BY c1),
+        |t AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(28,10)) AS term
+        |  FROM bg JOIN bgc USING (bgm) JOIN c1c USING (c1)
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-CAST(sum(term) AS DOUBLE) / count(*), 4) AS nll
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH s8 AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, $K) AS sh
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
+         |        FROM documents WHERE length(text) >= $K)
+         |),
+         |bench AS (SELECT DISTINCT sh FROM s8 WHERE doc_id % 97 = 0)
+         |SELECT s8.doc_id, count(*) AS n_sh,
+         |  CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 4) AS frac
+         |FROM s8 LEFT JOIN bench ON s8.sh = bench.sh
+         |WHERE s8.doc_id % 97 <> 0
+         |GROUP BY s8.doc_id ORDER BY s8.doc_id""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (
