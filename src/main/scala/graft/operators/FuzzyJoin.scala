@@ -54,12 +54,19 @@ object FuzzyJoin {
   }
 
   /** Full candidates→verify pipeline: all pairs with lev(w1, w2) ≤ maxDist
-    * (maxDist ≤ 2 — the neighborhood depth is fixed at 2). */
+    * (maxDist ≤ 2 — the neighborhood depth is fixed at 2). The verify
+    * predicate uses the banded `lev_within` expression
+    * ([[graft.plans.LevWithinExpression]]): exact when ≤ maxDist, k+1
+    * otherwise — O(k·L) per pair instead of the built-in levenshtein's
+    * full O(L²) DP, and it's the hot loop of the join. */
   def matchPairs(words: DataFrame, wordCol: String, maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"deletion neighborhood is built to depth 2; got maxDist=$maxDist")
+    graft.plans.GraftExtensions.register(words.sparkSession)
     candidatePairs(words, wordCol)
-      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast("long"))
+      .withColumn("dist",
+        call_function("lev_within", col("w1"), col("w2"), lit(maxDist))
+          .cast("long"))
       .where(col("dist") <= maxDist)
   }
 }

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.encodeWordFn)
+    ext.injectFunction(GraftExtensions.levWithinFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
@@ -28,10 +29,28 @@ object GraftExtensions {
       EncodeWordExpression(children.head)
     })
 
+  private val levWithinFn = (
+    new FunctionIdentifier("lev_within"),
+    new ExpressionInfo(classOf[LevWithinExpression].getName, "lev_within"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        s"lev_within expects (a, b, k), got ${children.length} arguments")
+      val k = children(2) match {
+        case e if e.foldable &&
+            e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"lev_within: k must be an INT literal, got $other")
+      }
+      LevWithinExpression(children(0), children(1), k)
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       encodeWordFn._1, encodeWordFn._2, encodeWordFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      levWithinFn._1, levWithinFn._2, levWithinFn._3)
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification

@@ -71,6 +71,18 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkFixture {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("BoundedLev.within == min(levenshtein, k+1) on random word pairs") {
+    val rnd = new scala.util.Random(11)
+    def w(): String =
+      (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 5000; k <- 0 to 3) {
+      val (a, b) = (w(), w())
+      val expected = math.min(lev(a, b), k + 1)
+      assert(graft.functions.BoundedLev.within(a, b, k) == expected,
+        s"a='$a' b='$b' k=$k")
+    }
+  }
+
   test("candidate join is an equi join — no nested-loop / cartesian plan") {
     import spark.implicits._
     val words = vocab.toDF("word")
