@@ -155,6 +155,24 @@ object Reference {
            |) WHERE lower(word) RLIKE '$KeepRegex'
            |GROUP BY word ORDER BY cnt DESC, word""".stripMargin)
     }),
+    // Schema evolution: two parquet batches written with DIFFERENT schemas
+    // (a later batch gained a `lang` column), read back under mergeSchema
+    // — missing columns surface as nulls, the union schema is the read
+    // schema. The long-lived-dataset reality at 100 TB: schemas accrete
+    // columns over years and old files are never rewritten.
+    "q_schema_evolution" -> ((s, dir) => {
+      val out = s"$TmpRoot/schema_evo"
+      docs(s, dir).where(col("doc_id") % 2 === 0)
+        .select("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/a")
+      docs(s, dir).where(col("doc_id") % 2 === 1)
+        .select("doc_id", "n_chars", "lang")
+        .write.mode("overwrite").parquet(s"$out/b")
+      s.read.option("mergeSchema", "true").parquet(s"$out/a", s"$out/b")
+        .groupBy(coalesce(col("lang"), lit("<missing>")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     // Hive-style partitioned layout + partition pruning: only the lang=…
     // directories named by the filter are read (PartitionFilters in the
     // scan; at 100 TB this is the difference between scanning one
@@ -220,6 +238,10 @@ object Reference {
          |WHERE NOT regexp_matches(word, '[\\r\\n]')
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q_sql_frontend" -> WordcountSql,
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<missing>' END AS lang,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_partitioned_scan" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'fr')

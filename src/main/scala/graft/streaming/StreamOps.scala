@@ -99,6 +99,26 @@ object StreamOps {
         col("c.user_id").as("user_id"), col("p.value").as("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER join: like [[clickToPurchase]], but clicks
+    * with no purchase in the window are still emitted (null purchase side)
+    * once the watermark proves no match can arrive — the state-eviction
+    * deadline doubles as the null-emission trigger, which is why outer
+    * stream-stream joins REQUIRE both the watermark and the time-range
+    * bound. */
+  def clickToPurchaseOuter(clicks: Dataset[Event], purchases: Dataset[Event],
+                           windowMs: Long = 30 * 60000L,
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", watermarkDelay).alias("c")
+    val p = purchases.toDF().withWatermark("ts", watermarkDelay).alias("p")
+    c.join(p,
+      col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $windowMs MILLISECONDS"),
+      "left_outer")
+      .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"), col("p.value").as("purchase_value"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMs` of event-time silence per user (state timeout), emitting
     * one [[Session]] row. Custom state logic the built-in windows can't

@@ -34,6 +34,37 @@ class StreamJoinSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickToPurchaseOuter(clicks.toDS(), purchases.toDS(),
+        windowMs = 30 * 60000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("cpo_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 0.0),   // will match
+        Event(2, ts(0), 8, "click", 0.0))                 // never matches
+      purchases.addData(Event(100, ts(10), 7, "purchase", 49.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click 2's join window so the
+      // engine can prove no purchase for user 8 can still arrive
+      clicks.addData(Event(3, ts(120), 9, "click", 0.0))
+      purchases.addData(Event(101, ts(120), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(4, ts(240), 9, "click", 0.0))
+      purchases.addData(Event(102, ts(240), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cpo_out")
+        .select("click_id", "purchase_id", "user_id")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2))).toSet
+      assert(rows.contains((1L, 100L, 7L)), rows)  // matched pair
+      assert(rows.contains((2L, -1L, 8L)), rows)   // null-emitted unmatched
+    } finally q.stop()
+  }
+
   test("foreachBatch applies Merge.upsert per micro-batch (streaming ETL sink)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_fb").toString
