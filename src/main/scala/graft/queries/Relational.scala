@@ -350,6 +350,25 @@ object Relational {
         .orderBy("event_type", "rnk")
     }),
 
+    // Map functions: per-user event-type→count map (map_from_entries),
+    // probed with element_at / size — lookups are entry-order-independent
+    // so determinism is free; the oracle computes the same scalars
+    // map-free (CASE sums), cross-checking the map semantics.
+    "q_map_funcs" -> ((s, dir) => {
+      val c = table(s, dir, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      c.groupBy("user_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+          .as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+          coalesce(element_at(col("m"), "error"), lit(0L)).as("errors"))
+        .orderBy("user_id")
+    }),
+
     // Array functions: per-user ordered event-type array + distinct count.
     "q_array_funcs" -> ((s, dir) =>
       table(s, dir, "events").groupBy("user_id")
@@ -698,6 +717,13 @@ object Relational {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
         |QUALIFY rnk <= 50
         |ORDER BY event_type, rnk""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_array_funcs" ->
       """SELECT user_id,
         |  array_to_string(list_sort(list(event_type)), ',') AS types_csv,

@@ -52,6 +52,18 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("components: dup cluster collapses to one vertex-free component set") {
+    val comps = SparkEntry.queries("q_dedup_components")(spark, dir).collect()
+    // the 200-dup cluster contributes NO component (collapsed before LSH);
+    // the planted near-pair (201, 202) must appear as one 2-member
+    // component unless swallowed by a larger legitimate cluster
+    val m = comps.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.forall(_.getLong(1) >= 2), comps.mkString("; "))
+    val containing = comps.find(r => r.getLong(0) <= 201 && r.getLong(2) >= 202)
+    assert(containing.isDefined, s"near pair not clustered: ${m.take(10)}")
+    spark.catalog.clearCache()
+  }
+
   test("ngram join is bounded by the df-cap under shared boilerplate") {
     // All 98 unique docs share the boilerplate prefix: df(boiler trigrams)
     // = 98 > NgramDfCap, so those trigrams must be dropped before the
