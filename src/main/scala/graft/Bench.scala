@@ -38,7 +38,11 @@ object Bench {
         spark.catalog.clearCache()
         t
       }
-      name -> times.sorted.apply(times.length / 2)
+      // ANY failed rep records the penalty — a median would let an
+      // intermittent failure (1 of 3) read as a clean passing time,
+      // defeating the "failure must not read as a speedup" invariant
+      name -> (if (times.contains(FailPenalty)) FailPenalty
+               else times.sorted.apply(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

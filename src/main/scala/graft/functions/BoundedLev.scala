@@ -15,7 +15,9 @@ object BoundedLev {
   private final val Inf = Int.MaxValue >> 1
 
   def within(a: String, b: String, k: Int): Int = {
-    if (k < 0) return 0
+    // the function builder rejects negative literals at analysis; keep the
+    // runtime guard so a direct caller can't read "0" as "within bound"
+    require(k >= 0, s"lev_within bound must be non-negative, got $k")
     val n = a.length
     val m = b.length
     if (Math.abs(n - m) > k) return k + 1

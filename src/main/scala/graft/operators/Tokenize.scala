@@ -43,6 +43,13 @@ object Tokenize {
   def tokenArray(text: Column): Column =
     split(trim(regexp_replace(text, Delim, " ")), " ")
 
+  /** Bag-of-words identity: md5 of the sorted distinct token set — robust
+    * to word order, catches shuffled duplicates. Single definition shared
+    * by the batch catalog (q_fingerprint) and the streaming dedup
+    * (StreamOps.dedupByFingerprint), which promise the SAME identity. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokenArray(text)))))
+
   /** Global word count: (word, cnt), single shuffle, partial agg map-side. */
   def wordCount(df: DataFrame, textCol: String): DataFrame =
     tokenize(df.select(col(textCol)), textCol)

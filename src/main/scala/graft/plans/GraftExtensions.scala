@@ -42,6 +42,7 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"lev_within: k must be an INT literal, got $other")
       }
+      require(k >= 0, s"lev_within: k must be non-negative, got $k")
       LevWithinExpression(children(0), children(1), k)
     })
 

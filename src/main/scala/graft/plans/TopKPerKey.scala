@@ -42,12 +42,20 @@ case class TopKPerKeyExec(keys: Seq[Attribute], ordering: Seq[SortOrder],
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  // Float keys must group -0.0 with 0.0 and all NaN bit patterns together
+  // (the semantics Window/Aggregate get from the NormalizeFloatingNumbers
+  // rule, which doesn't know this node): normalize both the shuffle keys
+  // (co-location) and the per-partition grouping projection (co-grouping).
+  private def normalizedKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    keys.map(org.apache.spark.sql.graft.GraftSqlShim.normalizeFloat)
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
-    else Seq(ClusteredDistribution(keys))
+    else Seq(ClusteredDistribution(normalizedKeys))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (ks, so, out, kk) = (keys, ordering, child.output, k)
+    val (ks, so, out, kk) = (normalizedKeys, ordering, child.output, k)
     child.execute().mapPartitions({ iter =>
       // codegen'd projections/orderings are created per partition — they
       // are not serializable, only their expression trees are

@@ -229,23 +229,33 @@ object LlmOps {
     * q_pipeline_prep (Spark side; [[NearDupsSql]] is the oracle twin).
     * `sets` is persisted — it feeds both verify-join sides plus the size
     * aggregate. */
-  /** Verified near-dup pairs (d1 < d2, over exact-dup representatives):
-    * LSH candidates whose exact shingle-Jaccard ≥ `thr`. */
-  private def verifiedPairs(s: SparkSession, dir: String,
-                            thr: Double = 0.5): DataFrame = {
+  /** Exact shingle-Jaccard of EVERY LSH candidate pair (d1 < d2, over
+    * exact-dup representatives) — the verify stage computed once, shared
+    * by the q_dedup_minhash_verified catalog query (which rounds for
+    * display) and [[verifiedPairs]] (which thresholds). Candidates with
+    * zero shared shingles keep jac = 0 (left-outer co-count). */
+  private def verifiedJaccard(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashCandPairs(s, dir)
     val sets = maybePersist(repShingles(s, dir).distinct())
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs
+    val co = pairs
       .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .where(col("sh") === col("sh2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+    pairs
+      .join(co, Seq("d1", "d2"), "left_outer")
       .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
       .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-      .where(expr(s"CAST(co AS DOUBLE) / (sa + sb - co) >= $thr"))
-      .select("d1", "d2")
+      .withColumn("jac",
+        expr("CAST(coalesce(co, 0) AS DOUBLE) / (sa + sb - coalesce(co, 0))"))
+      .select("d1", "d2", "jac")
   }
+
+  /** Verified near-dup pairs: LSH candidates with Jaccard ≥ `thr`. */
+  private def verifiedPairs(s: SparkSession, dir: String,
+                            thr: Double = 0.5): DataFrame =
+    verifiedJaccard(s, dir).where(col("jac") >= thr).select("d1", "d2")
 
   private def verifiedDupIds(s: SparkSession, dir: String,
                              thr: Double = 0.5): DataFrame = {
@@ -295,24 +305,12 @@ object LlmOps {
     // LSH verify stage: exact shingle-Jaccard computed ONLY on the LSH
     // candidate pairs (never all pairs) — the candidates→verify dedup
     // pipeline end to end; cost is O(|candidates| · shingles/doc).
-    "q_dedup_minhash_verified" -> ((s, dir) => {
-      val pairs = minhashCandPairs(s, dir)
-      val sets = maybePersist(repShingles(s, dir).distinct())
-      val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val co = pairs
-        .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-        .where(col("sh") === col("sh2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
-      pairs
-        .join(co, Seq("d1", "d2"), "left_outer")
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-        .withColumn("jac", round(
-          expr("CAST(coalesce(co, 0) AS DOUBLE) / (sa + sb - coalesce(co, 0))"), 4))
-        .select("d1", "d2", "jac")
-        .orderBy("d1", "d2")
-    }),
+    // Same verifiedJaccard stage as verifiedPairs/q_dedup_apply/
+    // q_dedup_components — one implementation, rounded here for display.
+    "q_dedup_minhash_verified" -> ((s, dir) =>
+      verifiedJaccard(s, dir)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .orderBy("d1", "d2")),
 
     // Dedup APPLY: the pipeline's final step — drop every exact duplicate
     // (non-representative of its text cluster) and every doc that appears
@@ -614,8 +612,7 @@ object LlmOps {
     // words identity, robust to word order — catches shuffled duplicates).
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        md5(concat_ws(" ",
-          array_sort(array_distinct(Tokenize.tokenArray(col("text")))))).as("fp"))
+        Tokenize.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
     // Near-dup CLUSTERS via connected components: min-label propagation
@@ -659,12 +656,14 @@ object LlmOps {
     // narrow pass. Same determinism scheme as q_char_entropy: exact
     // integer-ratio division, ln pre-rounded to 8, decimal-summed terms.
     "q_lm_score" -> ((s, dir) => {
-      val bg = docs(s, dir).where(length(col("text")) >= 2)
+      // bg feeds three consumers (both model aggregates + the scoring
+      // probe — different shapes, so ReuseExchange can't unify them)
+      val bg = maybePersist(docs(s, dir).where(length(col("text")) >= 2)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
           col("text"))
         .select(col("doc_id"), expr("substring(text, i, 1)").as("c1"),
-          expr("substring(text, i, 2)").as("bgm"))
+          expr("substring(text, i, 2)").as("bgm")))
       val bgCnt = bg.groupBy("bgm").agg(count(lit(1)).as("bc"))
       val c1Cnt = bg.groupBy("c1").agg(count(lit(1)).as("cc"))
       bg.join(broadcast(bgCnt), "bgm").join(broadcast(c1Cnt), "c1")
@@ -798,13 +797,6 @@ object LlmOps {
   )
 
   // ---- sampling / scrubbing / packing constants (shared Spark + SQL) ----
-
-  /** Stable per-doc bucket in [0, 100): first 8 md5 hex chars of the key
-    * as an integer, mod 100. Identical in both engines (md5 hex parity). */
-  private val HashBucketSpark =
-    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
-  private def hashBucketSql =
-    s"${hex2longSql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100"
 
   /** RE2-safe scrub patterns (no backrefs / lookaround): both Java regex
     * and DuckDB's RE2 interpret them identically. URL first (it may

@@ -238,8 +238,12 @@ object Reference {
          |WHERE NOT regexp_matches(word, '[\\r\\n]')
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q_sql_frontend" -> WordcountSql,
+    // coalesce also on the odd (lang-bearing) branch: a NULL lang in the
+    // newer batch must land in '<missing>' on both sides, as the Spark
+    // query's coalesce does
     "q_schema_evolution" ->
-      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<missing>' END AS lang,
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN coalesce(lang, '<missing>')
+        |       ELSE '<missing>' END AS lang,
         |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_partitioned_scan" ->

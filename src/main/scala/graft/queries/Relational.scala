@@ -323,8 +323,7 @@ object Relational {
     // the same deterministic hash bucket as q_sample_hash, so the mix is
     // reproducible and growth-stable.
     "q_sample_stratified" -> ((s, dir) => {
-      val bucket = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      val bucket = expr(HashBucketSpark)
       val rate = when(col("lang") === "en", 10)
         .when(col("lang") === "fr", 50).otherwise(90)
       table(s, dir, "documents")

@@ -54,13 +54,43 @@ package object queries {
       s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * $w"
     }.mkString("(", " + ", ")")
 
+  /** Stable per-doc bucket in [0, 100): first 8 md5 hex chars of the KEY
+    * (not the row — re-runs and re-partitions agree) as an integer mod
+    * 100. Single definition for every sampling/split query; identical in
+    * both engines (md5 hex parity). */
+  val HashBucketSpark: String =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+
+  /** DuckDB twin of [[HashBucketSpark]]. */
+  def hashBucketSql: String =
+    s"${hex2longSql("md5(CAST(doc_id AS VARCHAR))", 1)} % 100"
+
   /** Per-process scratch root for sink round-trip queries: two JVMs (e.g.
     * a Bench run while the driver's Verify is still writing) must not
     * overwrite each other's outputs mid-read. Within one process reruns
     * reuse (overwrite) the same directory, which is safe — evaluation is
-    * sequential per session. */
-  lazy val TmpRoot: String =
-    s"/root/repo/target/tmp/run-${ProcessHandle.current().pid()}"
+    * sequential per session. Creating it also sweeps run-* dirs left by
+    * DEAD processes so repeated dev-loop runs don't grow target/tmp
+    * unboundedly (live PIDs are left alone). */
+  lazy val TmpRoot: String = {
+    val root = new java.io.File("/root/repo/target/tmp")
+    val mine = s"run-${ProcessHandle.current().pid()}"
+    val stale = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("run-") && f.getName != mine)
+      .filter { f =>
+        f.getName.stripPrefix("run-").toLongOption.forall { pid =>
+          val h = ProcessHandle.of(pid)
+          !h.isPresent || !h.get().isAlive
+        }
+      }
+    stale.foreach(deleteRecursively)
+    s"${root.getPath}/$mine"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** The corpus tokens (doc_id, word) shared by every text query. */
   def corpusToks(s: SparkSession, dir: String): DataFrame =

@@ -67,8 +67,7 @@ object StreamOps {
   def dedupByFingerprint(docs: DataFrame,
                          watermarkDelay: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fp", md5(concat_ws(" ",
-        array_sort(array_distinct(Tokenize.tokenArray(col("text")))))))
+      .withColumn("fp", Tokenize.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
@@ -82,22 +81,31 @@ object StreamOps {
     e.join(broadcast(dim), e("user_id") === dim(dimKey), "left")
   }
 
-  /** Stream-stream inner join: match each click to purchases by the same
-    * user within `windowMs` AFTER the click. Both sides carry watermarks
-    * and the join condition bounds event-time distance, so Spark can evict
-    * buffered state — the required shape for an unbounded-unbounded join. */
-  def clickToPurchase(clicks: Dataset[Event], purchases: Dataset[Event],
-                      windowMs: Long = 30 * 60000L,
-                      watermarkDelay: String = "10 minutes"): DataFrame = {
+  /** Shared body of the click→purchase stream-stream joins: watermarked
+    * both sides, user equi-key, purchase within `windowMs` AFTER the
+    * click (the event-time bound that lets Spark evict buffered state —
+    * required for any unbounded-unbounded join). One implementation so
+    * the inner and outer variants cannot drift. */
+  private def clickPurchaseJoin(clicks: Dataset[Event], purchases: Dataset[Event],
+                                windowMs: Long, watermarkDelay: String,
+                                joinType: String): DataFrame = {
     val c = clicks.toDF().withWatermark("ts", watermarkDelay).alias("c")
     val p = purchases.toDF().withWatermark("ts", watermarkDelay).alias("p")
     c.join(p,
       col("c.user_id") === col("p.user_id") &&
         col("p.ts") >= col("c.ts") &&
-        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $windowMs MILLISECONDS"))
+        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $windowMs MILLISECONDS"),
+      joinType)
       .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
         col("c.user_id").as("user_id"), col("p.value").as("purchase_value"))
   }
+
+  /** Stream-stream inner join: match each click to purchases by the same
+    * user within `windowMs` AFTER the click. */
+  def clickToPurchase(clicks: Dataset[Event], purchases: Dataset[Event],
+                      windowMs: Long = 30 * 60000L,
+                      watermarkDelay: String = "10 minutes"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, windowMs, watermarkDelay, "inner")
 
   /** Stream-stream LEFT OUTER join: like [[clickToPurchase]], but clicks
     * with no purchase in the window are still emitted (null purchase side)
@@ -107,17 +115,8 @@ object StreamOps {
     * bound. */
   def clickToPurchaseOuter(clicks: Dataset[Event], purchases: Dataset[Event],
                            windowMs: Long = 30 * 60000L,
-                           watermarkDelay: String = "10 minutes"): DataFrame = {
-    val c = clicks.toDF().withWatermark("ts", watermarkDelay).alias("c")
-    val p = purchases.toDF().withWatermark("ts", watermarkDelay).alias("p")
-    c.join(p,
-      col("c.user_id") === col("p.user_id") &&
-        col("p.ts") >= col("c.ts") &&
-        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $windowMs MILLISECONDS"),
-      "left_outer")
-      .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
-        col("c.user_id").as("user_id"), col("p.value").as("purchase_value"))
-  }
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    clickPurchaseJoin(clicks, purchases, windowMs, watermarkDelay, "left_outer")
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMs` of event-time silence per user (state timeout), emitting

@@ -12,4 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** private[sql] NormalizeFloatingNumbers.normalize: -0.0 → 0.0 and NaN
+    * canonicalization, the same treatment Spark's own Aggregate/Window/
+    * Join keys get — needed by custom grouping operators (TopKPerKeyExec)
+    * for float-key group identity. */
+  def normalizeFloat(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

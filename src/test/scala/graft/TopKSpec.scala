@@ -39,6 +39,17 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
     assert(native(events.repartition(13), k) == expected)
   }
 
+  test("float keys: -0.0 and 0.0 (and NaN bit patterns) form ONE group") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L))
+      .toDF("dkey", "id")
+    val got = TopK.perKey(df, Seq("dkey"), Seq(("id", true)), 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // one group of 4 rows pruned to k=3 best ids; un-normalized raw-byte
+    // grouping would keep two groups of 2 and emit all 4 rows
+    assert(got == Set(1L, 2L, 3L), got)
+  }
+
   test("plans as partial+final TopKPerKeyExec around one exchange, no sort") {
     val df = TopK.perKey(events, Seq("user_id"), Seq(("value", false), ("event_id", true)), 3)
     val p = df.queryExecution.executedPlan.toString
