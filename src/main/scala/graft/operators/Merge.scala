@@ -21,4 +21,26 @@ object Merge {
   def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
     updates.unionByName(
       target.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** CDC apply: fold a change feed into `target`. `changes` carries the
+    * target schema plus `opCol` ('I'nsert / 'U'pdate / 'D'elete) and
+    * `seqCol` (change order). Per key, only the LATEST change (max seq,
+    * ties broken by op descending — deterministic) is applied: I/U
+    * replace the row (upsert semantics), D removes it. Shapes: one
+    * window over the (small) change feed + the upsert's anti-join —
+    * the target is never shuffled more than once.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, key: String,
+                   opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val survivors = latest.where(col(opCol) =!= "D").drop(opCol, seqCol)
+    // every keyed change (incl. deletes) masks the target row; survivors
+    // re-insert the replaced version
+    survivors.unionByName(
+      target.join(latest.select(key), Seq(key), "left_anti"))
+  }
 }

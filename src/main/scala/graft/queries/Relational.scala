@@ -224,6 +224,29 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // CDC apply: fold a change feed (inserts + updates + deletes with a
+    // sequence order) into the orders table via Merge.applyChanges, then
+    // aggregate the surviving state. The oracle reconstructs the same
+    // state with CASE/WHERE set logic — no window, no feed — so the
+    // latest-change-wins semantics are cross-checked by a different
+    // algorithm.
+    "q_cdc_apply" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val dels = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+      val upds = o.where(col("o_orderkey") % 7 === 1)
+        .withColumn("o_orderpriority", lit("9-CDC"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val ins = o.where(col("o_orderkey") % 7 === 2)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+        .withColumn("op", lit("I")).withColumn("seq", lit(3L))
+      graft.operators.Merge
+        .applyChanges(o, dels.unionByName(upds).unionByName(ins), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // GROUPING SETS: explicit grouping-set list in one Expand pass.
     "q_grouping_sets" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -634,6 +657,20 @@ object Relational {
          |SELECT o_orderpriority, count(*) AS n,
          |  ${dsumSql("o_totalprice", 2)} AS total
          |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cdc_apply" ->
+      s"""WITH merged AS (
+         |  SELECT CASE WHEN o_orderkey % 7 = 1 THEN '9-CDC'
+         |         ELSE o_orderpriority END AS o_orderpriority,
+         |    o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderpriority, o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 = 2
+         |)
+         |SELECT o_orderpriority, count(*) AS n,
+         |  ${dsumSql("o_totalprice", 2)} AS total
+         |FROM merged GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
