@@ -464,6 +464,31 @@ object Relational {
           length(col("props")).cast("long").as("props_len"))
         .orderBy("event_id")),
 
+    // Bucketed co-located join: both sides written bucketBy the join key,
+    // then joined table-to-table — with matching bucket counts the join
+    // needs NO Exchange (proven plan-level in JoinsSpec, which disables
+    // the broadcast fallback; at this SF the small side broadcasts, which
+    // is also fine). At 100 TB this is the pre-shuffled layout you write
+    // once and join against forever. Oracle = plain-join oracle.
+    "q_join_bucketed" -> ((s, dir) => {
+      val (lt, ot) = ("graft_bl_lineitem", "graft_bl_orders")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$TmpRoot/bl_lineitem").saveAsTable(lt)
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$TmpRoot/bl_orders").saveAsTable(ot)
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Salted fact-fact join (operators.Skew.saltedJoin): the left side
     // splits each key over 8 salts, the right replicates once per salt —
     // row-identical to the plain join (same oracle SQL as
@@ -531,6 +556,12 @@ object Relational {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_join_sortmerge" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // row-identical to the plain join by construction — same oracle
+    "q_join_bucketed" ->
       s"""SELECT o_orderpriority, count(*) AS n,
          |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
