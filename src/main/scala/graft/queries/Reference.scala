@@ -155,6 +155,17 @@ object Reference {
            |) WHERE lower(word) RLIKE '$KeepRegex'
            |GROUP BY word ORDER BY cnt DESC, word""".stripMargin)
     }),
+    // Custom DataSource V2 (graft.sources.SynthSource): a deterministic
+    // generator corpus — text is a pure function of doc_id, so the DuckDB
+    // oracle REGENERATES the same corpus in SQL and the hash match proves
+    // the connector (TableProvider → Scan → partition readers) produces
+    // exactly the specified rows across its parallel id-range partitions.
+    "q_synth_source" -> ((s, _) =>
+      s.read.format("graft.sources.SynthSource")
+        .option("rows", "500").option("partitions", "8").load()
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
     // Schema evolution: two parquet batches written with DIFFERENT schemas
     // (a later batch gained a `lang` column), read back under mergeSchema
     // — missing columns surface as nulls, the union schema is the read
@@ -238,6 +249,20 @@ object Reference {
          |WHERE NOT regexp_matches(word, '[\\r\\n]')
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q_sql_frontend" -> WordcountSql,
+    "q_synth_source" -> {
+      val cases = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+        s"WHEN '$c' THEN '${graft.sources.SynthSource.Vocab(i)}'"
+      }.mkString(" ")
+      s"""WITH g AS (
+         |  SELECT i AS doc_id,
+         |    array_to_string(list_transform(
+         |      split(substr(md5(CAST(i AS VARCHAR)), 1, 16), ''),
+         |      c -> CASE c $cases END), ' ') AS text
+         |  FROM generate_series(0, 499) t(i)
+         |)
+         |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     // coalesce also on the odd (lang-bearing) branch: a NULL lang in the
     // newer batch must land in '<missing>' on both sides, as the Spark
     // query's coalesce does

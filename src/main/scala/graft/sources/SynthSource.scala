@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2: a deterministic synthetic document corpus —
+  * `spark.read.format("graft.sources.SynthSource").option("rows", n)
+  * .option("partitions", p).load()` → (doc_id BIGINT, text STRING).
+  *
+  * Generation is a pure function of doc_id (16 words indexed by the first
+  * 16 hex digits of md5(doc_id)), so the corpus is identical across runs,
+  * partition counts and engines — a DuckDB oracle can regenerate it in
+  * SQL, which is what q_synth_source checks. Reads are embarrassingly
+  * parallel (one contiguous id range per input partition, no shuffle, no
+  * driver-side data) and the scan supports COLUMN PRUNING: a doc_id-only
+  * projection never computes md5/text at all.
+  *
+  * This is the extension tier for sources (SURVEY.md §7): TableProvider →
+  * Table → ScanBuilder (+ SupportsPushDownRequiredColumns) → Batch →
+  * PartitionReaderFactory, the same surface a parquet/Kafka connector
+  * implements, here with a generator instead of IO.
+  */
+class SynthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SynthSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** 16 words indexed by a hex digit — the whole generation rule. */
+  val Vocab: IndexedSeq[String] = IndexedSeq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+    "oscar", "papa")
+
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The document for an id: 16 vocab words picked by the first 16 hex
+    * digits of md5(id). Mirrored in SQL by q_synth_source's oracle. */
+  def text(id: Long): String =
+    md5hex(id.toString).substring(0, 16)
+      .map(c => Vocab(Character.digit(c, 16))).mkString(" ")
+}
+
+private class SynthTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"synth($rows, $partitions)"
+  override def schema(): StructType = SynthSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, partitions)
+}
+
+private class SynthScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SynthSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SynthScan(rows, partitions, required)
+}
+
+private class SynthScan(rows: Long, partitions: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + partitions - 1) / partitions
+    (0 until partitions).iterator
+      .map(i => SynthRange(i * per, math.min((i + 1) * per, rows)))
+      .filter(r => r.start < r.end).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+}
+
+private case class SynthRange(start: Long, end: Long) extends InputPartition
+
+private class SynthReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val SynthRange(start, end) = partition: @unchecked
+    new PartitionReader[InternalRow] {
+      private var id = start - 1
+      override def next(): Boolean = { id += 1; id < end }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map {
+          case "doc_id" => id: Any
+          // text is only generated when the projection asks for it —
+          // the pruning contract a real connector honors
+          case "text" => UTF8String.fromString(SynthSource.text(id)): Any
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

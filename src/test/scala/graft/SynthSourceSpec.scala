@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DSv2 source must be partition-invariant, exact on row
+  * counts under ragged ranges, and honor column pruning down to the
+  * generator (a doc_id-only scan must not carry text). */
+class SynthSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def read(rows: Int, parts: Int) =
+    spark.read.format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("partitions", parts.toString)
+      .load()
+
+  test("row count exact under ragged partitioning; ids are 0..n-1") {
+    for (parts <- Seq(1, 3, 7)) {
+      val ids = read(100, parts).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 100L), s"parts=$parts")
+    }
+  }
+
+  test("content is partition-count-invariant and matches the generator") {
+    val a = read(64, 2).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = read(64, 9).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b)
+    assert(a(7L) == graft.sources.SynthSource.text(7L))
+  }
+
+  test("column pruning reaches the scan: doc_id-only read schema") {
+    val p = read(10, 2).select("doc_id").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // DSv2 BatchScan prints its (pruned) output attrs, not a ReadSchema
+    val scanOut = "(?s)BatchScan synth[^\\n]*\\nOutput \\[1\\]: \\[doc_id#\\d+L\\]".r
+    assert(scanOut.findFirstIn(p).isDefined, p)
+    assert(!p.contains("text#"), p)
+  }
+}
