@@ -71,21 +71,50 @@ private class SynthTable(rows: Long, partitions: Int)
 }
 
 private class SynthScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = SynthSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  // generated ids live in [lo, hi) — doc_id comparisons narrow the range
+  // EXACTLY (ids are dense and ordered), so handled filters need no
+  // residual re-evaluation and pruned partitions are never generated
+  private var lo = 0L
+  private var hi = Long.MaxValue
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, partitions, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // unhandled filters stay with Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SynthScan(math.min(rows, math.max(hi, 0)), math.max(lo, 0),
+      partitions, required)
 }
 
-private class SynthScan(rows: Long, partitions: Int, required: StructType)
-    extends Scan with Batch {
+private class SynthScan(limit: Long, offset: Long, partitions: Int,
+                        required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + partitions - 1) / partitions
+    val total = math.max(limit - offset, 0L)
+    val per = math.max((total + partitions - 1) / partitions, 1L)
     (0 until partitions).iterator
-      .map(i => SynthRange(i * per, math.min((i + 1) * per, rows)))
+      .map(i => SynthRange(offset + i * per,
+        math.min(offset + (i + 1) * per, limit)))
       .filter(r => r.start < r.end).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -27,6 +27,17 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
     assert(a(7L) == graft.sources.SynthSource.text(7L))
   }
 
+  test("doc_id range filters push into the scan: no Spark-side Filter node") {
+    val df = read(100, 4).where("doc_id >= 90 AND doc_id < 95")
+    assert(df.count() == 5)
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (90L until 95L))
+    val p = df.queryExecution.executedPlan.toString
+    // fully absorbed by the source: no Filter NODE ("Filter (cond)") —
+    // the always-printed "RuntimeFilters: []" label doesn't count
+    assert("Filter \\(".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("column pruning reaches the scan: doc_id-only read schema") {
     val p = read(10, 2).select("doc_id").queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
