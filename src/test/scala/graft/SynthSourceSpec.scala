@@ -38,6 +38,22 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
     assert("Filter \\(".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("ChecksumSink: commit-aggregated checksum is partition-invariant") {
+    def write(parts: Int, name: String): Unit =
+      read(200, parts).write.format("graft.sources.ChecksumSink")
+        .option("name", name).mode("append").save()
+    write(2, "t2")
+    write(11, "t11")
+    val (a, b) = (graft.sources.ChecksumSink.result("t2"),
+      graft.sources.ChecksumSink.result("t11"))
+    assert(a.isDefined && a.get._1 == 200L, a)
+    assert(a == b, s"$a != $b") // xor/count commute across partitionings
+    // different data -> different checksum (overwhelming probability)
+    read(199, 3).write.format("graft.sources.ChecksumSink")
+      .option("name", "t199").mode("overwrite").save()
+    assert(graft.sources.ChecksumSink.result("t199").get != a.get)
+  }
+
   test("column pruning reaches the scan: doc_id-only read schema") {
     val p = read(10, 2).select("doc_id").queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
