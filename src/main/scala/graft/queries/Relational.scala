@@ -56,6 +56,25 @@ object Relational {
             .as("revenue"))
         .orderBy("o_orderpriority")),
 
+    // TPC-H Q9-shaped profit rollup: the 4-way star join over the
+    // remaining dimension tables (part, supplier, nation) around the
+    // lineitem fact. All three dimensions broadcast — the fact side never
+    // shuffles before the (tiny) group-by exchange.
+    "q_star_profit" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"),
+          dsum(col("l_quantity") * col("p_retailprice"), 4).as("retail_value"))
+        .orderBy("n_name", "p_brand")),
+
     // Left-semi: customers with ≥1 order (existence join, no row duplication).
     "q_join_semi" -> ((s, dir) =>
       table(s, dir, "customer")
@@ -577,6 +596,15 @@ object Relational {
       s"""SELECT count(*) AS n, ${dsumSql("l_quantity", 2)} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_star_profit" ->
+      s"""SELECT n_name, p_brand, count(*) AS n,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue,
+         |  ${dsumSql("l_quantity*p_retailprice", 4)} AS retail_value
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -77,6 +77,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_star_profit: all three dimensions broadcast, fact never shuffles pre-agg") {
+    val p = plan("q_star_profit")
+    assert("BroadcastHashJoin Inner".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_join_salted: salt column participates in the join keys") {
     val p = plan("q_join_salted")
     assert(p.contains("__salt"), p)
