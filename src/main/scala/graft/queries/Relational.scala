@@ -93,6 +93,24 @@ object Relational {
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")),
 
+    // Correlated scalar subquery (SQL front door): customers above their
+    // nation's average balance. Catalyst decorrelates the per-row subquery
+    // into an aggregate + join — no per-row re-execution survives in the
+    // plan. The threshold uses a decimal-backed average so the comparison
+    // boundary is bit-identical across engines (a plain double avg could
+    // flip boundary rows on summation order).
+    "q_subquery" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+          |FROM customer_v c
+          |WHERE c_acctbal > (
+          |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |         / count(*)
+          |  FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ROLLUP: hierarchical grouping sets in one pass (Expand + partial agg).
     "q_rollup" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -614,6 +632,14 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
