@@ -648,6 +648,21 @@ object LlmOps {
         .orderBy("comp_id")
     }),
 
+    // Higher-order array functions over the embedding vectors: filter /
+    // exists / transform+aggregate — the lambda-function family (used
+    // inside every ANN query) exercised as first-class operators on the
+    // quantized (exact-integer) representation so both engines agree.
+    "q_array_hof" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"), expr(QuantSpark).as("q"))
+        .select(col("vec_id"),
+          expr("CAST(size(filter(q, x -> x > 0)) AS BIGINT)").as("n_pos"),
+          expr("exists(q, x -> x >= 900)").as("has_big"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("l1"),
+          expr("CAST(array_max(q) AS BIGINT)").as("qmax"),
+          expr("CAST(array_min(q) AS BIGINT)").as("qmin"))
+        .orderBy("vec_id")),
+
     // n-gram LM quality scoring (the CCNet/KenLM-style filter): train a
     // char-bigram model on the corpus itself (P(c2|c1) = cnt(c1c2) /
     // cnt(c1 at non-final positions)), then score each doc by its average
@@ -1264,6 +1279,20 @@ object LlmOps {
          |  md5(array_to_string(list_sort(list_distinct(
          |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_array_hof" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> ${quantSqlElem("x")}) AS q
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_pos,
+         |  len(list_filter(q, x -> x >= 900)) > 0 AS has_big,
+         |  CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT) AS l1,
+         |  CAST(list_max(q) AS BIGINT) AS qmax,
+         |  CAST(list_min(q) AS BIGINT) AS qmin
+         |FROM qv ORDER BY vec_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH bg AS (
