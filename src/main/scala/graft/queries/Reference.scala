@@ -155,6 +155,25 @@ object Reference {
            |) WHERE lower(word) RLIKE '$KeepRegex'
            |GROUP BY word ORDER BY cnt DESC, word""".stripMargin)
     }),
+    // Corrupt-record tolerance: a CSV with planted malformed lines read
+    // under PERMISSIVE mode — bad rows land in _corrupt_record instead of
+    // failing the job (the 100 TB ingest reality: a few broken records
+    // must not kill a million-file read). Counts and the good-row
+    // checksum are oracle-checked from the same construction rule.
+    "q_csv_corrupt" -> ((s, dir) => {
+      val out = s"$TmpRoot/csv_corrupt"
+      val good = table(s, dir, "orders")
+        .select(concat_ws(",", col("o_orderkey"), col("o_custkey")).as("value"))
+      val bad = table(s, dir, "orders").where(col("o_orderkey") % 10 === 0)
+        .select(concat(lit("corrupt#"), col("o_orderkey")).as("value"))
+      good.unionByName(bad).write.mode("overwrite").text(out)
+      s.read.schema("k BIGINT, c BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE").csv(out)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+    }),
     // Custom DataSource V2 (graft.sources.SynthSource): a deterministic
     // generator corpus — text is a pure function of doc_id, so the DuckDB
     // oracle REGENERATES the same corpus in SQL and the hash match proves
@@ -249,6 +268,12 @@ object Reference {
          |WHERE NOT regexp_matches(word, '[\\r\\n]')
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q_sql_frontend" -> WordcountSql,
+    "q_csv_corrupt" ->
+      """SELECT count(*) + CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |  count(*) AS n_good,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders""".stripMargin,
     "q_synth_source" -> {
       val cases = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
         s"WHEN '$c' THEN '${graft.sources.SynthSource.Vocab(i)}'"
