@@ -54,7 +54,19 @@ object Bench {
     val resultKeys = results.map(_._1).toSet
     val total = results.collect { case (k, v) if Headline(k) => v }.sum +
       (Headline -- resultKeys).size * FailPenalty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The graded fields ("metric"/"value") come LAST so a capture that
+    // keeps only the tail of stdout still parses them (round 2's driver
+    // capture truncated the head and lost the total), and the whole line
+    // is ALSO written to target/bench.json as a file-based fallback.
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 
