@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions.{col, udf}
   */
 object BloomPrune {
 
+  /** @param expectedItems sizing for the filter; when None (the default)
+    *   it is derived from `dim.count()` — one cheap count action. A fixed
+    *   guess here is a silent failure mode: undersizing by 1000× pushes
+    *   the realized FPP toward 1 and the "prune" degrades to a no-op
+    *   (still correct, but the operator's point evaporates). */
   def preFilter(fact: DataFrame, factKey: String,
                 dim: DataFrame, dimKey: String,
-                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+                expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
     // explicit contract: long keys only. A mistyped key column would be
     // implicitly cast under the Long-typed UDF and silently filter
     // everything out instead of erroring.
@@ -27,7 +32,8 @@ object BloomPrune {
       s"BloomPrune.preFilter requires BIGINT keys; got " +
         s"$factKey: ${fact.schema(factKey).dataType.catalogString}, " +
         s"$dimKey: ${dim.schema(dimKey).dataType.catalogString}")
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val items = expectedItems.getOrElse(math.max(dim.count(), 1L))
+    val bf = dim.stat.bloomFilter(dimKey, items, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     // named so plan tests (and humans reading .explain) can see the prune
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))

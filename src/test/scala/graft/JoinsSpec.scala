@@ -52,6 +52,26 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     assert(salted == plain)
   }
 
+  test("BloomPrune auto-sizes from the dimension: FPP holds at dim >> 1M keys") {
+    // 2M dimension keys — double the old fixed default of 1M, which would
+    // have inflated the realized FPP well past the requested 1%. The
+    // auto-sized filter (expectedItems = dim.count()) must keep the
+    // realized FPP on a DISJOINT probe set near the requested fpp.
+    val dim = spark.range(2000000L).toDF("k")
+    val probeN = 200000L
+    val probe = spark.range(2000000L, 2000000L + probeN).toDF("k")
+    val survivors = graft.operators.BloomPrune
+      .preFilter(probe, "k", dim, "k", None, 0.01).count()
+    val fppAuto = survivors.toDouble / probeN
+    assert(fppAuto < 0.03, s"auto-sized realized FPP $fppAuto")
+    // and the missized fixed guess is measurably worse — the failure mode
+    // the auto default exists to prevent
+    val survivorsFixed = graft.operators.BloomPrune
+      .preFilter(probe, "k", dim, "k", Some(100000L), 0.01).count()
+    assert(survivorsFixed > survivors * 3,
+      s"fixed-100k sizing should degrade: $survivorsFixed vs $survivors")
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")

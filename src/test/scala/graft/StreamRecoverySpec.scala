@@ -82,7 +82,7 @@ class StreamRecoverySpec extends AnyFunSuite with SparkFixture {
       .select("c_custkey", "c_name")
     val fact = spark.read.parquet(s"$Sf/orders.parquet")
     val pruned = graft.operators.BloomPrune
-      .preFilter(fact, "o_custkey", dim, "c_custkey", 100000L, 0.01)
+      .preFilter(fact, "o_custkey", dim, "c_custkey", Some(100000L), 0.01)
     assert(pruned.count() < fact.count()) // actually prunes
     val plain = fact.join(dim, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey").count().collect().map(_.toString).sorted.toSeq
