@@ -54,33 +54,89 @@ case class TopKPerKeyExec(keys: Seq[Attribute], ordering: Seq[SortOrder],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(normalizedKeys))
 
+  /** In-memory heap-map key budget per task. The heap map is O(keys·k);
+    * past this many distinct keys, NEW keys fall back to a spillable
+    * external sort (see doExecute) instead of growing the map — the same
+    * degrade-to-sort contract HashAggregateExec honors. */
+  private lazy val maxKeysInMemory: Int =
+    conf.getConfString("spark.graft.topk.maxKeysInMemory", (1 << 22).toString).toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, so, out, kk) = (normalizedKeys, ordering, child.output, k)
+    val maxKeys = maxKeysInMemory
     child.execute().mapPartitions({ iter =>
       // codegen'd projections/orderings are created per partition — they
       // are not serializable, only their expression trees are
       val keyProj = UnsafeProjection.create(ks, out)
       val rowProj = UnsafeProjection.create(out, out)
       val ord = RowOrdering.create(so, out).asInstanceOf[Ordering[InternalRow]]
+      val rowOrd = ord.asInstanceOf[Ordering[UnsafeRow]]
       // max-heap by sort order: top = worst retained row, evicted first
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+      // Spill fallback: keys arriving after the map hits its budget are
+      // routed WHOLE (a key is either hash-managed or sort-managed, never
+      // both) to a task-memory-managed ExternalSorter ordered by key
+      // bytes; at drain time each sorted key group is top-k'd with one
+      // bounded heap at a time. Memory: O(maxKeys·k) map + O(k) group
+      // heap + the sorter's own spill-to-disk discipline.
+      var sorter: org.apache.spark.sql.graft.GraftSqlShim.SpillableKVSorter = null
+      // any total order with bytes-equal ⇒ equal works for grouping:
+      // UnsafeProjection output is canonical (zeroed padding, normalized
+      // floats upstream), so equal key VALUES have equal bytes
+      lazy val keyByteOrd: Ordering[UnsafeRow] = new Ordering[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = {
+          val (ab, bb) = (a.getBytes, b.getBytes)
+          if (ab.length != bb.length) return ab.length - bb.length
+          java.util.Arrays.compareUnsigned(ab, bb)
+        }
+      }
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
-            ord.asInstanceOf[Ordering[UnsafeRow]])
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) heap.enqueue(rowProj(row).copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(rowProj(row).copy())
+        if (heap == null && heaps.size() >= maxKeys) {
+          if (sorter == null)
+            sorter = new org.apache.spark.sql.graft.GraftSqlShim.SpillableKVSorter(keyByteOrd)
+          sorter.insert(key.copy(), rowProj(row).copy())
+        } else {
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kk) heap.enqueue(rowProj(row).copy())
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(rowProj(row).copy())
+          }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      val inMem = heaps.values().iterator().asScala.flatMap(_.iterator)
+      val spilled: Iterator[UnsafeRow] =
+        if (sorter == null) Iterator.empty
+        else {
+          val sorted = sorter.iterator.buffered
+          new Iterator[UnsafeRow] {
+            private var pending: Iterator[UnsafeRow] = Iterator.empty
+            override def hasNext: Boolean = pending.hasNext || sorted.hasNext
+            override def next(): UnsafeRow = {
+              if (!pending.hasNext) {
+                val groupKey = sorted.head._1 // already a copy (post-sort)
+                val heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+                while (sorted.hasNext && sorted.head._1 == groupKey) {
+                  val r = sorted.next()._2
+                  if (heap.size < kk) heap.enqueue(r)
+                  else if (rowOrd.compare(r, heap.head) < 0) {
+                    heap.dequeue(); heap.enqueue(r)
+                  }
+                }
+                pending = heap.iterator
+              }
+              pending.next()
+            }
+          }
+        }
+      inMem ++ spilled
     }, preservesPartitioning = true)
   }
 

@@ -50,6 +50,20 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set(1L, 2L, 3L), got)
   }
 
+  test("sort-fallback past the in-memory key budget is row-identical") {
+    // budget of 4 in-memory keys vs ~hundreds of user_ids: almost every
+    // key takes the ExternalSorter fallback path, in BOTH the partial and
+    // final stages — results must not change (round-2 VERDICT finding 2:
+    // the heap map previously grew without bound at high key cardinality)
+    val k = 3
+    val expected = windowTwin(k)
+    spark.conf.set("spark.graft.topk.maxKeysInMemory", "4")
+    try {
+      assert(native(events, k) == expected)
+      assert(native(events.repartition(13), k) == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInMemory")
+  }
+
   test("plans as partial+final TopKPerKeyExec around one exchange, no sort") {
     val df = TopK.perKey(events, Seq("user_id"), Seq(("value", false), ("event_id", true)), 3)
     val p = df.queryExecution.executedPlan.toString
