@@ -64,6 +64,28 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("components converge in O(log n) rounds on a 1000-link chain") {
+    import spark.implicits._
+    // the adversarial near-dup CHAIN: d1—d2—…—d1000, diameter 999. Plain
+    // min-label propagation needs ~1000 rounds; pointer doubling must do
+    // it in ~log₂(1000) ≈ 10 (round-2 VERDICT finding 1).
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = graft.operators.ConnectedComponents.labels(chain)
+    assert(rounds <= 12, s"chain took $rounds rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1000 && got.forall(_._2 == 0L),
+      s"not one component: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
+  test("components round cap bails out instead of spinning") {
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    // diameter 63 needs ~7 doubling rounds; cap at 2 must return partial
+    // labels promptly (and log), not loop
+    val (_, rounds) = graft.operators.ConnectedComponents.labels(chain, maxRounds = 2)
+    assert(rounds == 2)
+  }
+
   test("ngram join is bounded by the df-cap under shared boilerplate") {
     // All 98 unique docs share the boilerplate prefix: df(boiler trigrams)
     // = 98 > NgramDfCap, so those trigrams must be dropped before the
