@@ -1,62 +1,175 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Opaque binary record: the storage pattern for image/audio/video columns —
   * a `binary` payload plus typed metadata columns alongside. */
 case class MediaRecord(doc_id: Long, payload: Array[Byte])
 
-/** Typed features extracted from a media payload. */
-case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
-                         width: Int, height: Int)
+/** Typed features from a REAL image decode: dimensions from the PNG header,
+  * pixel statistics from the decoded raster. */
+case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                         n_px: Long, px_sum: Long, px_min: Int, px_max: Int)
 
-/** Multimodal column plumbing: binary payloads in, typed features out,
-  * batched per-partition decode.
+/** Typed features from a REAL zlib inflate: recovered byte count and md5. */
+case class InflateFeatures(doc_id: Long, n_bytes: Long, md5: String)
+
+/** Multimodal column plumbing with pure-JDK codecs: binary payloads in,
+  * typed features out, batched per-partition decode.
   *
-  * The actual image/audio codec is STUBBED ([[Multimodal.decodeStub]] — the
-  * decode libraries are not in this container); everything Spark-side is
-  * real: the binary column schema, the typed `Dataset[MediaRecord]`
-  * boundary, and the batched `mapPartitions` shape (records are decoded in
-  * groups of `batchSize`, mirroring how an Arrow/pandas batch UDF or a
-  * native codec API would consume them).
+  * Codecs are real — `javax.imageio` (PNG) and `java.util.zip` (zlib) ship
+  * with the JDK, so the decode path exercises an actual third-party-format
+  * parser, not a fake. Test/oracle corpora are PLANTED: payloads are built
+  * by a deterministic construction rule over `doc_id`
+  * ([[Multimodal.pngPayload]] / [[Multimodal.deflatePayload]]), so a SQL
+  * oracle can recompute the decoded features from the rule alone while the
+  * engine goes the long way — encode to real PNG/zlib bytes, then decode
+  * them back with the real codec. Any codec bug (stride, color model,
+  * truncation) breaks the match.
   *
   * Scale notes: mapPartitions is a narrow transformation — no shuffle; the
   * decode runs where the bytes already live. Batch size bounds per-batch
-  * memory for payloads of any size.
+  * memory for payloads of any size. Corrupt payloads are dropped and
+  * counted, never fatal ([[Multimodal.extractImagesWithMetrics]]).
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake standing in for a real codec.
-    * Produces a codepoint checksum (UTF-8-decodes the payload — engine-
-    * independent even for non-ASCII text payloads, unlike a raw byte sum)
-    * and fake dimensions derived from the payload size, so tests and
-    * oracles can pin the plumbing end-to-end. */
-  def decodeStub(payload: Array[Byte]): MediaFeatures = {
-    val sum = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-      .codePoints().asLongStream().sum()
-    MediaFeatures(doc_id = -1, n_bytes = payload.length, checksum = sum,
-      width = payload.length % 640, height = payload.length % 480)
+  // ---- planted-corpus construction rule (mirrored by the SQL oracles) ----
+
+  /** Image dims derived from doc_id: width 8..32, height 8..24. */
+  def imageDims(docId: Long): (Int, Int) =
+    (8 + (docId % 25).toInt, 8 + (docId % 17).toInt)
+
+  /** Gray value at (x, y): (x·31 + y·17 + doc_id·13) mod 256. */
+  def pixel(docId: Long, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(x * 31L + y * 17L + docId * 13L, 256L).toInt
+
+  /** A REAL PNG (8-bit grayscale) of the deterministic image for doc_id —
+    * encoded with the JDK's ImageIO PNG writer. */
+  def pngPayload(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Batched per-partition feature extraction over binary payloads. */
-  def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  /** A REAL zlib stream of the text's UTF-8 bytes (java.util.zip.Deflater).
+    * The compressed size is encoder-dependent and never oracle-checked;
+    * the INFLATED bytes are what the oracle can recompute. */
+  def deflatePayload(text: String): Array[Byte] = {
+    val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new Deflater()
+    d.setInput(in); d.finish()
+    val bos = new ByteArrayOutputStream(math.max(in.length / 2, 32))
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  // ---- real decoders ----
+
+  /** PNG (or any ImageIO format) → dimension + pixel-statistics features.
+    * None on corrupt/undecodable payloads (ImageIO returns null or throws
+    * on garbage — both map to None, the droppable-and-countable shape). */
+  def decodeImage(docId: Long, payload: Array[Byte]): Option[ImageFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageFeatures(docId, w, h, w.toLong * h, sum, mn, mx))
+    } catch { case _: Exception => None }
+  }
+
+  /** zlib stream → recovered bytes. None on corrupt input. */
+  def inflate(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val inf = new Inflater()
+      inf.setInput(payload)
+      val bos = new ByteArrayOutputStream(payload.length * 2 + 32)
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // n == 0 with input exhausted but the stream NOT finished = a
+        // truncated payload (finished() must be rechecked first: the call
+        // that completes a zero-output stream reports both flags true)
+        if (n == 0 && !inf.finished() && inf.needsInput())
+          throw new java.util.zip.DataFormatException("truncated")
+        bos.write(buf, 0, n)
+      }
+      inf.end()
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  // ---- batched per-partition extraction ----
+
+  /** Batched per-partition image decode over binary payloads. Corrupt
+    * payloads are silently dropped (use [[extractImagesWithMetrics]] to
+    * count them). */
+  def extractImages(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[ImageFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // batch boundary = where a real codec would decode N payloads at once
-        batch.map(r => decodeStub(r.payload).copy(doc_id = r.doc_id))
+        // batch boundary = where a native codec would decode N payloads at once
+        batch.flatMap(r => decodeImage(r.doc_id, r.payload))
       }
     }
   }
 
-  /** DataFrame front door: (doc_id, payload binary) → typed features. */
-  def extract(df: DataFrame): DataFrame = {
-    import df.sparkSession.implicits._
-    extractFeatures(df.as[MediaRecord]).toDF()
+  /** Batched per-partition zlib inflate → (n_bytes, md5) of the RECOVERED
+    * content: the round-trip proof a SQL oracle can recompute from the
+    * uncompressed source. */
+  def extractInflate(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[InflateFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          inflate(r.payload).map(b => InflateFeatures(r.doc_id, b.length.toLong, md5hex(b)))
+        }
+      }
+    }
   }
 
-  /** Production shape: corrupt payloads (null/empty — where a real codec
-    * would throw) are dropped and COUNTED via an accumulator instead of
+  /** DataFrame front door: (doc_id, payload binary) → image features. */
+  def extract(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    extractImages(df.as[MediaRecord]).toDF()
+  }
+
+  /** Production shape: corrupt payloads (null/empty/garbage — anything the
+    * codec rejects) are dropped and COUNTED via an accumulator instead of
     * failing the job. Returns (features, corruptCounter); read the counter
     * after an action.
     *
@@ -65,7 +178,7 @@ object Multimodal {
     * running a second action over the result re-count. Treat the value as
     * a diagnostic; for an exactly-once metric attach `df.observe` to the
     * single action instead (see ObservabilitySpec). */
-  def extractWithMetrics(df: DataFrame, batchSize: Int = 64)
+  def extractImagesWithMetrics(df: DataFrame, batchSize: Int = 64)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import df.sparkSession.implicits._
     val corrupt = df.sparkSession.sparkContext
@@ -73,8 +186,9 @@ object Multimodal {
     val out = df.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
-          if (r.payload == null || r.payload.isEmpty) { corrupt.add(1); None }
-          else Some(decodeStub(r.payload).copy(doc_id = r.doc_id))
+          val f = decodeImage(r.doc_id, r.payload)
+          if (f.isEmpty) corrupt.add(1)
+          f
         }
       }
     }

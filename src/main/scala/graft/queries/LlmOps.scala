@@ -521,13 +521,34 @@ object LlmOps {
         .orderBy("q_id", "rank")
     }),
 
-    // Multimodal decode: binary payload → typed features via the batched
-    // mapPartitions plumbing in operators.Multimodal (codec stubbed, Spark
-    // side real: binary column, typed Dataset boundary, batch shape).
-    "q_multimodal_decode" -> ((s, dir) =>
-      graft.operators.Multimodal.extract(
-        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
-        .orderBy("doc_id")),
+    // Multimodal decode, REAL codec: a deterministic grayscale image is
+    // planted per doc_id (construction rule in operators.Multimodal),
+    // encoded to actual PNG bytes with the JDK ImageIO writer, then the
+    // query decodes those bytes back through the real PNG parser inside
+    // batched mapPartitions and emits dimension + pixel statistics. The
+    // oracle recomputes the same features from the construction rule alone
+    // — any codec round-trip bug (stride, color model, truncation) breaks
+    // the hash match.
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val recs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.MediaRecord(
+          id, graft.operators.Multimodal.pngPayload(id))))
+      graft.operators.Multimodal.extractImages(recs).toDF().orderBy("doc_id")
+    }),
+
+    // Multimodal inflate, REAL codec: each doc's text is compressed to a
+    // real zlib stream (java.util.zip.Deflater), then the query inflates
+    // the bytes back and emits the recovered length + md5 — the round-trip
+    // proof the oracle recomputes from the uncompressed source directly.
+    // (Compressed size is encoder-dependent and deliberately not output.)
+    "q_multimodal_inflate" -> ((s, dir) => {
+      import s.implicits._
+      val recs = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => graft.operators.MediaRecord(
+          id, graft.operators.Multimodal.deflatePayload(t)) })
+      graft.operators.Multimodal.extractInflate(recs).toDF().orderBy("doc_id")
+    }),
 
     // CAPSTONE — the full training-data prep pipeline in one plan:
     // quality gate (≥ minTok kept tokens) → language gate (predicted 'en')
@@ -615,33 +636,17 @@ object LlmOps {
         Tokenize.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // Near-dup CLUSTERS via connected components: min-label propagation
-    // over the verified-pair graph to a fixpoint (the union-find view of
-    // dedup — the greedy d2-drop of q_dedup_apply is one policy; this
-    // exposes the clusters themselves). Pregel shape: each iteration is
-    // one distributed join + min-agg; the driver only checks convergence
-    // (diameter-bounded iterations — near-dup clusters are shallow).
-    // localCheckpoint() truncates lineage per round so plans don't grow
-    // exponentially. Oracle = DuckDB recursive CTE, a different
-    // fixpoint algorithm entirely.
+    // Near-dup CLUSTERS via connected components: pointer-doubling
+    // min-label propagation over the verified-pair graph (the union-find
+    // view of dedup — the greedy d2-drop of q_dedup_apply is one policy;
+    // this exposes the clusters themselves). O(log diameter) rounds, hard
+    // round cap, convergence count folded into the propagation job — see
+    // operators.ConnectedComponents. Oracle = DuckDB recursive CTE, a
+    // different fixpoint algorithm entirely.
     "q_dedup_components" -> ((s, dir) => {
       val vp = verifiedPairs(s, dir)
-      val edges = vp.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(vp.select(col("d2").as("a"), col("d1").as("b")))
-        .localCheckpoint()
-      var labels = edges.select(col("a").as("v")).distinct()
-        .withColumn("l", col("v")).localCheckpoint()
-      var converged = false
-      while (!converged) {
-        val prop = edges.join(labels, col("b") === col("v"))
-          .select(col("a").as("v"), col("l"))
-          .unionByName(labels)
-          .groupBy("v").agg(min(col("l")).as("l"))
-          .localCheckpoint()
-        converged = prop.join(labels.withColumnRenamed("l", "lo"), "v")
-          .where(col("l") =!= col("lo")).isEmpty
-        labels = prop
-      }
+      val (labels, _) = graft.operators.ConnectedComponents.labels(
+        vp.select(col("d1").as("a"), col("d2").as("b")))
       labels.groupBy("l").agg(count(lit(1)).as("n_members"),
           max(col("v")).as("max_id"))
         .select(col("l").as("comp_id"), col("n_members"), col("max_id"))
@@ -671,22 +676,33 @@ object LlmOps {
     // narrow pass. Same determinism scheme as q_char_entropy: exact
     // integer-ratio division, ln pre-rounded to 8, decimal-summed terms.
     "q_lm_score" -> ((s, dir) => {
-      // bg feeds three consumers (both model aggregates + the scoring
-      // probe — different shapes, so ReuseExchange can't unify them)
-      val bg = maybePersist(docs(s, dir).where(length(col("text")) >= 2)
+      // Per-doc bigram COUNTS (doc_id, c1, bgm) → n first: the model joins
+      // then probe Σ per-doc-DISTINCT-bigram rows instead of Σ doc-length
+      // per-position rows (severalfold fewer on natural text), and both
+      // model aggregates derive from the same pre-agg (one explode pass,
+      // three consumers → maybePersist).
+      val bgn = maybePersist(docs(s, dir).where(length(col("text")) >= 2)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
           col("text"))
         .select(col("doc_id"), expr("substring(text, i, 1)").as("c1"),
-          expr("substring(text, i, 2)").as("bgm")))
-      val bgCnt = bg.groupBy("bgm").agg(count(lit(1)).as("bc"))
-      val c1Cnt = bg.groupBy("c1").agg(count(lit(1)).as("cc"))
-      bg.join(broadcast(bgCnt), "bgm").join(broadcast(c1Cnt), "c1")
+          expr("substring(text, i, 2)").as("bgm"))
+        .groupBy("doc_id", "c1", "bgm").agg(count(lit(1)).as("n")))
+      val bgCnt = bgn.groupBy("bgm").agg(sum(col("n")).as("bc"))
+      val c1Cnt = bgn.groupBy("c1").agg(sum(col("n")).as("cc"))
+      // term = n × round(ln(bc/cc), 8) as DECIMAL: an integer times an
+      // 8-decimal fixed-point value is exact, so the sum equals the
+      // per-position oracle's n identical addends — order-free. Operand
+      // precisions are sized so the product type DECIMAL(29,8) needs no
+      // precision-loss adjustment (18+10+1 ≤ 38), which would otherwise
+      // silently round the scale below 8 (ln(ratio) always fits 2 integer
+      // digits: corpus ratios stay far above e^-100).
+      bgn.join(broadcast(bgCnt), "bgm").join(broadcast(c1Cnt), "c1")
         .withColumn("term", expr(
-          "CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(28,10))"))
+          "CAST(n AS DECIMAL(18,0)) * CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(10,8))"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round((-sum(col("term"))).cast("double") / count(lit(1)), 4)
+        .agg(sum(col("n")).as("n_bigrams"),
+          round((-sum(col("term"))).cast("double") / sum(col("n")), 4)
             .as("nll"))
         .orderBy("doc_id")
     }),
@@ -1183,14 +1199,36 @@ object LlmOps {
          |SELECT q_id, bucket, rank, cand_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // Recomputes the planted-image features from the construction rule
+    // (dims = 8 + doc_id % 25/17, pixel = (x·31 + y·17 + doc_id·13) % 256)
+    // — the Spark side went text→PNG→decode through the real codec.
     "q_multimodal_decode" ->
+      """WITH xs AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 25 AS INT) AS width,
+        |    CAST(8 + doc_id % 17 AS INT) AS height,
+        |    unnest(generate_series(0, 8 + doc_id % 25 - 1)) AS x
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, width, height, x,
+        |    unnest(generate_series(0, height - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum((x*31 + y*17 + doc_id*13) % 256) AS BIGINT) AS px_sum,
+        |  CAST(min((x*31 + y*17 + doc_id*13) % 256) AS INT) AS px_min,
+        |  CAST(max((x*31 + y*17 + doc_id*13) % 256) AS INT) AS px_max
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    // The inflate round-trip must recover the text's UTF-8 bytes exactly:
+    // length and md5 both computed from the SOURCE here, from the
+    // recovered bytes on the Spark side.
+    "q_multimodal_inflate" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
-        |    list_aggregate(list_transform(split(text, ''), x -> ord(x)), 'sum')
-        |  END AS BIGINT) AS checksum,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
+        |  md5(text) AS md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_prep" -> {

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{MediaRecord, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal codecs are REAL (JDK ImageIO PNG + java.util.zip): the
+  * planted payload must survive an encode→decode round trip bit-exactly,
+  * and the decoded features must equal the construction rule's values —
+  * the same invariant the DuckDB oracle checks at catalog level. */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("PNG payload is a real PNG and round-trips pixel-exactly") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val bytes = Multimodal.pngPayload(id)
+      // PNG magic: 89 50 4E 47
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      val f = Multimodal.decodeImage(id, bytes).get
+      val (w, h) = Multimodal.imageDims(id)
+      assert(f.width == w && f.height == h && f.n_px == w.toLong * h)
+      var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.pixel(id, x, y)
+        sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      assert(f.px_sum == sum && f.px_min == mn && f.px_max == mx, s"id=$id")
+    }
+  }
+
+  test("zlib payload inflates back to the exact source bytes") {
+    for (t <- Seq("", "a", "hello world " * 100, "ünïcødé — 中文 🙂")) {
+      val got = Multimodal.inflate(Multimodal.deflatePayload(t)).get
+      assert(new String(got, "UTF-8") == t)
+    }
+    // truncated stream → None, not an exception
+    val z = Multimodal.deflatePayload("some content to compress")
+    assert(Multimodal.inflate(z.take(z.length / 2)).isEmpty)
+    assert(Multimodal.inflate("garbage".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("batched extractImages decodes a distributed planted corpus") {
+    val ids = spark.range(0, 200).as[Long].repartition(7)
+    val feats = Multimodal.extractImages(
+      ids.map(id => MediaRecord(id, Multimodal.pngPayload(id))), batchSize = 16)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 200)
+    assert(feats.forall(f => f.width == Multimodal.imageDims(f.doc_id)._1))
+    // spot-check one full pixel sum against the rule
+    val f42 = feats(42)
+    val (w, h) = Multimodal.imageDims(42L)
+    val want = (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.pixel(42L, x, y).toLong).sum
+    assert(f42.px_sum == want)
+  }
+}

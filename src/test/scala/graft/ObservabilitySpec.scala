@@ -8,16 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ObservabilitySpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
-  test("extractWithMetrics counts corrupt payloads without failing the job") {
+  test("extractImagesWithMetrics counts corrupt payloads without failing the job") {
     val df = Seq(
-      (1L, "good payload".getBytes("UTF-8")),
-      (2L, Array.emptyByteArray),
-      (3L, "another".getBytes("UTF-8"))
+      (1L, Multimodal.pngPayload(1L)),
+      (2L, Array.emptyByteArray),              // empty → corrupt
+      (3L, Multimodal.pngPayload(3L)),
+      (4L, "not a png at all".getBytes("UTF-8")) // garbage the codec rejects
     ).toDF("doc_id", "payload")
-    val (out, corrupt) = Multimodal.extractWithMetrics(df)
+    val (out, corrupt) = Multimodal.extractImagesWithMetrics(df)
     val rows = out.collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
-    assert(corrupt.value == 1L)
+    assert(corrupt.value == 2L)
   }
 
   test("Observation attaches data-quality metrics to a pipeline action") {
