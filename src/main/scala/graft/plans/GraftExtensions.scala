@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.levWithinFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // parser tier: the GRAFT TOPK dialect (only effective when the session
+    // is BUILT with spark.sql.extensions=graft.plans.GraftExtensions — the
+    // parser is baked into sessionState at construction, so the imperative
+    // register() below cannot retrofit it)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

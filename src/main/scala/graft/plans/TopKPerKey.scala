@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -24,9 +24,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * rows; this is the engine-level variant: UnsafeRow in, UnsafeRow out, no
   * encoder boxing, usable from any DataFrame.
   */
-case class TopKPerKey(keys: Seq[Attribute], ordering: Seq[SortOrder],
+case class TopKPerKey(keys: Seq[Expression], ordering: Seq[SortOrder],
                       k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  // keys are Expressions (not Attributes) so the node can be built from
+  // UNRESOLVED attributes by the SQL front door (GraftSqlParser) and let
+  // the analyzer's generic ResolveReferences bind them against child
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -36,7 +39,7 @@ case class TopKPerKey(keys: Seq[Attribute], ordering: Seq[SortOrder],
   * distribution requirement (pure map-side pruning); the final node
   * requires clustering on `keys`, which EnsureRequirements satisfies with
   * one hash Exchange — exactly the partial/final HashAggregate shape. */
-case class TopKPerKeyExec(keys: Seq[Attribute], ordering: Seq[SortOrder],
+case class TopKPerKeyExec(keys: Seq[Expression], ordering: Seq[SortOrder],
                           k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
 

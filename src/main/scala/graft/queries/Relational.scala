@@ -361,6 +361,23 @@ object Relational {
         .orderBy("event_type", "event_id")
     }),
 
+    // The native top-K through the SQL FRONT DOOR: GraftSqlParser (the
+    // injectParser extension tier) recognizes the GRAFT TOPK dialect and
+    // builds the TopKPerKey logical node from unresolved attributes; the
+    // analyzer binds them and TopKStrategy plans the partial/final
+    // bounded-heap pair — same plan as q_topk_grouped's programmatic
+    // spelling, reached from spark.sql(). PlanSpec pins the physical shape.
+    "q_sql_topk" -> ((s, dir) => {
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("events_sql_topk")
+      s.sql("GRAFT TOPK 5 PER event_type ORDER BY value DESC, event_id ASC" +
+          " FROM events_sql_topk")
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 4).as("v"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // RANGE-frame window: trailing 10-minute per-user activity (event-time
     // range frame, not row frame — frame membership depends on VALUES, the
     // window feature q_window's ROWS frames don't cover).
@@ -801,6 +818,14 @@ object Relational {
          |WHERE levenshtein(x.word, y.word) <= 2
          |ORDER BY w1, w2""".stripMargin,
     "q_topk_grouped" ->
+      """SELECT event_type, event_id, round(value, 4) AS v FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
+
+    "q_sql_topk" ->
       """SELECT event_type, event_id, round(value, 4) AS v FROM (
         |  SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type

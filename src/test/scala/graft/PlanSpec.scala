@@ -60,6 +60,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(names == Set("doc_id", "lang", "source", "n_chars", "text"), readSchema)
   }
 
+  test("q_sql_topk: the GRAFT TOPK dialect plans as native partial+final TopKPerKeyExec") {
+    val p = plan("q_sql_topk")
+    // the SQL front door must reach the same physical operator pair as the
+    // programmatic spelling — not a window fallback (formatted mode lists
+    // each node once as "(n) TopKPerKey" in the details section)
+    assert("\\(\\d+\\) TopKPerKey".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_join_range: binned join is a real equi join, not nested-loop") {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
