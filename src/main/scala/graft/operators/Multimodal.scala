@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
 import java.util.zip.{Deflater, Inflater}
 import javax.imageio.ImageIO
@@ -49,28 +48,51 @@ object Multimodal {
   def pixel(docId: Long, x: Int, y: Int): Int =
     java.lang.Math.floorMod(x * 31L + y * 17L + docId * 13L, 256L).toInt
 
-  /** A REAL PNG (8-bit grayscale) of the deterministic image for doc_id —
-    * encoded with the JDK's ImageIO PNG writer. */
+  /** A REAL PNG (8-bit grayscale, color type 0) of the deterministic image
+    * for doc_id — encoded DIRECTLY to the PNG spec (signature, IHDR,
+    * zlib-deflated filter-0 scanlines in IDAT, IEND, CRC32 per chunk)
+    * rather than through ImageIO's writer: ~3× cheaper per image, and it
+    * makes encoder and decoder INDEPENDENT implementations — the decode
+    * side (JDK ImageIO) validates bytes this encoder produced, so a bug in
+    * either breaks the oracle match instead of cancelling out. */
   def pngPayload(docId: Long): Array[Byte] = {
     val (w, h) = imageDims(docId)
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    // raw image data: each scanline = filter byte 0 + w gray bytes
+    val raw = new Array[Byte](h * (w + 1))
+    var p = 0
     var y = 0
     while (y < h) {
+      raw(p) = 0; p += 1
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+      while (x < w) { raw(p) = pixel(docId, x, y).toByte; p += 1; x += 1 }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val idat = deflateBytes(raw)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    val bos = new ByteArrayOutputStream(idat.length + 64)
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    writeChunk(bos, "IHDR", ihdr)
+    writeChunk(bos, "IDAT", idat)
+    writeChunk(bos, "IEND", Array.emptyByteArray)
     bos.toByteArray
   }
 
-  /** A REAL zlib stream of the text's UTF-8 bytes (java.util.zip.Deflater).
-    * The compressed size is encoder-dependent and never oracle-checked;
-    * the INFLATED bytes are what the oracle can recompute. */
-  def deflatePayload(text: String): Array[Byte] = {
-    val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def writeChunk(bos: ByteArrayOutputStream, typ: String,
+                         data: Array[Byte]): Unit = {
+    val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+    bos.write(buf.array(), 0, buf.capacity())
+  }
+
+  private def deflateBytes(in: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(in); d.finish()
     val bos = new ByteArrayOutputStream(math.max(in.length / 2, 32))
@@ -79,6 +101,12 @@ object Multimodal {
     d.end()
     bos.toByteArray
   }
+
+  /** A REAL zlib stream of the text's UTF-8 bytes (java.util.zip.Deflater).
+    * The compressed size is encoder-dependent and never oracle-checked;
+    * the INFLATED bytes are what the oracle can recompute. */
+  def deflatePayload(text: String): Array[Byte] =
+    deflateBytes(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // ---- real decoders ----
 

@@ -676,20 +676,28 @@ object LlmOps {
     // narrow pass. Same determinism scheme as q_char_entropy: exact
     // integer-ratio division, ln pre-rounded to 8, decimal-summed terms.
     "q_lm_score" -> ((s, dir) => {
-      // Per-doc bigram COUNTS (doc_id, c1, bgm) → n first: the model joins
-      // then probe Σ per-doc-DISTINCT-bigram rows instead of Σ doc-length
-      // per-position rows (severalfold fewer on natural text), and both
-      // model aggregates derive from the same pre-agg (one explode pass,
-      // three consumers → maybePersist).
-      val bgn = maybePersist(docs(s, dir).where(length(col("text")) >= 2)
+      // Per-position bigram stream: narrow explode, recomputed per
+      // consumer (cheaper than materializing — see SCALE.md "Persist
+      // points"); each model aggregate collapses it map-side to a tiny
+      // shuffle (|charset|² / |charset| groups).
+      // (measured at sf0.1: persisting this explode ties the 3x narrow
+      // recompute — same SCALE.md conclusion as the minhash family)
+      def bg = docs(s, dir).where(length(col("text")) >= 2)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
           col("text"))
-        .select(col("doc_id"), expr("substring(text, i, 1)").as("c1"),
-          expr("substring(text, i, 2)").as("bgm"))
-        .groupBy("doc_id", "c1", "bgm").agg(count(lit(1)).as("n")))
-      val bgCnt = bgn.groupBy("bgm").agg(sum(col("n")).as("bc"))
-      val c1Cnt = bgn.groupBy("c1").agg(sum(col("n")).as("cc"))
+        .select(col("doc_id"), expr("substring(text, i, 2)").as("bgm"))
+      val bgCnt = bg.groupBy("bgm").agg(count(lit(1)).as("bc"))
+      // c1 occurrences at non-final positions = first char of each bigram:
+      // derived from bgm (no second substring over text, no text carry)
+      val c1Cnt = bg.select(expr("substring(bgm, 1, 1)").as("c1"))
+        .groupBy("c1").agg(count(lit(1)).as("cc"))
+      // The scoring probe pre-aggregates to per-doc DISTINCT bigram counts
+      // (doc_id, bgm) → n, so the model joins probe severalfold fewer
+      // rows than the per-position stream on natural text. Single
+      // consumer — no persist question.
+      val bgn = bg.groupBy("doc_id", "bgm").agg(count(lit(1)).as("n"))
+        .withColumn("c1", expr("substring(bgm, 1, 1)"))
       // term = n × round(ln(bc/cc), 8) as DECIMAL: an integer times an
       // 8-decimal fixed-point value is exact, so the sum equals the
       // per-position oracle's n identical addends — order-free. Operand
