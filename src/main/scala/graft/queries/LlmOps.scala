@@ -636,6 +636,52 @@ object LlmOps {
         Tokenize.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Repetition signals (the Gopher-style quality filters): duplicate-
+    // token fraction and most-common-token fraction per doc. Template spam
+    // and keyword stuffing sit at high dup_frac/top_frac. One narrow
+    // tokenize + two partial-agg collapses; ratios are single IEEE
+    // divisions over exact integers — engine-identical.
+    "q_repetition" -> ((s, dir) => {
+      val wc = toks(s, dir).groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("n"))
+      wc.groupBy("doc_id").agg(
+          sum(col("n")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          max(col("n")).as("top_n"))
+        .withColumn("dup_frac",
+          round(expr("1.0 - CAST(n_distinct AS DOUBLE) / n_tok"), 4))
+        .withColumn("top_frac",
+          round(expr("CAST(top_n AS DOUBLE) / n_tok"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // SUB-document dedup: exact paragraph-level dedup across the corpus
+    // (boilerplate headers/footers repeat across docs that are NOT
+    // near-dups as wholes — the real-pipeline granularity below document
+    // dedup). Keeper = first occurrence in (doc_id, position) order.
+    // Scale shape: groupBy(para) with a lexicographic min-struct collapses
+    // map-side (a paragraph duplicated 10⁶× shuffles ≤ 1 row per map
+    // partition, not 10⁶ rows into one window sort), then one join back —
+    // no per-group sort anywhere.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val paras = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          trim(col("col")).as("para"))
+        .where(length(col("para")) > 0)
+      val firsts = paras.groupBy("para")
+        .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+      paras.join(firsts, "para")
+        .withColumn("kept", col("doc_id") === col("first.doc_id") &&
+          col("i") === col("first.i"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), length(col("para")).cast("long"))
+            .otherwise(0L)).as("kept_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup CLUSTERS via connected components: pointer-doubling
     // min-label propagation over the verified-pair graph (the union-find
     // view of dedup — the greedy d2-drop of q_dedup_apply is one policy;
@@ -1325,6 +1371,39 @@ object LlmOps {
          |  md5(array_to_string(list_sort(list_distinct(
          |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH $ToksSql,
+         |wc AS (SELECT doc_id, word, count(*) AS n FROM toks GROUP BY doc_id, word)
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_tok,
+         |  count(*) AS n_distinct,
+         |  CAST(max(n) AS BIGINT) AS top_n,
+         |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4) AS dup_frac,
+         |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4) AS top_frac
+         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_paragraph" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\. ') AS a FROM documents
+        |),
+        |xs AS (
+        |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr
+        |),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, trim(a[i]) AS para
+        |  FROM xs WHERE length(trim(a[i])) > 0
+        |),
+        |r AS (
+        |  SELECT doc_id, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_array_hof" ->
       s"""WITH qv AS (

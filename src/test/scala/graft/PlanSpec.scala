@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_dedup_paragraph: min-struct keeper selection, no window sort") {
+    // the whole point of the agg+join shape: a paragraph duplicated 10^6
+    // times must collapse map-side, not pile into one window partition
+    val p = plan("q_dedup_paragraph")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("q_join_range: binned join is a real equi join, not nested-loop") {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
