@@ -655,6 +655,25 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking with overlap: each doc's token stream split
+    // into 32-token windows at stride 24 (the training-sample slicing
+    // step between cleaning and packing). Emits one row per chunk —
+    // boundaries are closed-form over the whitespace token count, so the
+    // explode is a narrow fan-out with no shuffle at all.
+    "q_chunk_overlap" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(size(split(trim(text), ' +')) AS BIGINT)").as("n_tok"))
+        .withColumn("n_chunks", expr(
+          "CASE WHEN n_tok <= 32 THEN CAST(1 AS BIGINT) " +
+            "ELSE 1 + CAST(floor((n_tok - 32 + 23) / 24.0) AS BIGINT) END"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(expr("sequence(CAST(1 AS BIGINT), n_chunks)")).as("chunk_id"))
+        .withColumn("chunk_start", expr("1 + (chunk_id - 1) * 24"))
+        .withColumn("chunk_len",
+          expr("least(n_tok - chunk_start + 1, CAST(32 AS BIGINT))"))
+        .orderBy("doc_id", "chunk_id")),
+
     // SUB-document dedup: exact paragraph-level dedup across the corpus
     // (boilerplate headers/footers repeat across docs that are NOT
     // near-dups as wholes — the real-pipeline granularity below document
@@ -1382,6 +1401,24 @@ object LlmOps {
          |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4) AS dup_frac,
          |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4) AS top_frac
          |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok <= 32 THEN CAST(1 AS BIGINT)
+        |         ELSE 1 + CAST(floor((n_tok - 32 + 23) / 24.0) AS BIGINT) END AS n_chunks
+        |  FROM t
+        |),
+        |x AS (SELECT doc_id, n_tok, unnest(generate_series(1, n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, n_tok, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(1 + (chunk_id - 1) * 24 AS BIGINT) AS chunk_start,
+        |  CAST(least(n_tok - (1 + (chunk_id - 1) * 24) + 1, 32) AS BIGINT) AS chunk_len
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_dedup_paragraph" ->
       """WITH arr AS (
