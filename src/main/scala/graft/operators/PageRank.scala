@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the graph-quality signal
+  * of web-corpus pipelines (host-level PageRank as a document quality
+  * prior), expressed as an unrolled DataFrame loop: each iteration is two
+  * shuffled joins + one aggregation, the same Pregel shape as
+  * [[ConnectedComponents]] but with weighted mass instead of min-labels.
+  *
+  * Cross-engine determinism (the reason this doesn't use a plain double
+  * `sum`): each contribution is ONE IEEE division rounded to 8 decimals
+  * and cast to DECIMAL before the sum, so accumulation order can't change
+  * the result; the rank update is again a single rounded IEEE expression.
+  * A DuckDB oracle unrolling the same iterations reproduces every bit.
+  *
+  * Fixed iteration count (not convergence-tested): rank consumers want a
+  * stable per-round cost envelope, and k ≈ 3-10 captures the quality
+  * ordering — the standard production trade-off.
+  */
+object PageRank {
+
+  /** @param edges (src, dst) BIGINT pairs, already in the direction(s)
+    *   mass should flow (pass both directions for an undirected graph).
+    * @return (v, r) ranks after `iters` damped iterations (d = 0.85). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val verts = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = verts.withColumn("r", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("src") === col("v"))
+        .join(deg, "src")
+        .select(col("dst"),
+          expr("CAST(round(r / deg, 8) AS DECIMAL(28,10))").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+      // literal strings, not 1 - 0.85 in Scala (whose double formatting
+      // would leak 0.15000000000000002 into the plan)
+      ranks = verts.join(contrib, col("v") === col("dst"), "left_outer")
+        .select(col("v"), expr(
+          "CAST(round(0.15 + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE)")
+          .as("r"))
+    }
+    ranks
+  }
+}

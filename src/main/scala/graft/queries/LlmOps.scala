@@ -718,6 +718,30 @@ object LlmOps {
         .orderBy("comp_id")
     }),
 
+    // Pearson correlation between embedding dimensions, per label —
+    // computed from the five INTEGER power sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    // over the quantized vectors: every sum is exact (< 2^53) hence
+    // order-independent, and the final correlation is one deterministic
+    // IEEE expression over them. The built-in corr() accumulates doubles
+    // in partition order and CANNOT hash-match across engines — this is
+    // the determinism-disciplined spelling of the same statistic.
+    "q_corr" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), expr(QuantSpark).as("q"))
+        .select(col("label"), expr("element_at(q, 1)").as("x"),
+          expr("element_at(q, 2)").as("y"))
+        .groupBy("label").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x*y")).as("sxy"),
+          sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"))
+        .withColumn("corr", round(expr(
+          """(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+            | sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+            |       (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))""".stripMargin), 6))
+        .select("label", "n", "corr")
+        .orderBy("label")),
+
     // Higher-order array functions over the embedding vectors: filter /
     // exists / transform+aggregate — the lambda-function family (used
     // inside every ANN query) exercised as first-class operators on the
@@ -1441,6 +1465,26 @@ object LlmOps {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corr" ->
+      s"""WITH v AS (
+         |  SELECT label,
+         |    ${quantSqlElem("embedding[1]")} AS x,
+         |    ${quantSqlElem("embedding[2]")} AS y
+         |  FROM embeddings
+         |),
+         |a AS (
+         |  SELECT label, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM v GROUP BY label
+         |)
+         |SELECT label, n,
+         |  round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+         |   sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+         |        (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS corr
+         |FROM a ORDER BY label""".stripMargin,
 
     "q_array_hof" ->
       s"""WITH qv AS (

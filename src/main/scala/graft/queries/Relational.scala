@@ -581,6 +581,24 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
     }),
 
+    // Graph-quality signal: PageRank over the bipartite part↔supplier
+    // graph from lineitem (the web-pipeline shape: host-level PageRank as
+    // a document quality prior). Three unrolled damped iterations via
+    // operators.PageRank; supplier ids offset by 10^6 into a shared
+    // vertex space. The oracle unrolls the identical iterations in SQL —
+    // decimal-summed contributions make both engines bit-equal.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
+        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
+      graft.operators.PageRank.run(edges, 3)
+        .select(col("v"), round(col("r"), 6).as("rank"))
+        .orderBy("v")
+    }),
+
     // Multimodal: documents ⋈ embeddings with an opaque binary view of the
     // payload (the pattern for image/audio columns: binary + typed metadata).
     "q_multimodal_binary" -> ((s, dir) =>
@@ -933,6 +951,35 @@ object Relational {
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 4) AS e0
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank" -> {
+      // unroll the same 3 damped iterations the Spark loop runs
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst, sum(CAST(round(r${i - 1}.r / deg.deg, 8) AS DECIMAL(28,10))) AS sc
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst
+           |),
+           |r$i AS (
+           |  SELECT verts.v,
+           |    CAST(round(0.15 + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE) AS r
+           |  FROM verts LEFT JOIN c$i ON verts.v = c$i.dst
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
+         |),
+         |e AS (
+         |  SELECT p AS src, sv AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sv AS src, p AS dst FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT src AS v FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
+         |$iters
+         |SELECT v, round(r, 6) AS rank FROM r3 ORDER BY v""".stripMargin
+    }
   )
 }
