@@ -24,24 +24,39 @@ object PageRank {
   /** @param edges (src, dst) BIGINT pairs, already in the direction(s)
     *   mass should flow (pass both directions for an undirected graph).
     * @return (v, r) ranks after `iters` damped iterations (d = 0.85). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    // edges feed every iteration and ranks feed the NEXT one: without
+    // lineage truncation, iteration k re-plans and re-executes iterations
+    // 1..k-1 (each reuse duplicates the subtree — exponential recompute);
+    // localCheckpoint per step makes every iteration cost one pass, the
+    // same discipline as ConnectedComponents
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    // pre-join degree onto the edge once instead of re-joining per round
+    val degEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     val verts = edges.select(col("src").as("v"))
-      .unionByName(edges.select(col("dst").as("v"))).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
     var ranks = verts.withColumn("r", lit(1.0))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(ranks, col("src") === col("v"))
-        .join(deg, "src")
+      // ranks is |V| rows vs the |E|-row edge table: broadcasting it makes
+      // the per-iteration probe a NARROW pass over edges (no edge shuffle,
+      // map-side partial agg on dst) — the |V| ≪ |E| regime that holds for
+      // host-graph quality priors. At |V| beyond broadcast reach, drop the
+      // hint and this degrades to the standard shuffled join.
+      val contrib = degEdges.join(broadcast(ranks), col("src") === col("v"))
         .select(col("dst"),
           expr("CAST(round(r / deg, 8) AS DECIMAL(28,10))").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
       // literal strings, not 1 - 0.85 in Scala (whose double formatting
       // would leak 0.15000000000000002 into the plan)
-      ranks = verts.join(contrib, col("v") === col("dst"), "left_outer")
+      ranks = verts.join(broadcast(contrib), col("v") === col("dst"), "left_outer")
         .select(col("v"), expr(
           "CAST(round(0.15 + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE)")
           .as("r"))
+        .localCheckpoint()
     }
     ranks
   }
