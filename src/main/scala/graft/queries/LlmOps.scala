@@ -742,6 +742,33 @@ object LlmOps {
         .select("label", "n", "corr")
         .orderBy("label")),
 
+    // The APPLY stage of paragraph dedup: rebuild each document from only
+    // its KEPT paragraphs (first global occurrence), in original order.
+    // collect_list is order-nondeterministic, so the rebuild sorts
+    // struct(i, para) pairs (unique i) before joining — deterministic
+    // under any partitioning; output is the md5 of the cleaned text plus
+    // kept counts, keeping the dump small.
+    "q_clean_paragraph" -> ((s, dir) => {
+      val paras = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          trim(col("col")).as("para"))
+        .where(length(col("para")) > 0)
+      val firsts = paras.groupBy("para")
+        .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+      paras.join(firsts, "para")
+        .where(col("doc_id") === col("first.doc_id") &&
+          col("i") === col("first.i"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("i"), col("para"))))
+          .as("ps"))
+        .select(col("doc_id"),
+          expr("CAST(size(ps) AS BIGINT)").as("n_kept"),
+          expr("md5(array_join(transform(ps, s -> s.para), '. '))")
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Higher-order array functions over the embedding vectors: filter /
     // exists / transform+aggregate — the lambda-function family (used
     // inside every ANN query) exercised as first-class operators on the
@@ -1465,6 +1492,27 @@ object LlmOps {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_clean_paragraph" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\. ') AS a FROM documents
+        |),
+        |xs AS (
+        |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr
+        |),
+        |p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, trim(a[i]) AS para
+        |  FROM xs WHERE length(trim(a[i])) > 0
+        |),
+        |r AS (
+        |  SELECT doc_id, i, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_kept,
+        |  md5(string_agg(para, '. ' ORDER BY i)) AS clean_md5
+        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_corr" ->
       s"""WITH v AS (
