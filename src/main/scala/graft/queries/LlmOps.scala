@@ -636,6 +636,38 @@ object LlmOps {
         Tokenize.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (Schleimer/MOSS): every w-window of k-gram
+    // hashes contributes its MINIMUM hash; the distinct selected set is
+    // the document fingerprint — ~2/(w+1) the density of full shingling
+    // with a guarantee that any match of length ≥ w+k-1 shares a
+    // fingerprint. One narrow gram explode + one doc_id shuffle for the
+    // windows; fingerprint set md5'd so the dump stays one row per doc.
+    "q_winnow" -> ((s, dir) => {
+      val k = 8; val w = 4
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs(s, dir).where(length(col("text")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("i"),
+          expr(s"CAST(conv(substring(md5(substring(text, i, $k)), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"))
+      val byDoc = Window.partitionBy("doc_id")
+      val frame = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+      grams
+        .withColumn("wm", min(col("h")).over(frame))
+        .withColumn("ng", count(lit(1)).over(byDoc))
+        .where(col("i") <= col("ng") - (w - 1)) // full windows only
+        .groupBy("doc_id")
+        .agg(max(col("ng")).as("n_grams"),
+          sort_array(collect_set(col("wm"))).as("fps"))
+        .select(col("doc_id"), col("n_grams"),
+          expr("CAST(size(fps) AS BIGINT)").as("n_fp"),
+          expr("md5(array_join(transform(fps, x -> CAST(x AS STRING)), ','))")
+            .as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition signals (the Gopher-style quality filters): duplicate-
     // token fraction and most-common-token fraction per doc. Template spam
     // and keyword stuffing sit at high dup_frac/top_frac. One narrow
@@ -1441,6 +1473,32 @@ object LlmOps {
          |  md5(array_to_string(list_sort(list_distinct(
          |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_winnow" ->
+      s"""WITH xs AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+         |  FROM documents WHERE length(text) >= 8
+         |),
+         |g AS (
+         |  SELECT doc_id, i, ${hex2longSql("md5(substring(text, i, 8))", 1)} AS h
+         |  FROM xs
+         |),
+         |wmw AS (
+         |  SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+         |    count(*) OVER (PARTITION BY doc_id) AS ng
+         |  FROM g
+         |),
+         |f AS (SELECT doc_id, ng, wm FROM wmw WHERE i <= ng - 3),
+         |a AS (
+         |  SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
+         |    list_sort(list_distinct(list(wm))) AS fps
+         |  FROM f GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $ToksSql,

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{ConnectedComponents, PageRank}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized cross-checks of the distributed graph operators against
+  * straightforward in-memory reference implementations — evidence beyond
+  * the (single-input) DuckDB oracle that the algorithms are right on
+  * arbitrary graph shapes: forests, cycles, stars, self-loops, parallel
+  * edges, disconnected pieces. */
+class GraphOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def unionFindMinLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min vertex id per component as the canonical label
+    val byRoot = verts.groupBy(find)
+    byRoot.values.flatMap { vs => val m = vs.min; vs.map(_ -> m) }.toMap
+  }
+
+  test("ConnectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nV = 2 + rnd.nextInt(24)
+      val nE = 1 + rnd.nextInt(40)
+      val edges = Seq.fill(nE)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val (labels, rounds) = ConnectedComponents.labels(edges.toDF("a", "b"))
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == unionFindMinLabels(edges),
+        s"trial $trial edges=$edges rounds=$rounds")
+    }
+  }
+
+  test("PageRank bit-matches an in-memory mirror of its rounding semantics") {
+    val rnd = new scala.util.Random(7)
+    val nV = 12
+    val edges0 = Seq.fill(30)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = edges0 ++ edges0.map(_.swap) // undirected, every vertex has out-degree
+    val got = PageRank.run(edges.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    // reference: identical per-step rounding (HALF_UP at 8 decimals via the
+    // decimal string repr, matching Spark's round() on doubles)
+    def r8(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size }
+    var r = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contribs = edges.groupBy(_._2).map { case (dst, es) =>
+        // decimal-exact sum of the 8-decimal contributions
+        dst -> es.map(e => java.math.BigDecimal.valueOf(r8(r(e._1) / deg(e._1))))
+          .reduce(_.add(_))
+      }
+      r = verts.map(v => v ->
+        r8(0.15 + 0.85 * contribs.get(v).map(_.doubleValue()).getOrElse(0.0))).toMap
+    }
+    assert(got == r) // run() returns the 8-decimal ranks; no further rounding
+  }
+}
