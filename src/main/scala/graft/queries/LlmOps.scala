@@ -166,6 +166,18 @@ object LlmOps {
     * engines). */
   private val NgramDfCap = 64
 
+  /** Winnowing (q_winnow / q_winnow_pairs): char k-gram size, window
+    * width, the same df-style bucket cap as minhash/ngram, and the
+    * overlap coefficient that promotes a pair to near-dup. */
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowDfCap = 64
+  private val WinnowOverlap = 0.8
+
+  /** q_vocab_oov vocabulary size — deliberately smaller than the corpus'
+    * distinct-word count (31) so real OOV mass exists at sf0.01. */
+  private val VocabSize = 10
+
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. Near-dedup runs over representatives only — a cluster
     * of k exact duplicates shares every band and would otherwise feed k²
@@ -636,28 +648,16 @@ object LlmOps {
         Tokenize.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // Winnowing fingerprints (Schleimer/MOSS): every w-window of k-gram
-    // hashes contributes its MINIMUM hash; the distinct selected set is
-    // the document fingerprint — ~2/(w+1) the density of full shingling
-    // with a guarantee that any match of length ≥ w+k-1 shares a
-    // fingerprint. One narrow gram explode + one doc_id shuffle for the
-    // windows; fingerprint set md5'd so the dump stays one row per doc.
-    "q_winnow" -> ((s, dir) => {
-      val k = 8; val w = 4
-      import org.apache.spark.sql.expressions.Window
-      val grams = docs(s, dir).where(length(col("text")) >= k)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("i"),
-          col("text"))
-        .select(col("doc_id"), col("i"),
-          expr(s"CAST(conv(substring(md5(substring(text, i, $k)), 1, 8), 16, 10) AS BIGINT)")
-            .as("h"))
-      val byDoc = Window.partitionBy("doc_id")
-      val frame = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-      grams
-        .withColumn("wm", min(col("h")).over(frame))
-        .withColumn("ng", count(lit(1)).over(byDoc))
-        .where(col("i") <= col("ng") - (w - 1)) // full windows only
+    // Winnowing fingerprints (operators.Winnow — Schleimer/MOSS): every
+    // w-window of k-gram hashes contributes its MINIMUM hash; the distinct
+    // selected set is the document fingerprint — ~2/(w+1) the density of
+    // full shingling with a guarantee that any match of length ≥ w+k-1
+    // shares a fingerprint. One narrow gram explode + one doc_id shuffle
+    // for the windows; fingerprint set md5'd so the dump stays one row per
+    // doc. WinnowSpec cross-checks the operator against an in-memory
+    // mirror and the match guarantee on random strings.
+    "q_winnow" -> ((s, dir) =>
+      graft.operators.Winnow.selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
         .groupBy("doc_id")
         .agg(max(col("ng")).as("n_grams"),
           sort_array(collect_set(col("wm"))).as("fps"))
@@ -665,6 +665,54 @@ object LlmOps {
           expr("CAST(size(fps) AS BIGINT)").as("n_fp"),
           expr("md5(array_join(transform(fps, x -> CAST(x AS STRING)), ','))")
             .as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // Winnowing as a dedup scale path: docs whose selected-fingerprint
+    // sets overlap heavily are near-dups. Same bucket-join discipline as
+    // minhash/ngram: a fingerprint's document frequency is capped (df in
+    // [2, WinnowDfCap]) before the self-join, so corpus boilerplate (a
+    // fingerprint in thousands of docs) never fans out — pairs per
+    // fingerprint ≤ C(cap, 2) at any corpus size. Pairs are kept when the
+    // overlap coefficient n_shared / min(|fps_a|, |fps_b|) ≥ threshold —
+    // a set-containment test, so a doc embedded in a longer one still
+    // scores 1.0. The oracle replays the identical cap and ratio.
+    "q_winnow_pairs" -> ((s, dir) => {
+      val fp = graft.operators.Winnow
+        .selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
+        .select(col("doc_id"), col("wm")).distinct()
+      val nfp = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val rare = fp.groupBy("wm").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2 && col("c") <= WinnowDfCap).select("wm")
+      val capped = fp.join(rare, Seq("wm"))
+      capped.alias("x")
+        .join(capped.alias("y"),
+          col("x.wm") === col("y.wm") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(nfp.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
+        .join(nfp.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
+        .where(col("n_shared") >= least(col("na"), col("nb")) * WinnowOverlap)
+        .select(col("a"), col("b"), col("n_shared"),
+          round(col("n_shared") / least(col("na"), col("nb")), 4).as("overlap"))
+        .orderBy("a", "b")
+    }),
+
+    // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
+    // signal): top-V words by corpus frequency (count-desc/word-asc so the
+    // cut is deterministic under ties), then per-doc OOV fraction. The
+    // vocab is tiny by construction → broadcast probe; the corpus side
+    // aggregates map-side and shuffles only |docs| rows.
+    "q_vocab_oov" -> ((s, dir) => {
+      val toks = corpusToks(s, dir)
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(VocabSize)
+        .select(col("word"), lit(1L).as("in_v"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          round(col("n_oov") / col("n_toks"), 4).as("oov_rate"))
         .orderBy("doc_id")
     }),
 
@@ -1000,6 +1048,29 @@ object LlmOps {
   // =========================================================================
 
   private val ToksSql = Reference.ToksSql
+
+  /** DuckDB replay of [[graft.operators.Winnow.selected]] at
+    * ([[WinnowK]], [[WinnowW]]): ends in CTE `f` = (doc_id, i, wm, ng),
+    * one row per full window. */
+  private val WinnowSelSql: String =
+    s"""xs AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(1, length(text) - ${WinnowK - 1})) AS i
+       |  FROM documents WHERE length(text) >= $WinnowK
+       |),
+       |g AS (
+       |  SELECT doc_id, i,
+       |    ${hex2longSql(s"md5(substring(text, i, $WinnowK))", 1)} AS h
+       |  FROM xs
+       |),
+       |wmw AS (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g
+       |),
+       |f AS (SELECT doc_id, i, wm, ng FROM wmw WHERE i <= ng - ${WinnowW - 1})""".stripMargin
 
   private val MinhashSigSql: String = {
     val mins = (0 until H)
@@ -1475,22 +1546,7 @@ object LlmOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_winnow" ->
-      s"""WITH xs AS (
-         |  SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
-         |  FROM documents WHERE length(text) >= 8
-         |),
-         |g AS (
-         |  SELECT doc_id, i, ${hex2longSql("md5(substring(text, i, 8))", 1)} AS h
-         |  FROM xs
-         |),
-         |wmw AS (
-         |  SELECT doc_id, i,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
-         |    count(*) OVER (PARTITION BY doc_id) AS ng
-         |  FROM g
-         |),
-         |f AS (SELECT doc_id, ng, wm FROM wmw WHERE i <= ng - 3),
+      s"""WITH $WinnowSelSql,
          |a AS (
          |  SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
          |    list_sort(list_distinct(list(wm))) AS fps
@@ -1499,6 +1555,39 @@ object LlmOps {
          |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
          |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""WITH $WinnowSelSql,
+         |fp AS (SELECT DISTINCT doc_id, wm FROM f),
+         |nfp AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+         |rare AS (SELECT wm FROM fp GROUP BY wm
+         |         HAVING count(*) BETWEEN 2 AND $WinnowDfCap),
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |  FROM fp x JOIN rare USING (wm) JOIN fp y USING (wm)
+         |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+         |)
+         |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  round(n_shared / least(xa.nf, yb.nf), 4) AS overlap
+         |FROM p JOIN nfp xa ON p.a = xa.doc_id JOIN nfp yb ON p.b = yb.doc_id
+         |WHERE n_shared >= least(xa.nf, yb.nf) * $WinnowOverlap
+         |ORDER BY a, b""".stripMargin,
+
+    "q_vocab_oov" ->
+      s"""WITH $ToksSql,
+         |vocab AS (
+         |  SELECT word FROM toks GROUP BY word
+         |  ORDER BY count(*) DESC, word LIMIT $VocabSize
+         |),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(n_oov AS BIGINT) AS n_oov,
+         |  round(n_oov / n_toks, 4) AS oov_rate
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $ToksSql,

@@ -599,6 +599,58 @@ object Relational {
         .orderBy("v")
     }),
 
+    // Semi-structured ingestion: schema-on-read over the JSON `props`
+    // column with from_json (codegen'd Jackson parse, no UDF), then a
+    // standard partial-agg rollup. At 100 TB the parse happens map-side
+    // and the shuffle carries only |event_type| grouped rows.
+    "q_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // Triangle counting over the supplier co-purchase graph (suppliers
+    // sharing an order). Edges are oriented low→high by (degree, id), so
+    // the oriented graph is a DAG and every triangle is counted exactly
+    // once at its unique two-out-edge apex — the classic O(E^1.5) bound:
+    // orientation caps wedge fan-out at O(sqrt E) even for power-law hubs,
+    // where the naive per-vertex wedge join is quadratic in the hub
+    // degree. The oracle counts the same triangles with the three-way
+    // a<b<c join (order-free semantics, fine at oracle scale).
+    "q_triangles" -> ((s, dir) => {
+      val os = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val und = os.alias("a").join(os.alias("b"), Seq("ok"))
+        .where(col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      val deg = und.select(col("u").as("x"))
+        .unionAll(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      val oriented = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      // apex wedges (s; t1 < t2 by id) closed by the canonical u<v edge set
+      val tri = oriented.alias("e1").join(oriented.alias("e2"), Seq("s"))
+        .where(col("e1.t") < col("e2.t"))
+        .join(und, col("e1.t") === col("u") && col("e2.t") === col("v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+    }),
+
     // Multimodal: documents ⋈ embeddings with an opaque binary view of the
     // payload (the pattern for image/audio columns: binary + typed metadata).
     "q_multimodal_binary" -> ((s, dir) =>
@@ -980,6 +1032,35 @@ object Relational {
          |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
          |$iters
          |SELECT v, round(r, 6) AS rank FROM r3 ORDER BY v""".stripMargin
-    }
+    },
+
+    "q_json_extract" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // naive a<b<c three-way join — same triangle set the oriented DAG
+    // counts, tractable at oracle scale
+    "q_triangles" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM os a JOIN os b USING (ok) WHERE a.sk < b.sk
+        |),
+        |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+        |tri AS (
+        |  SELECT count(*) AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""".stripMargin
   )
 }
