@@ -178,6 +178,16 @@ object LlmOps {
     * distinct-word count (31) so real OOV mass exists at sf0.01. */
   private val VocabSize = 10
 
+  /** Count-min sketch shape (q_sketch_cms): depth × width. Width is kept
+    * at 64 so the 31-word vocab × 4 rows provokes real collisions — the
+    * overestimate property is visible in the output, not just latent. */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** HyperLogLog register count (q_sketch_hll); 2^6 buckets → the
+    * paper's α₆₄ = 0.709 and ~13% standard error. */
+  private val HllM = 64
+
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. Near-dedup runs over representatives only — a cluster
     * of k exact duplicates shares every band and would otherwise feed k²
@@ -714,6 +724,64 @@ object LlmOps {
         .select(col("doc_id"), col("n_toks"), col("n_oov"),
           round(col("n_oov") / col("n_toks"), 4).as("oov_rate"))
         .orderBy("doc_id")
+    }),
+
+    // Count-min sketch over the token frequency stream: d hash rows ×
+    // w cells, cell = Σ counts of words hashing there — merge is
+    // elementwise sum, so the sketch is commutative/associative (partial
+    // map-side aggregation works, merge order can't change a cell). The
+    // query materializes the sketch AND probes it for every vocab word:
+    // n_est = min over rows of the word's cell ≥ n_true, with equality
+    // unless the word collides in all d rows (width 64 forces real
+    // collisions at 31 words × 4 rows). Both engines replay the identical
+    // md5-derived hash family.
+    "q_sketch_cms" -> ((s, dir) => {
+      val wc = corpusToks(s, dir).groupBy("word").agg(count(lit(1)).as("n"))
+      val rows = wc.select(col("word"), col("n"),
+          explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+        .withColumn("cell",
+          expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', word)), 1, 8), 16, 10) AS BIGINT) % $CmsWidth"))
+      val cells = rows.groupBy("j", "cell").agg(sum(col("n")).as("cn"))
+      rows.join(cells, Seq("j", "cell"))
+        .groupBy("word")
+        .agg(max(col("n")).as("n_true"), min(col("cn")).as("n_est"))
+        .orderBy("word")
+    }),
+
+    // HyperLogLog from scratch (Flajolet et al.): 64 registers, register =
+    // max leading-zero rank of the 54-bit hash remainder — max is
+    // order-free, so the register table is exact under any partitioning.
+    // The harmonic-mean estimate keeps ALL integer math exact: Σ 2^-reg is
+    // computed as Σ 2^(R-reg) (a BIGINT — 64 terms ≤ 2^54) over the max
+    // register R, leaving exactly one IEEE multiply+divide at the end,
+    // identical in both engines. n=14.7k keys ≫ 2.5m=160, so the
+    // small-range linear-counting correction path never triggers (noted,
+    // not implemented). reg_md5 pins the full register table.
+    "q_sketch_hll" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val br = li.select(
+        expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .select((col("h") % HllM).as("bucket"),
+          expr(s"h div $HllM").as("rest"))
+        .select(col("bucket"),
+          expr("CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END")
+            .cast("long").as("rho"))
+      val regs = s.range(HllM).select(col("id").as("bucket"))
+        .join(br.groupBy("bucket").agg(max(col("rho")).as("mrho")), Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("mrho"), lit(0L)).as("reg"))
+      val sketch = regs
+        .crossJoin(broadcast(regs.agg(max(col("reg")).as("R"))))
+        .agg(max(col("R")).as("R"),
+          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(R - reg AS INT)) AS BIGINT)")).as("S"),
+          expr("md5(array_join(transform(sort_array(collect_list(struct(bucket, reg))), x -> CAST(x.reg AS STRING)), ','))")
+            .as("reg_md5"))
+      li.agg(count_distinct(col("l_orderkey")).as("n_true"))
+        .crossJoin(sketch)
+        .select(col("n_true"), lit(HllM.toLong).as("m"),
+          expr("round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2)")
+            .as("est"),
+          col("reg_md5"))
     }),
 
     // Repetition signals (the Gopher-style quality filters): duplicate-
@@ -1588,6 +1656,52 @@ object LlmOps {
          |  CAST(n_oov AS BIGINT) AS n_oov,
          |  round(n_oov / n_toks, 4) AS oov_rate
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q_sketch_cms" ->
+      s"""WITH $ToksSql,
+         |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         |r AS (
+         |  SELECT word, n, j,
+         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || word)", 1)} % $CmsWidth AS cell
+         |  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)
+         |),
+         |cells AS (
+         |  SELECT j, cell, CAST(sum(n) AS BIGINT) AS cn FROM r GROUP BY j, cell
+         |)
+         |SELECT word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
+         |FROM r JOIN cells USING (j, cell)
+         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_sketch_hll" ->
+      s"""WITH h AS (
+         |  SELECT ${hexLongSql("md5(CAST(l_orderkey AS VARCHAR))", 1, 15)} AS h
+         |  FROM lineitem
+         |),
+         |br AS (
+         |  SELECT h % $HllM AS bucket, h // $HllM AS rest FROM h
+         |),
+         |mx AS (
+         |  SELECT bucket,
+         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS mrho
+         |  FROM br GROUP BY bucket
+         |),
+         |regs AS (
+         |  SELECT b.bucket, CAST(coalesce(mx.mrho, 0) AS BIGINT) AS reg
+         |  FROM (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
+         |  LEFT JOIN mx ON b.bucket = mx.bucket
+         |),
+         |sk AS (
+         |  SELECT max(R) AS R,
+         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S,
+         |    md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket)) AS reg_md5
+         |  FROM (SELECT bucket, reg, max(reg) OVER () AS R FROM regs)
+         |)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_true,
+         |  CAST($HllM AS BIGINT) AS m,
+         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
+         |  reg_md5
+         |FROM sk""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $ToksSql,

@@ -44,15 +44,22 @@ package object queries {
     * single source of the quote-doubling rule for every oracle. */
   val DelimSql: String = graft.operators.Tokenize.Delim.replace("'", "''")
 
-  /** DuckDB: parse 8 hex chars of `hexExpr` starting at 1-based `start`
-    * into a BIGINT (mirrors Spark's `conv(substring(h, start, 8), 16, 10)`
-    * — DuckDB has no base-conversion function, so this is a positional
-    * polynomial over the hex digits). */
-  def hex2longSql(hexExpr: String, start: Int): String =
-    (0 until 8).map { p =>
-      val w = 1L << ((7 - p) * 4)
+  /** DuckDB: parse `n` hex chars (n ≤ 15, so the value stays in BIGINT)
+    * of `hexExpr` starting at 1-based `start` into a BIGINT (mirrors
+    * Spark's `conv(substring(h, start, n), 16, 10)` — DuckDB has no
+    * base-conversion function, so this is a positional polynomial over
+    * the hex digits). */
+  def hexLongSql(hexExpr: String, start: Int, n: Int): String = {
+    require(n <= 15, s"$n hex digits can overflow BIGINT")
+    (0 until n).map { p =>
+      val w = 1L << ((n - 1 - p) * 4)
       s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * $w"
     }.mkString("(", " + ", ")")
+  }
+
+  /** 8-hex-char [[hexLongSql]] — the common fingerprint width. */
+  def hex2longSql(hexExpr: String, start: Int): String =
+    hexLongSql(hexExpr, start, 8)
 
   /** Stable per-doc bucket in [0, 100): first 8 md5 hex chars of the KEY
     * (not the row — re-runs and re-partitions agree) as an integer mod
