@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
+  /** q_triangles: minimum shared-order count for a co-purchase edge.
+    * Uniform synthetic data makes the unweighted projection near-complete
+    * (453k of 499k possible edges at sf0.1); ≥5 keeps ~10% of them. */
+  private val TriangleMinW = 5
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
     // → tiny shuffle regardless of input size (scales linearly to 100 TB).
@@ -616,11 +621,15 @@ object Relational {
         .orderBy("event_type")),
 
     // Triangle counting over the supplier co-purchase graph (suppliers
-    // sharing an order). Edges are oriented low→high by (degree, id), so
+    // sharing ≥ TriangleMinW orders — the weight threshold drops the
+    // noise floor of one-off co-occurrences, which in a uniform corpus
+    // make the projection near-complete and any triangle algorithm
+    // quadratic-ish; affinity edges are the graph a pipeline would
+    // actually mine). Edges are oriented low→high by (degree, id), so
     // the oriented graph is a DAG and every triangle is counted exactly
     // once at its unique two-out-edge apex — the classic O(E^1.5) bound:
-    // orientation caps wedge fan-out at O(sqrt E) even for power-law hubs,
-    // where the naive per-vertex wedge join is quadratic in the hub
+    // orientation caps wedge fan-out at O(sqrt E) even for power-law
+    // hubs, where the naive per-vertex wedge join is quadratic in the hub
     // degree. The oracle counts the same triangles with the three-way
     // a<b<c join (order-free semantics, fine at oracle scale).
     "q_triangles" -> ((s, dir) => {
@@ -629,7 +638,9 @@ object Relational {
         .distinct()
       val und = os.alias("a").join(os.alias("b"), Seq("ok"))
         .where(col("a.sk") < col("b.sk"))
-        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= TriangleMinW).select("u", "v")
       val deg = und.select(col("u").as("x"))
         .unionAll(und.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
@@ -1046,12 +1057,13 @@ object Relational {
     // naive a<b<c three-way join — same triangle set the oriented DAG
     // counts, tractable at oracle scale
     "q_triangles" ->
-      """WITH os AS (
+      s"""WITH os AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
         |),
         |e AS (
-        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  SELECT a.sk AS u, b.sk AS v
         |  FROM os a JOIN os b USING (ok) WHERE a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriangleMinW
         |),
         |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
         |tri AS (
