@@ -188,6 +188,9 @@ object LlmOps {
     * paper's α₆₄ = 0.709 and ~13% standard error. */
   private val HllM = 64
 
+  /** q_sample_pps expected sample size (Poisson, so realized size varies). */
+  private val PpsK = 50
+
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. Near-dedup runs over representatives only — a cluster
     * of k exact duplicates shares every band and would otherwise feed k²
@@ -1041,6 +1044,41 @@ object LlmOps {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Weighted (probability-proportional-to-size) Poisson sampling with an
+    // INTEGER-exact inclusion rule: doc i is kept iff
+    // bucket_i · W < k · w_i · 2^32, i.e. u < min(1, k·w_i/W) with
+    // u = bucket/2^32 — no floating comparison anywhere near the decision
+    // boundary, so both engines keep the identical sample. W is one cheap
+    // global agg broadcast like tfidf's N; the filter itself is narrow and
+    // shuffle-free. (The BIGINT product bounds hold to ~2^30 total weight;
+    // beyond that, pre-scale W — noted, irrelevant at catalog scale.)
+    "q_sample_pps" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      val tot = d.agg(sum(col("n_chars")).as("W"))
+      d.crossJoin(broadcast(tot))
+        .where(col("bucket") * col("W") < lit(PpsK.toLong) * col("n_chars") * lit(1L << 32))
+        .select(col("doc_id"), col("n_chars"),
+          round(least(lit(1.0).cast("double"),
+            (lit(PpsK.toLong) * col("n_chars")) / col("W")), 6).as("p"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-label embedding centroids — the k-means/IVF building block. The
+    // quantized components sum exactly in BIGINT (order-free under any
+    // partitioning); the only IEEE op is the terminal mean division. One
+    // narrow posexplode + one (label, pos) shuffle of integer partials.
+    "q_centroid" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(expr(QuantSpark)))
+        .groupBy(col("label").cast("long").as("label"),
+          (col("pos") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("col")).as("sq"))
+        .select(col("label"), col("pos"), col("n"), col("sq"),
+          round(col("sq").cast("double") / col("n"), 4).as("c"))
+        .orderBy("label", "pos")),
+
     // Deterministic train/val/test split (80/10/10) by the same key hash,
     // with per-split stats: the split is a pure function of doc_id, so
     // adding data never moves an existing doc across splits.
@@ -1870,6 +1908,31 @@ object LlmOps {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE $hashBucketSql < 10 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_pps" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    ${hex2longSql("md5(CAST(doc_id AS VARCHAR))", 1)} AS bucket
+         |  FROM documents
+         |),
+         |w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents)
+         |SELECT doc_id, n_chars,
+         |  round(least(CAST(1 AS DOUBLE), ($PpsK * n_chars) / W), 6) AS p
+         |FROM t, w
+         |WHERE bucket * W < $PpsK * n_chars * 4294967296
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_centroid" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
+         |  count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+         |  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS c
+         |FROM (
+         |  SELECT label, i, ${quantSqlElem("embedding[i]")} AS q
+         |  FROM (SELECT label, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)
+         |)
+         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     "q_split_train" ->
       s"""WITH b AS (SELECT doc_id, n_chars, $hashBucketSql AS bucket
