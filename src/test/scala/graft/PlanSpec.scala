@@ -109,4 +109,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q_join_bloom")
     assert(p.contains("bloom_might_contain"), p)
   }
+
+  test("q_winnow_pairs: fingerprint bucket join is equi, never nested-loop") {
+    val p = plan("q_winnow_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_triangles: wedge closure is an equi join; only 1-row stat crossjoins") {
+    val p = plan("q_triangles")
+    // the wedge join and the closure join must both be hash/sort-merge equi
+    // joins; the only permissible non-equi joins are the three single-row
+    // stat-assembly crossjoins at the top
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted mode lists each node once as "(n) BroadcastNestedLoopJoin"
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 2, s"expected only the 2 one-row stat-assembly joins, got $bnlj\n$p")
+  }
+
+  test("q_sample_pps: the inclusion filter stays a narrow scan-side filter") {
+    val p = plan("q_sample_pps")
+    // one broadcast of the 1-row global weight; no shuffle of the doc side
+    // beyond the final order
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sketch_cms / q_centroid: partial map-side aggregation present") {
+    assert(plan("q_sketch_cms").contains("partial_sum"))
+    assert(plan("q_centroid").contains("partial_sum"))
+  }
 }
