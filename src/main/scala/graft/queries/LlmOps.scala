@@ -665,12 +665,13 @@ object LlmOps {
     // w-window of k-gram hashes contributes its MINIMUM hash; the distinct
     // selected set is the document fingerprint — ~2/(w+1) the density of
     // full shingling with a guarantee that any match of length ≥ w+k-1
-    // shares a fingerprint. One narrow gram explode + one doc_id shuffle
-    // for the windows; fingerprint set md5'd so the dump stays one row per
-    // doc. WinnowSpec cross-checks the operator against an in-memory
-    // mirror and the match guarantee on random strings.
+    // shares a fingerprint. One narrow gram explode + one doc_id window
+    // shuffle; fingerprint set md5'd so the dump stays one row per doc.
+    // WinnowSpec cross-checks the operator against an in-memory mirror
+    // and the match guarantee on random strings.
     "q_winnow" -> ((s, dir) =>
-      graft.operators.Winnow.selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
+      graft.operators.Winnow
+        .selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
         .groupBy("doc_id")
         .agg(max(col("ng")).as("n_grams"),
           sort_array(collect_set(col("wm"))).as("fps"))
@@ -690,9 +691,12 @@ object LlmOps {
     // a set-containment test, so a doc embedded in a longer one still
     // scores 1.0. The oracle replays the identical cap and ratio.
     "q_winnow_pairs" -> ((s, dir) => {
-      val fp = graft.operators.Winnow
+      // the distinct fingerprint set is ~2/(w+1) the gram volume and has
+      // FOUR consumers (sizes, df filter, both join sides) — persist it
+      // (policy knob) so the explode+window pipeline runs once
+      val fp = maybePersist(graft.operators.Winnow
         .selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
-        .select(col("doc_id"), col("wm")).distinct()
+        .select(col("doc_id"), col("wm")).distinct())
       val nfp = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       val rare = fp.groupBy("wm").agg(count(lit(1)).as("c"))
         .where(col("c") >= 2 && col("c") <= WinnowDfCap).select("wm")
@@ -1160,20 +1164,19 @@ object LlmOps {
     * one row per full window. */
   private val WinnowSelSql: String =
     s"""xs AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id, text, length(text) - ${WinnowK - 1} AS ng,
        |    unnest(generate_series(1, length(text) - ${WinnowK - 1})) AS i
        |  FROM documents WHERE length(text) >= $WinnowK
        |),
        |g AS (
-       |  SELECT doc_id, i,
+       |  SELECT doc_id, i, ng,
        |    ${hex2longSql(s"md5(substring(text, i, $WinnowK))", 1)} AS h
        |  FROM xs
        |),
        |wmw AS (
-       |  SELECT doc_id, i,
+       |  SELECT doc_id, i, ng,
        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-       |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
-       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |                 ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
        |  FROM g
        |),
        |f AS (SELECT doc_id, i, wm, ng FROM wmw WHERE i <= ng - ${WinnowW - 1})""".stripMargin
