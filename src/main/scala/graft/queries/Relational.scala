@@ -335,6 +335,46 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
+    // Ordered-funnel analysis (view → click → purchase): per step, the
+    // user's earliest qualifying time must follow their earliest
+    // qualifying time for the previous step — min-ts aggs + equi joins on
+    // user_id, never a per-user event sort or collect. Each stage's input
+    // shrinks (filter by type, then semi-like join against survivors), so
+    // at 100 TB the funnel is three pruned shuffles, not an event replay.
+    "q_funnel" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, Seq("user_id")).where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      ev.agg(count_distinct(col("user_id")).as("n_users"))
+        .crossJoin(s1.agg(count(lit(1)).as("n_view")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+    }),
+
+    // Cohort retention: users grouped by first-active day, counted on each
+    // of the next 7 days they return. One distinct (user, day) pass, one
+    // min-agg for the cohort, one join — counts are exact integers.
+    "q_retention" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("offset"),
+          col("user_id"))
+        .where(col("offset") <= 7)
+        .groupBy("cohort_day", "offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset")
+    }),
+
     // Fuzzy matching: vocabulary word pairs within levenshtein distance 2,
     // via deletion-neighborhood blocking (operators.FuzzyJoin) — candidates
     // from an equi-join on ≤2-deletion variants, exact levenshtein only on
@@ -889,6 +929,35 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_view_click_purchase""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, CAST(e.day - c.cohort_day AS BIGINT) AS "offset",
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE e.day - c.cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_fuzzy_match" ->
       s"""WITH ${Reference.ToksSql},
          |words AS (SELECT DISTINCT word FROM toks
