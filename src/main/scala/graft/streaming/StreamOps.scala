@@ -49,6 +49,23 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming count-min sketch: the d×w cell table maintained
+    * incrementally over an unbounded token stream. Because CMS merge is an
+    * elementwise sum (commutative + associative), the streaming
+    * aggregation state IS the sketch — groupBy (j, cell) with a running
+    * count. State is bounded by d·w cells REGARDLESS of stream length (no
+    * watermark needed; complete-mode emittable), and after any prefix the
+    * cells are bit-identical to the batch sketch of the same prefix
+    * (StreamOpsSpec proves it micro-batch by micro-batch). Same md5 hash
+    * family as the batch q_sketch_cms. */
+  def streamingCms(lines: DataFrame, textCol: String = "value",
+                   depth: Int = 4, width: Int = 64): DataFrame =
+    Tokenize.tokenize(lines.select(col(textCol)), textCol)
+      .select(col("word"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell",
+        expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', word)), 1, 8), 16, 10) AS BIGINT) % $width"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cn"))
+
   /** Streaming exact deduplication on event_id with watermark-bounded
     * state (dropDuplicatesWithinWatermark): duplicates arriving within the
     * watermark delay are suppressed, and key state is evicted once the

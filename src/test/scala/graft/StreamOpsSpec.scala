@@ -26,6 +26,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamingCms equals the batch sketch of the same prefix after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def batchSketch(lines: Seq[String]): Map[(Long, Long), Long] =
+      StreamOps.streamingCms(lines.toDF("value"))
+        .collect().map(r => ((r.getInt(0).toLong, r.getLong(1)), r.getLong(2))).toMap
+
+    val in = MemoryStream[String]
+    val q = StreamOps.streamingCms(in.toDF())
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = Seq("home fairy dance", "pop steal home")
+      val b2 = Seq("python pop home", "fairy fairy pop")
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val got1 = spark.table("cms_out")
+        .collect().map(r => ((r.getInt(0).toLong, r.getLong(1)), r.getLong(2))).toMap
+      assert(got1 == batchSketch(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val got2 = spark.table("cms_out")
+        .collect().map(r => ((r.getInt(0).toLong, r.getLong(1)), r.getLong(2))).toMap
+      assert(got2 == batchSketch(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint suppresses shuffled re-posts, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
