@@ -791,6 +791,43 @@ object LlmOps {
           col("reg_md5"))
     }),
 
+    // Grouped HyperLogLog — the realistic shape: one sketch PER KEY
+    // (approx distinct users per event type), all keys in a single pass.
+    // Same exact-integer register math as q_sketch_hll; the shuffle
+    // carries |keys|·m register rows no matter how many events stream
+    // through. No small-range linear-counting correction (it needs ln(),
+    // whose last-ulp behavior differs across libm implementations — the
+    // uncorrected estimate is the same IEEE expression in both engines).
+    "q_sketch_hll_grouped" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val rho = ev.select(col("event_type"),
+          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        .select(col("event_type"), (col("h") % HllM).as("bucket"),
+          expr(s"h div $HllM").as("rest"))
+        .select(col("event_type"), col("bucket"),
+          expr("CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END")
+            .cast("long").as("rho"))
+      val buckets = ev.select("event_type").distinct()
+        .crossJoin(s.range(HllM).select(col("id").as("bucket")))
+      val regs = buckets
+        .join(rho.groupBy("event_type", "bucket").agg(max("rho").as("mrho")),
+          Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("mrho"), lit(0L)).as("reg"))
+      val rmax = regs.groupBy("event_type").agg(max("reg").as("R"))
+      val sk = regs.join(rmax, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("R")).as("R"),
+          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(R - reg AS INT)) AS BIGINT)")).as("S"))
+      ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n_true"))
+        .join(sk, Seq("event_type"))
+        .select(col("event_type"), col("n_true"),
+          expr("round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2)")
+            .as("est"))
+        .orderBy("event_type")
+    }),
+
     // Repetition signals (the Gopher-style quality filters): duplicate-
     // token fraction and most-common-token fraction per doc. Template spam
     // and keyword stuffing sit at high dup_frac/top_frac. One narrow
@@ -1743,6 +1780,43 @@ object LlmOps {
          |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
          |  reg_md5
          |FROM sk""".stripMargin,
+
+    "q_sketch_hll_grouped" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ${hexLongSql("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h
+         |  FROM events
+         |),
+         |br AS (
+         |  SELECT event_type, h % $HllM AS bucket, h // $HllM AS rest FROM h
+         |),
+         |mx AS (
+         |  SELECT event_type, bucket,
+         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS mrho
+         |  FROM br GROUP BY event_type, bucket
+         |),
+         |regs AS (
+         |  SELECT t.event_type, b.bucket,
+         |    CAST(coalesce(mx.mrho, 0) AS BIGINT) AS reg
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
+         |  LEFT JOIN mx ON t.event_type = mx.event_type AND b.bucket = mx.bucket
+         |),
+         |sk AS (
+         |  SELECT event_type, max(R) AS R,
+         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
+         |  FROM (SELECT event_type, reg, max(reg) OVER (PARTITION BY event_type) AS R
+         |        FROM regs)
+         |  GROUP BY event_type
+         |),
+         |truth AS (
+         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT truth.event_type, n_true,
+         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est
+         |FROM truth JOIN sk ON truth.event_type = sk.event_type
+         |ORDER BY 1""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $ToksSql,
