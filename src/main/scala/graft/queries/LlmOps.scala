@@ -191,6 +191,12 @@ object LlmOps {
   /** q_sample_pps expected sample size (Poisson, so realized size varies). */
   private val PpsK = 50
 
+  /** q_sketch_bloom shape: m bits × k hashes. At n=1.5k members the load
+    * kn/m ≈ 0.27 → theoretical fp ≈ (1−e^−0.27)³ ≈ 1.4% — small but
+    * non-zero, so the probe stage measures something real. */
+  private val BloomM = 16384
+  private val BloomK = 3
+
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. Near-dedup runs over representatives only — a cluster
     * of k exact duplicates shares every band and would otherwise feed k²
@@ -789,6 +795,40 @@ object LlmOps {
           expr("round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2)")
             .as("est"),
           col("reg_md5"))
+    }),
+
+    // Bloom filter from scratch (completing the sketch trio): k md5-derived
+    // bit positions per member key; the filter is the distinct set-bit
+    // set — union is the merge, so build parallelizes like any distinct.
+    // The query then probes a DISJOINT key set (members shifted by 10^6),
+    // so every positive is a FALSE positive and the measured fp rate is
+    // exact — observed ≈ (1-e^(-kn/m))^k. bits_md5 pins the whole filter;
+    // everything is integer/md5 math, identical in both engines. (The
+    // production operator for join pruning is operators.BloomPrune /
+    // q_join_bloom — this query is the sketch itself, oracle-checked.)
+    "q_sketch_bloom" -> ((s, dir) => {
+      val members = table(s, dir, "customer").select(col("c_custkey").as("key"))
+      val bits = members
+        .select(col("key"), explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
+        .select(expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM")
+          .as("pos")).distinct()
+      val probes = members.select((col("key") + 1000000L).as("pkey"))
+      val probePos = probes
+        .select(col("pkey"), explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
+        .select(col("pkey"),
+          expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(pkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM")
+            .as("pos"))
+      val fp = probePos.join(bits, Seq("pos"))
+        .groupBy("pkey").agg(count(lit(1)).as("hits"))
+        .where(col("hits") === BloomK)
+      members.agg(count(lit(1)).as("n_members"))
+        .crossJoin(bits.agg(count(lit(1)).as("n_bits"),
+          expr("md5(array_join(transform(sort_array(collect_list(pos)), x -> CAST(x AS STRING)), ','))")
+            .as("bits_md5")))
+        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+        .crossJoin(fp.agg(count(lit(1)).as("n_fp")))
+        .select(col("n_members"), col("n_bits"), col("n_probes"), col("n_fp"),
+          round(col("n_fp") / col("n_probes"), 6).as("fp_rate"), col("bits_md5"))
     }),
 
     // Grouped HyperLogLog — the realistic shape: one sketch PER KEY
@@ -1780,6 +1820,31 @@ object LlmOps {
          |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
          |  reg_md5
          |FROM sk""".stripMargin,
+
+    "q_sketch_bloom" ->
+      s"""WITH members AS (SELECT c_custkey AS key FROM customer),
+         |bits AS (
+         |  SELECT DISTINCT
+         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR))", 1)} % $BloomM AS pos
+         |  FROM members CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
+         |),
+         |probes AS (SELECT key + 1000000 AS pkey FROM members),
+         |pp AS (
+         |  SELECT pkey,
+         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || CAST(pkey AS VARCHAR))", 1)} % $BloomM AS pos
+         |  FROM probes CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
+         |),
+         |fp AS (
+         |  SELECT pkey FROM pp JOIN bits USING (pos)
+         |  GROUP BY pkey HAVING count(*) = $BloomK
+         |)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_fp,
+         |  round((SELECT count(*) FROM fp) / (SELECT count(*) FROM probes), 6) AS fp_rate,
+         |  (SELECT md5(string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)) FROM bits) AS bits_md5""".stripMargin,
 
     "q_sketch_hll_grouped" ->
       s"""WITH h AS (
