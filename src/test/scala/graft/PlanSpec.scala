@@ -139,4 +139,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan("q_sketch_cms").contains("partial_sum"))
     assert(plan("q_centroid").contains("partial_sum"))
   }
+
+  test("catalog-wide: no query plans a CartesianProduct") {
+    // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
+    // are fine; an actual CartesianProduct (both sides big, no key) is
+    // always a bug at scale. Sink/side-effecting queries are skipped —
+    // planning them runs their writes; their shapes are covered by their
+    // own specs and the verify gate.
+    val skip = Set("q_sink_roundtrip", "q_sink_text_roundtrip",
+      "q_sink_csv_roundtrip", "q_sink_json_roundtrip", "q_sink_orc_roundtrip",
+      "q_csv_corrupt", "q_partitioned_scan", "q_join_bucketed", "q_upsert",
+      "q_cdc_apply", "q_schema_evolution", "q_synth_source")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .filter { name =>
+        try plan(name).contains("CartesianProduct")
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
 }
