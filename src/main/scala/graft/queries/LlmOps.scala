@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.Tokenize
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` and `embeddings` —
@@ -795,6 +795,25 @@ object LlmOps {
           expr("round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2)")
             .as("est"),
           col("reg_md5"))
+    }),
+
+    // Data-quality expectation checks — the validation stage every ingest
+    // pipeline runs before training data is admitted: each rule is a
+    // conditional sum over ONE shared scan (no per-rule pass), so adding a
+    // rule costs one codegen'd expression, not a job. Violations are
+    // counted, not fatal — the downstream filter decides.
+    "q_dq_checks" -> ((s, dir) => {
+      val checks: Seq[(String, Column)] = Seq(
+        "null_text" -> (col("text").isNull || length(col("text")) === 0),
+        "bad_lang" -> !col("lang").isin("en", "fr", "de", "es", "zh"),
+        "n_chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
+        "negative_id" -> (col("doc_id") < 0),
+        "oversize" -> (col("n_chars") > 100000))
+      docs(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        checks.map { case (n, c) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"viol_$n")
+        }: _*)
     }),
 
     // Bloom filter from scratch (completing the sketch trio): k md5-derived
@@ -1820,6 +1839,15 @@ object LlmOps {
          |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
          |  reg_md5
          |FROM sk""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_text,
+        |  CAST(sum(CASE WHEN lang NOT IN ('en','fr','de','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS viol_bad_lang,
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS viol_n_chars_mismatch,
+        |  CAST(sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS viol_negative_id,
+        |  CAST(sum(CASE WHEN n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS viol_oversize
+        |FROM documents""".stripMargin,
 
     "q_sketch_bloom" ->
       s"""WITH members AS (SELECT c_custkey AS key FROM customer),
