@@ -187,6 +187,7 @@ object LlmOps {
   /** HyperLogLog register count (q_sketch_hll); 2^6 buckets → the
     * paper's α₆₄ = 0.709 and ~13% standard error. */
   private val HllM = 64
+  private val HllAlpha = 0.709
 
   /** q_sample_pps expected sample size (Poisson, so realized size varies). */
   private val PpsK = 50
@@ -748,18 +749,10 @@ object LlmOps {
     // unless the word collides in all d rows (width 64 forces real
     // collisions at 31 words × 4 rows). Both engines replay the identical
     // md5-derived hash family.
-    "q_sketch_cms" -> ((s, dir) => {
-      val wc = corpusToks(s, dir).groupBy("word").agg(count(lit(1)).as("n"))
-      val rows = wc.select(col("word"), col("n"),
-          explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-        .withColumn("cell",
-          expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', word)), 1, 8), 16, 10) AS BIGINT) % $CmsWidth"))
-      val cells = rows.groupBy("j", "cell").agg(sum(col("n")).as("cn"))
-      rows.join(cells, Seq("j", "cell"))
-        .groupBy("word")
-        .agg(max(col("n")).as("n_true"), min(col("cn")).as("n_est"))
-        .orderBy("word")
-    }),
+    "q_sketch_cms" -> ((s, dir) =>
+      graft.operators.Sketches
+        .cmsEstimates(corpusToks(s, dir).select("word"), "word", CmsDepth, CmsWidth)
+        .orderBy("word")),
 
     // HyperLogLog from scratch (Flajolet et al.): 64 registers, register =
     // max leading-zero rank of the 54-bit hash remainder — max is
@@ -772,29 +765,16 @@ object LlmOps {
     // not implemented). reg_md5 pins the full register table.
     "q_sketch_hll" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      val br = li.select(
-        expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-          .as("h"))
-        .select((col("h") % HllM).as("bucket"),
-          expr(s"h div $HllM").as("rest"))
-        .select(col("bucket"),
-          expr("CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END")
-            .cast("long").as("rho"))
-      val regs = s.range(HllM).select(col("id").as("bucket"))
-        .join(br.groupBy("bucket").agg(max(col("rho")).as("mrho")), Seq("bucket"), "left")
-        .select(col("bucket"), coalesce(col("mrho"), lit(0L)).as("reg"))
-      val sketch = regs
-        .crossJoin(broadcast(regs.agg(max(col("reg")).as("R"))))
-        .agg(max(col("R")).as("R"),
-          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(R - reg AS INT)) AS BIGINT)")).as("S"),
-          expr("md5(array_join(transform(sort_array(collect_list(struct(bucket, reg))), x -> CAST(x.reg AS STRING)), ','))")
-            .as("reg_md5"))
+      val regs = graft.operators.Sketches
+        .hllRegisters(li.select(col("l_orderkey").as("k")), "k", HllM)
+      val est = graft.operators.Sketches.hllEstimate(regs, HllM, HllAlpha)
+      val regMd5 = regs.agg(
+        expr("md5(array_join(transform(sort_array(collect_list(struct(bucket, reg))), x -> CAST(x.reg AS STRING)), ','))")
+          .as("reg_md5"))
       li.agg(count_distinct(col("l_orderkey")).as("n_true"))
-        .crossJoin(sketch)
-        .select(col("n_true"), lit(HllM.toLong).as("m"),
-          expr("round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2)")
-            .as("est"),
-          col("reg_md5"))
+        .crossJoin(broadcast(est))
+        .crossJoin(broadcast(regMd5))
+        .select(col("n_true"), lit(HllM.toLong).as("m"), col("est"), col("reg_md5"))
     }),
 
     // Data-quality expectation checks — the validation stage every ingest
@@ -859,31 +839,12 @@ object LlmOps {
     // uncorrected estimate is the same IEEE expression in both engines).
     "q_sketch_hll_grouped" -> ((s, dir) => {
       val ev = table(s, dir, "events")
-      val rho = ev.select(col("event_type"),
-          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-            .as("h"))
-        .select(col("event_type"), (col("h") % HllM).as("bucket"),
-          expr(s"h div $HllM").as("rest"))
-        .select(col("event_type"), col("bucket"),
-          expr("CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END")
-            .cast("long").as("rho"))
-      val buckets = ev.select("event_type").distinct()
-        .crossJoin(s.range(HllM).select(col("id").as("bucket")))
-      val regs = buckets
-        .join(rho.groupBy("event_type", "bucket").agg(max("rho").as("mrho")),
-          Seq("event_type", "bucket"), "left")
-        .select(col("event_type"), col("bucket"),
-          coalesce(col("mrho"), lit(0L)).as("reg"))
-      val rmax = regs.groupBy("event_type").agg(max("reg").as("R"))
-      val sk = regs.join(rmax, Seq("event_type"))
-        .groupBy("event_type")
-        .agg(max(col("R")).as("R"),
-          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(R - reg AS INT)) AS BIGINT)")).as("S"))
+      val regs = graft.operators.Sketches.hllRegisters(
+        ev.select("event_type", "user_id"), "user_id", HllM, Seq("event_type"))
+      val est = graft.operators.Sketches
+        .hllEstimate(regs, HllM, HllAlpha, Seq("event_type"))
       ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n_true"))
-        .join(sk, Seq("event_type"))
-        .select(col("event_type"), col("n_true"),
-          expr("round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2)")
-            .as("est"))
+        .join(est, Seq("event_type"))
         .orderBy("event_type")
     }),
 

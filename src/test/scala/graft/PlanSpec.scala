@@ -136,7 +136,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q_sketch_cms / q_centroid: partial map-side aggregation present") {
-    assert(plan("q_sketch_cms").contains("partial_sum"))
+    assert(plan("q_sketch_cms").contains("partial_count"))
     assert(plan("q_centroid").contains("partial_sum"))
   }
 
