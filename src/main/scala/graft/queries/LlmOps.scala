@@ -178,6 +178,14 @@ object LlmOps {
     * distinct-word count (31) so real OOV mass exists at sf0.01. */
   private val VocabSize = 10
 
+  /** q_dedup_simhash_pairs: 4 bands × 8 bits over a 32-bit signature.
+    * Pigeonhole: hamming ≤ [[SimHamThr]] = bands−1 ⇒ at least one band is
+    * bit-identical, so the banded equi-join is a complete candidate
+    * generator for the hamming threshold — no all-pairs comparison. */
+  private val SimBands = 4
+  private val SimBandBits = 8
+  private val SimHamThr = 3
+
   /** Count-min sketch shape (q_sketch_cms): depth × width. Width is kept
     * at 64 so the 31-word vocab × 4 rows provokes real collisions — the
     * overestimate property is visible in the output, not just latent. */
@@ -211,6 +219,24 @@ object LlmOps {
   private def repDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
+
+  /** w-bit simhash per doc: majority vote per bit over md5-derived token
+    * hashes. One narrow aggregation — linear at any corpus size; the
+    * shuffle carries w partial sums per (doc, partition). `w` ≤ 32 (bits
+    * come from the first 8 hex chars of the token md5). */
+  private def simhashW(s: SparkSession, dir: String, w: Int): DataFrame = {
+    require(w <= 32, s"simhash width $w exceeds the 32 hash bits available")
+    val a = toks(s, dir).select(col("doc_id"),
+      expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)").as("a"))
+    val sumAggs = (0 until w).map(j =>
+      sum(expr(s"CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$j"))
+    a.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until w).map(j =>
+          expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END"))
+          .reduce(_ + _).cast("long").as("sim"))
+  }
 
   /** Sampled char shingles (doc_id, sh) of the deduped representatives —
     * multiset (no distinct; min-agg consumers don't need it, set consumers
@@ -359,18 +385,40 @@ object LlmOps {
 
     // SimHash: 16-bit signature from md5-derived token hashes (majority vote
     // per bit over token occurrences). One narrow agg — linear at scale.
-    "q_dedup_simhash" -> ((s, dir) => {
-      val a = toks(s, dir).select(col("doc_id"),
-        expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)").as("a"))
-      val sumAggs = (0 until 16).map(j =>
-        sum(expr(s"CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"))
-          .as(s"s$j"))
-      a.groupBy("doc_id").agg(sumAggs.head, sumAggs.tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(j =>
-            expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE CAST(0 AS BIGINT) END"))
-            .reduce(_ + _).cast("long").as("simhash"))
-        .orderBy("doc_id")
+    "q_dedup_simhash" -> ((s, dir) =>
+      simhashW(s, dir, 16).select(col("doc_id"), col("sim").as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup PAIRS: the banded-LSH completion of the signature
+    // query. 32-bit signatures (8-bit bands stay selective: 256 bucket
+    // values vs 16 for the display query's 16-bit width) → band equi-join
+    // under the same BandBucketCap discipline as minhash → exact hamming
+    // verify (bit_count of xor) on candidates only. Pigeonhole makes the
+    // candidate set COMPLETE for ham ≤ SimHamThr = bands−1: a pair within
+    // the threshold differs in ≤ 3 of 4 bands, so some band matches.
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val sig = maybePersist(simhashW(s, dir, 32))
+      val bands = sig.select(col("doc_id") +: (0 until SimBands).map(b =>
+          expr(s"CAST(floor(sim / ${1L << (SimBandBits * b)}) AS BIGINT) % ${1 << SimBandBits}")
+            .as(s"b$b")): _*)
+        .selectExpr("doc_id",
+          s"stack($SimBands, ${(0 until SimBands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
+      val small = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= BandBucketCap).select("band", "v")
+      val capped = bands.join(small, Seq("band", "v"))
+      val pairs = capped.alias("x")
+        .join(capped.alias("y"),
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      pairs
+        .join(sig.select(col("doc_id").as("d1"), col("sim").as("sim1")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("sim").as("sim2")), "d2")
+        .select(col("d1"), col("d2"),
+          expr("CAST(bit_count(sim1 ^ sim2) AS BIGINT)").as("ham"))
+        .where(col("ham") <= SimHamThr)
+        .orderBy("d1", "d2")
     }),
 
     // n-gram (token 3-gram) Jaccard near-dup, blocked by `source` so the
@@ -1105,6 +1153,21 @@ object LlmOps {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Uniform k-per-key sample via the NATIVE TopKPerKey operator: rank
+    // docs inside each lang by a stable md5 of the key and keep the k
+    // smallest. Equivalent to per-group reservoir sampling but
+    // deterministic (reproducible across runs/cluster sizes) and planned as
+    // map-side bounded-heap prune → 1 Exchange → final prune — each map
+    // partition contributes ≤ k rows per lang to the shuffle, vs a full
+    // per-group window sort. The oracle spells the same selection as a
+    // row_number window.
+    "q_sample_per_key" -> ((s, dir) => {
+      val ranked = docs(s, dir).select(col("lang"), col("doc_id"),
+        md5(concat(lit("smp-"), col("doc_id").cast("string"))).as("r"))
+      graft.operators.TopK.perKey(ranked, Seq("lang"), Seq(("r", true)), 5)
+        .select("lang", "doc_id").orderBy("lang", "doc_id")
+    }),
+
     // Weighted (probability-proportional-to-size) Poisson sampling with an
     // INTEGER-exact inclusion rule: doc i is kept iff
     // bucket_i · W < k · w_i · 2^32, i.e. u < min(1, k·w_i/W) with
@@ -1415,6 +1478,40 @@ object LlmOps {
          |)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
          |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_simhash_pairs" -> {
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n    ")
+      val bits = (0 until 32).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val bandRows = (0 until SimBands).map(b =>
+        s"SELECT doc_id, $b AS band, CAST(floor(sim / ${1L << (SimBandBits * b)}) AS BIGINT) % ${1 << SimBandBits} AS v FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $ToksSql,
+         |a AS (SELECT doc_id, ${hex2longSql("md5(word)", 1)} AS a FROM toks),
+         |sums AS (SELECT doc_id,
+         |    $sums
+         |  FROM a GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sim FROM sums),
+         |bands AS (
+         |  $bandRows
+         |),
+         |small AS (SELECT band, v FROM bands GROUP BY band, v
+         |          HAVING count(*) <= $BandBucketCap),
+         |capped AS (SELECT bands.* FROM bands JOIN small USING (band, v)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM capped x JOIN capped y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(s1.sim, s2.sim)) AS BIGINT) AS ham
+         |FROM pairs
+         |JOIN sig s1 ON pairs.d1 = s1.doc_id
+         |JOIN sig s2 ON pairs.d2 = s2.doc_id
+         |WHERE bit_count(xor(s1.sim, s2.sim)) <= $SimHamThr
+         |ORDER BY d1, d2""".stripMargin
     },
 
     "q_dedup_ngram" ->
@@ -2039,6 +2136,18 @@ object LlmOps {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE $hashBucketSql < 10 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_per_key" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    md5('smp-' || CAST(doc_id AS VARCHAR)) AS r
+        |  FROM documents
+        |),
+        |k AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY r) AS rn
+        |      FROM r)
+        |SELECT lang, doc_id FROM k WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q_sample_pps" ->
       s"""WITH t AS (

@@ -38,6 +38,27 @@ object Relational {
             * (lit(1.0) + col("l_tax")), 6).as("sum_charge"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Skew-proof two-stage aggregation: stage 1 aggregates on (key, salt)
+    // so a hot key's rows spread over SaltN reducers instead of one; stage 2
+    // merges the per-salt partials. Decimal partials make the merge exact,
+    // so the result is bit-identical to the direct groupBy — the oracle IS
+    // the direct SQL. This is the mitigation for AGGREGATION skew (AQE's
+    // skew handling only covers joins); count/sum/min/max all remerge, and
+    // the salt is a deterministic function of a row key, not rand().
+    "q_agg_salted" -> ((s, dir) => {
+      val stage1 = table(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"),
+          max(col("l_extendedprice")).as("px"))
+      stage1.groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pq")).cast("double").as("sum_qty"),
+          max(col("px")).as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Dimension join chain: nation & region broadcast — zero fact shuffles
     // before the (tiny) aggregation exchange.
     "q_join_broadcast" -> ((s, dir) =>
@@ -724,6 +745,14 @@ object Relational {
          |  ${dsumSql("l_extendedprice*(1-l_discount)*(1+l_tax)", 6)} AS sum_charge
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // The salted two-stage plan must equal the direct aggregation — the
+    // oracle is deliberately salt-free.
+    "q_agg_salted" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  max(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q_join_broadcast" ->
       s"""SELECT r_name, count(*) AS n_cust, ${dsumSql("c_acctbal", 2)} AS acctbal
          |FROM customer

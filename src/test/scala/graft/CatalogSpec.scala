@@ -60,7 +60,7 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     // run the query once so the partitioned layout exists…
     SparkEntry.queries("q_partitioned_scan")(spark, Sf).collect()
     // …then check the read side prunes on lang
-    val plan = spark.read.parquet("/root/repo/target/tmp/docs_by_lang")
+    val plan = spark.read.parquet(s"${graft.queries.TmpRoot}/docs_by_lang")
       .where(org.apache.spark.sql.functions.col("lang").isin("en", "fr"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan)

@@ -140,6 +140,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan("q_centroid").contains("partial_sum"))
   }
 
+  test("q_dedup_simhash_pairs: banded candidates, no nested-loop / cartesian") {
+    val p = plan("q_dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_agg_salted: two aggregation tiers, salt in the first grouping only") {
+    val p = plan("q_agg_salted")
+    // stage 1 groups by (l_returnflag, salt); stage 2 by l_returnflag only —
+    // both with map-side partials, so four HashAggregate tiers total
+    assert(p.contains("partial_sum"), p)
+    assert("Keys \\[2\\]: \\[l_returnflag[^,]*, salt".r.findFirstIn(p).isDefined
+      || p.contains("salt"), p)
+  }
+
+  test("q_sample_per_key: plans through the native TopKPerKeyExec pair") {
+    val p = plan("q_sample_per_key")
+    assert("TopKPerKey".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Window"), p) // never falls back to a window sort
+  }
+
   test("catalog-wide: no query plans a CartesianProduct") {
     // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
     // are fine; an actual CartesianProduct (both sides big, no key) is
