@@ -186,6 +186,13 @@ object LlmOps {
   private val SimBandBits = 8
   private val SimHamThr = 3
 
+  /** q_span_dedup sliding-window width (tokens). */
+  private val SpanW = 5
+
+  /** q_delta_dedup verify threshold — lower than the self-dedup 0.5 so the
+    * asymmetric path keeps signal on the small 10% delta slice. */
+  private val DeltaJacThr = 0.3
+
   /** Count-min sketch shape (q_sketch_cms): depth × width. Width is kept
     * at 64 so the 31-word vocab × 4 rows provokes real collisions — the
     * overestimate property is visible in the output, not just latent. */
@@ -238,16 +245,37 @@ object LlmOps {
           .reduce(_ + _).cast("long").as("sim"))
   }
 
-  /** Sampled char shingles (doc_id, sh) of the deduped representatives —
+  /** Sampled char shingles (doc_id, sh) of a (doc_id, text) frame —
     * multiset (no distinct; min-agg consumers don't need it, set consumers
     * call .distinct()). */
-  private def repShingles(s: SparkSession, dir: String): DataFrame =
-    repDocs(s, dir)
-      .where(length(col("text")) >= K)
+  private def shinglesOf(d: DataFrame): DataFrame =
+    d.where(length(col("text")) >= K)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
           .as("i"), col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
+
+  /** Shingles of the deduped representatives. */
+  private def repShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(repDocs(s, dir))
+
+  /** LSH band rows (doc_id, band, v) from a shingle multiset: shingle →
+    * [[H]] minhashes from one md5 (Kirsch-Mitzenmacher) → [[Bands]] bands
+    * of [[R]] rows. Shared by the corpus self-dedup (q_dedup_minhash*) and
+    * the base×delta incremental dedup (q_delta_dedup). */
+  private def bandRowsFromShingles(sh: DataFrame): DataFrame = {
+    val ab = sh.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
+      expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
+    val aggs = (0 until H).map(i =>
+      min((col("a") + lit(i.toLong) * col("b")) % lit(Mod)).as(s"h$i"))
+    val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
+    sig.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
+  }
 
   /** LSH candidate pairs (d1 < d2) over exact-dup representatives:
     * shingle → 16 minhashes from one md5 (Kirsch-Mitzenmacher) → 4 bands ×
@@ -257,17 +285,7 @@ object LlmOps {
     * sizing AND both self-join sides (callers run inside Bench/Verify,
     * which clearCache() per query). */
   private def minhashCandPairs(s: SparkSession, dir: String): DataFrame = {
-    val ab = repShingles(s, dir).select(col("doc_id"),
-      expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
-      expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
-    val aggs = (0 until H).map(i =>
-      min((col("a") + lit(i.toLong) * col("b")) % lit(Mod)).as(s"h$i"))
-    val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until Bands).map(b =>
-      concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
-    val bands = maybePersist(sig.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id",
-        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)"))
+    val bands = maybePersist(bandRowsFromShingles(repShingles(s, dir)))
     val smallBuckets = bands.groupBy("band", "v")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
       .select("band", "v")
@@ -419,6 +437,74 @@ object LlmOps {
           expr("CAST(bit_count(sim1 ^ sim2) AS BIGINT)").as("ham"))
         .where(col("ham") <= SimHamThr)
         .orderBy("d1", "d2")
+    }),
+
+    // Duplicate-SPAN detection (the sub-document dedup of "Deduplicating
+    // Training Data Makes Language Models Better": exact duplicate token
+    // spans, not whole-doc similarity). Every SpanW-token sliding window is
+    // hashed; a span whose hash occurs in ≥2 distinct docs is duplicated
+    // text. Per doc: span count, duplicated-span count, duplicated
+    // fraction. Cost is Σ tokens rows (narrow explode) + one hash-keyed
+    // count — linear at any corpus size; unlike the pair-generating dedups
+    // there is NO self-join, so boilerplate needs no df-cap (high-df spans
+    // just count, they never multiply).
+    "q_span_dedup" -> ((s, dir) => {
+      val ws = docs(s, dir)
+        .select(col("doc_id"), Tokenize.tokenArray(col("text")).as("ws"))
+        .where(size(col("ws")) >= SpanW)
+      val spans = maybePersist(ws.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(ws)-${SpanW - 1}), i -> md5(concat_ws(' ', slice(ws, i, $SpanW))))"))
+          .as("h")))
+      val docFreq = spans.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("dfreq"))
+      spans.join(docFreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("dfreq") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_spans").cast("double"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental (base × delta) dedup — the production shape: a new batch
+    // is deduped AGAINST the existing corpus, never corpus × corpus. Split
+    // is by the stable md5 key bucket (90% base / 10% delta); candidates
+    // come from an asymmetric band join (delta bands probe base bands, base
+    // buckets capped at BandBucketCap), then exact shingle-Jaccard verifies
+    // candidates only. At 100 TB the base band table is a persisted index:
+    // each new batch costs O(delta) + the probe join.
+    "q_delta_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("bucket", expr(HashBucketSpark))
+      val base = d.where(col("bucket") < 90).select("doc_id", "text")
+      val delta = d.where(col("bucket") >= 90).select("doc_id", "text")
+      val bSh = maybePersist(shinglesOf(base))
+      val dSh = maybePersist(shinglesOf(delta))
+      val bBands = bandRowsFromShingles(bSh)
+      val small = bBands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= BandBucketCap).select("band", "v")
+      val cand = bandRowsFromShingles(dSh)
+        .join(bBands.join(small, Seq("band", "v"))
+          .select(col("band"), col("v"), col("doc_id").as("base_id")),
+          Seq("band", "v"))
+        .select(col("doc_id").as("delta_id"), col("base_id")).distinct()
+      val bSets = bSh.distinct()
+      val dSets = dSh.distinct()
+      val bSz = bSets.groupBy("doc_id").agg(count(lit(1)).as("szb"))
+      val dSz = dSets.groupBy("doc_id").agg(count(lit(1)).as("szd"))
+      val co = cand
+        .join(dSets.select(col("doc_id").as("delta_id"), col("sh")), "delta_id")
+        .join(bSets.select(col("doc_id").as("base_id"), col("sh").as("sh2")), "base_id")
+        .where(col("sh") === col("sh2"))
+        .groupBy("delta_id", "base_id").agg(count(lit(1)).as("co"))
+      cand.join(co, Seq("delta_id", "base_id"), "left_outer")
+        .join(dSz.withColumnRenamed("doc_id", "delta_id"), "delta_id")
+        .join(bSz.withColumnRenamed("doc_id", "base_id"), "base_id")
+        .withColumn("jac",
+          expr("CAST(coalesce(co, 0) AS DOUBLE) / (szd + szb - coalesce(co, 0))"))
+        .where(col("jac") >= DeltaJacThr)
+        .select(col("delta_id"), col("base_id"), round(col("jac"), 4).as("jac"))
+        .orderBy("delta_id", "base_id")
     }),
 
     // n-gram (token 3-gram) Jaccard near-dup, blocked by `source` so the
@@ -1358,6 +1444,39 @@ object LlmOps {
       |  SELECT doc_id FROM neardups UNION SELECT doc_id FROM exactdups
       |)""".stripMargin
 
+  /** One side of the q_delta_dedup oracle: doc slice → shingles → minhash
+    * sig → band rows, all CTE names suffixed `_tag` (twin of the Spark
+    * `shinglesOf` + `bandRowsFromShingles` pair over a bucket slice). */
+  private def deltaSideSql(tag: String, pred: String): String = {
+    val mins = (0 until H)
+      .map(i => s"min((a + $i*b) % $Mod) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val v = (0 until R).map(r => s"CAST(h${b * R + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $v AS v FROM sig_$tag"
+    }.mkString("\n  UNION ALL ")
+    s"""d_$tag AS (SELECT doc_id, text FROM documents WHERE $pred),
+       |sh_$tag AS (
+       |  SELECT doc_id, substr(text, i, $K) AS sh
+       |  FROM (SELECT doc_id, text,
+       |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
+       |        FROM d_$tag WHERE length(text) >= $K)
+       |),
+       |ab_$tag AS (
+       |  SELECT doc_id, ${hex2longSql("md5(sh)", 1)} AS a,
+       |         ${hex2longSql("md5(sh)", 9)} AS b
+       |  FROM sh_$tag
+       |),
+       |sig_$tag AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM ab_$tag GROUP BY doc_id
+       |),
+       |bands_$tag AS (
+       |  $bandRows
+       |)""".stripMargin
+  }
+
   /** Band rows + the bucket-size cap: `cbands` is `bands` minus buckets
     * holding more than [[BandBucketCap]] docs (twin of the Spark-side
     * `smallBuckets` join in `minhashCandPairs`). */
@@ -1513,6 +1632,62 @@ object LlmOps {
          |WHERE bit_count(xor(s1.sim, s2.sim)) <= $SimHamThr
          |ORDER BY d1, d2""".stripMargin
     },
+
+    "q_span_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
+         |  FROM documents
+         |),
+         |tt AS (SELECT * FROM t WHERE len(ws) >= $SpanW),
+         |spans AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(ws[i:i+${SpanW - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws)-${SpanW - 1})) AS i
+         |        FROM tt)
+         |),
+         |dfq AS (SELECT h, count(*) AS dfreq
+         |        FROM (SELECT DISTINCT doc_id, h FROM spans) GROUP BY h)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         |FROM spans JOIN dfq USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_delta_dedup" ->
+      s"""WITH ${deltaSideSql("b", s"$hashBucketSql < 90")},
+         |${deltaSideSql("d", s"$hashBucketSql >= 90")},
+         |small AS (SELECT band, v FROM bands_b GROUP BY band, v
+         |          HAVING count(*) <= $BandBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT dd.doc_id AS delta_id, bb.doc_id AS base_id
+         |  FROM bands_d dd
+         |  JOIN (SELECT bands_b.* FROM bands_b JOIN small USING (band, v)) bb
+         |    ON dd.band = bb.band AND dd.v = bb.v
+         |),
+         |bsets AS (SELECT DISTINCT doc_id, sh FROM sh_b),
+         |dsets AS (SELECT DISTINCT doc_id, sh FROM sh_d),
+         |bsz AS (SELECT doc_id, count(*) AS szb FROM bsets GROUP BY doc_id),
+         |dsz AS (SELECT doc_id, count(*) AS szd FROM dsets GROUP BY doc_id),
+         |co AS (
+         |  SELECT c.delta_id, c.base_id, count(*) AS co
+         |  FROM cand c
+         |  JOIN dsets a ON a.doc_id = c.delta_id
+         |  JOIN bsets b2 ON b2.doc_id = c.base_id AND b2.sh = a.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.delta_id, c.base_id,
+         |  round(CAST(coalesce(co.co, 0) AS DOUBLE)
+         |        / (dsz.szd + bsz.szb - coalesce(co.co, 0)), 4) AS jac
+         |FROM cand c
+         |LEFT JOIN co ON co.delta_id = c.delta_id AND co.base_id = c.base_id
+         |JOIN dsz ON dsz.doc_id = c.delta_id
+         |JOIN bsz ON bsz.doc_id = c.base_id
+         |WHERE CAST(coalesce(co.co, 0) AS DOUBLE)
+         |      / (dsz.szd + bsz.szb - coalesce(co.co, 0)) >= $DeltaJacThr
+         |ORDER BY c.delta_id, c.base_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH t AS (

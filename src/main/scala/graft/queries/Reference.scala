@@ -203,6 +203,30 @@ object Reference {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
     }),
+    // Dynamic partition overwrite — the lakehouse refresh primitive:
+    // rewrite ONLY the partitions present in the incoming batch, leave the
+    // rest of the table untouched. At 100 TB this is the difference
+    // between rewriting one day's partition and the whole table (static
+    // overwrite mode would truncate everything). Here: full write
+    // partitioned by lang, then a lang='en' recompute (+1000 to every
+    // n_chars) overwritten dynamically; the read-back proves en changed
+    // and every other partition survived.
+    "q_partition_overwrite" -> ((s, dir) => {
+      val out = s"$TmpRoot/docs_part_dyn"
+      val d = docs(s, dir)
+      d.write.mode("overwrite").partitionBy("lang").parquet(out)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        d.where(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1000)
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     // Hive-style partitioned layout + partition pruning: only the lang=…
     // directories named by the filter are read (PartitionFilters in the
     // scan; at 100 TB this is the difference between scanning one
@@ -299,6 +323,12 @@ object Reference {
     "q_partitioned_scan" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'fr')
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // en partition rewritten with +1000 per row, every other lang intact
+    "q_partition_overwrite" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END)
+        |       AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
