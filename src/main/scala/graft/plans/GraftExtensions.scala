@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.encodeWordFn)
     ext.injectFunction(GraftExtensions.levWithinFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
+    ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     // parser tier: the GRAFT TOPK dialect (only effective when the session
     // is BUILT with spark.sql.extensions=graft.plans.GraftExtensions — the
@@ -60,6 +61,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification
+    if (!spark.experimental.extraOptimizations.contains(SummaryRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SummaryRewrite
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

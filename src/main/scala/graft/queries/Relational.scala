@@ -38,6 +38,32 @@ object Relational {
             * (lit(1.0) + col("l_tax")), 6).as("sum_charge"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Materialized-view rewrite: a (returnflag, linestatus) summary of
+    // lineitem is built+registered, then the query — written against the
+    // FACT table — is answered from the summary by the SummaryRewrite
+    // optimizer rule (count(*) → sum(cnt), sum(measure) → sum(partial),
+    // coarser grouping re-aggregated). The oracle is the direct fact SQL:
+    // value equality proves the rewrite is semantics-preserving; PlanSpec
+    // proves the fact is never scanned. At 100 TB this turns a petabyte
+    // scan into a megabyte one for every query in the summary's
+    // subsumption cone. The optimized plan is forced while the summary is
+    // registered, then the registry is cleared so no other catalog query
+    // is affected.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val factPath = s"$dir/lineitem.parquet"
+      graft.operators.MatViews.registerSummary(s, factPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+        s"$TmpRoot/mv_lineitem")
+      val q = s.read.parquet(factPath)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+      q.queryExecution.optimizedPlan // bake the rewrite in…
+      graft.plans.SummaryRewrite.clear() // …and unregister before returning
+      q
+    }),
+
     // Skew-proof two-stage aggregation: stage 1 aggregates on (key, salt)
     // so a hot key's rows spread over SaltN reducers instead of one; stage 2
     // merges the per-salt partials. Decimal partials make the merge exact,
@@ -745,6 +771,13 @@ object Relational {
          |  ${dsumSql("l_extendedprice*(1-l_discount)*(1+l_tax)", 6)} AS sum_charge
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // The summary-rewritten plan must equal the direct fact aggregation —
+    // the oracle is deliberately summary-free.
+    "q_mv_rewrite" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // The salted two-stage plan must equal the direct aggregation — the
     // oracle is deliberately salt-free.
     "q_agg_salted" ->

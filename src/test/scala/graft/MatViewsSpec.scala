@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.MatViews
+import graft.plans.SummaryRewrite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SummaryRewrite: subsumption-cone rewrites hit the summary, everything
+  * else is untouched, and values are identical either way. */
+class MatViewsSpec extends AnyFunSuite with SparkFixture {
+
+  private val factPath = s"$Sf/lineitem.parquet"
+  private val out = s"${graft.queries.TmpRoot}/mv_spec"
+
+  private def registered[A](body: => A): A =
+    try {
+      MatViews.registerSummary(spark, factPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+        out)
+      body
+    } finally SummaryRewrite.clear()
+
+  private def query() = spark.read.parquet(factPath)
+    .groupBy("l_returnflag")
+    .agg(count(lit(1)).as("n"),
+      sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("q"))
+    .orderBy("l_returnflag")
+
+  test("rewrite produces identical values to the direct fact aggregate") {
+    val direct = query().collect().toSeq
+    val viaSummary = registered {
+      val df = query()
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("sum(cnt#"), p) // partials re-merged from the summary
+      df.collect().toSeq
+    }
+    assert(viaSummary == direct)
+  }
+
+  test("finer grouping (both dims) and a dim filter also rewrite") {
+    registered {
+      val df = spark.read.parquet(factPath)
+        .where(col("l_linestatus") === "O")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("sum(cnt#"), p)
+      val direct = spark.read.parquet(factPath)
+        .where(col("l_linestatus") === "O")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+    .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == direct)
+    }
+  }
+
+  test("no rewrite: unregistered measure, non-dim grouping, distinct agg") {
+    registered {
+      val m = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice")).as("s"))
+      assert(!m.queryExecution.optimizedPlan.toString.contains("cnt#"))
+      val g = spark.read.parquet(factPath).groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"))
+      assert(!g.queryExecution.optimizedPlan.toString.contains("cnt#"))
+      val d = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+      assert(!d.queryExecution.optimizedPlan.toString.contains("cnt#"))
+    }
+  }
+
+  test("cleared registry leaves plans untouched") {
+    val df = query()
+    assert(!df.queryExecution.optimizedPlan.toString.contains("cnt#"))
+  }
+}

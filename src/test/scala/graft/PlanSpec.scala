@@ -155,6 +155,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       || p.contains("salt"), p)
   }
 
+  test("q_mv_rewrite: answered from the summary, fact never scanned") {
+    val p = plan("q_mv_rewrite")
+    assert(p.contains("mv_lineitem"), p)
+    assert(!p.contains("lineitem.parquet"), p)
+  }
+
   test("q_sample_per_key: plans through the native TopKPerKeyExec pair") {
     val p = plan("q_sample_per_key")
     assert("TopKPerKey".r.findAllIn(p).nonEmpty, p)
