@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.encodeWordFn)
     ext.injectFunction(GraftExtensions.levWithinFn)
+    ext.injectFunction(GraftExtensions.interleaveBitsFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -52,12 +53,23 @@ object GraftExtensions {
       LevWithinExpression(children(0), children(1), k)
     })
 
+  private val interleaveBitsFn = (
+    new FunctionIdentifier("interleave_bits"),
+    new ExpressionInfo(classOf[InterleaveBitsExpression].getName, "interleave_bits"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"interleave_bits expects (x, y), got ${children.length} arguments")
+      InterleaveBitsExpression(children(0), children(1))
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       encodeWordFn._1, encodeWordFn._2, encodeWordFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       levWithinFn._1, levWithinFn._2, levWithinFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      interleaveBitsFn._1, interleaveBitsFn._2, interleaveBitsFn._3)
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification

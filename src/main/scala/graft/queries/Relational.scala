@@ -38,6 +38,21 @@ object Relational {
             * (lit(1.0) + col("l_tax")), 6).as("sum_charge"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Z-order (Morton) clustering value via the native codegen'd
+    // `interleave_bits` expression — the layout key ZOrder.layoutBy
+    // range-partitions and sorts files by, so per-file min/max envelopes
+    // stay narrow in BOTH dimensions (ZOrderSpec measures the file
+    // skipping; this query oracle-checks the curve itself against a
+    // 32-term arithmetic interleave in DuckDB).
+    "q_zorder" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 65536).cast("int").as("x"),
+          (col("l_orderkey") % 65536).cast("int").as("y"))
+        .withColumn("z", graft.operators.ZOrder.zCol(col("x"), col("y")))
+        .select("l_orderkey", "l_linenumber", "z")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Materialized-view rewrite: a (returnflag, linestatus) summary of
     // lineitem is built+registered, then the query — written against the
     // FACT table — is answered from the summary by the SummaryRewrite
@@ -771,6 +786,16 @@ object Relational {
          |  ${dsumSql("l_extendedprice*(1-l_discount)*(1+l_tax)", 6)} AS sum_charge
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Bit-by-bit arithmetic interleave: bit i of x at position 2i, bit i
+    // of y at 2i+1 — the pure-SQL twin of the native expression.
+    "q_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"(CAST(floor((l_partkey % 65536) / ${1L << i}) AS BIGINT) % 2) * ${1L << (2 * i)}" +
+          s" + (CAST(floor((l_orderkey % 65536) / ${1L << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString("(", "\n    + ", ")")
+      s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     // The summary-rewritten plan must equal the direct fact aggregation —
     // the oracle is deliberately summary-free.
     "q_mv_rewrite" ->
