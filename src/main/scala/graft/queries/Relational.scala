@@ -453,6 +453,33 @@ object Relational {
         .orderBy("w1", "w2")
     }),
 
+    // Entity-resolution capstone: blocked fuzzy matching (SymSpell
+    // deletion-neighborhood candidates → banded edit-distance verify) feeds
+    // pointer-doubling connected components — dirty strings collapse to
+    // canonical entities by transitive closure over the ≤2-edit graph.
+    // Every stage is the same bounded machinery as its standalone query
+    // (q_fuzzy_match, q_dedup_components): no O(V²) compare, O(log n)
+    // rounds. Vertex ids are md5-derived BIGINTs so the oracle (naive
+    // lev join + recursive CTE — different algorithms) agrees on labels.
+    "q_entity_resolution" -> ((s, dir) => {
+      val words = corpusToks(s, dir).select("word").distinct()
+        .where(col("word").rlike("^[ -~]+$"))
+      val ids = words.withColumn("wid",
+        expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)"))
+      val edges = graft.operators.FuzzyJoin.matchPairs(words, "word", maxDist = 2)
+        .join(ids.select(col("word").as("w1"), col("wid").as("a")), "w1")
+        .join(ids.select(col("word").as("w2"), col("wid").as("b")), "w2")
+        .select("a", "b")
+      val (labels, _) = graft.operators.ConnectedComponents.labels(edges)
+      ids.join(labels, ids("wid") === labels("v"), "left_outer")
+        .select(col("word"), coalesce(col("l"), col("wid")).as("comp"))
+        .groupBy("comp")
+        .agg(min(col("word")).as("canon"), count(lit(1)).as("n_members"),
+          max(col("word")).as("max_word"))
+        .select("canon", "n_members", "max_word")
+        .orderBy("canon")
+    }),
+
     // Native group-wise top-K: the custom LogicalPlan/SparkStrategy/
     // SparkPlan operator (plans.TopKPerKeyExec) — map-side bounded-heap
     // prune → one Exchange → final prune, never a per-group full sort.
@@ -1054,6 +1081,30 @@ object Relational {
          |FROM words x JOIN words y ON x.word < y.word
          |WHERE levenshtein(x.word, y.word) <= 2
          |ORDER BY w1, w2""".stripMargin,
+    // Different algorithms on purpose: naive O(V²) levenshtein join (the
+    // completeness proof for the blocked Spark-side candidates) and a
+    // recursive-CTE reachability fixpoint vs pointer-doubling propagation.
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE ${Reference.ToksSql},
+         |words AS (SELECT DISTINCT word FROM toks
+         |          WHERE regexp_matches(word, '^[ -~]+$$')),
+         |ids AS (SELECT word, ${hex2longSql("md5(word)", 1)} AS wid FROM words),
+         |edges AS (
+         |  SELECT x.wid AS a, y.wid AS b
+         |  FROM ids x JOIN ids y
+         |    ON x.word < y.word AND levenshtein(x.word, y.word) <= 2
+         |),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach AS (
+         |  SELECT wid AS v, wid AS l FROM ids
+         |  UNION
+         |  SELECT s.b AS v, r.l FROM reach r JOIN sym s ON s.a = r.v
+         |),
+         |comp AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
+         |SELECT min(i.word) AS canon, count(*) AS n_members,
+         |  max(i.word) AS max_word
+         |FROM comp JOIN ids i ON i.wid = comp.v
+         |GROUP BY comp.comp ORDER BY canon""".stripMargin,
     "q_topk_grouped" ->
       """SELECT event_type, event_id, round(value, 4) AS v FROM (
         |  SELECT event_type, event_id, value,
