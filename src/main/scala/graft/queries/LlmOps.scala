@@ -911,6 +911,38 @@ object LlmOps {
         .select(col("n_true"), lit(HllM.toLong).as("m"), col("est"), col("reg_md5"))
     }),
 
+    // HLL MERGEABILITY — the property the sketch exists for at 100 TB:
+    // the register tables of two populations (here: view vs purchase
+    // users) merge by elementwise MAX into the exact sketch of their
+    // union — no re-scan of either input — and inclusion-exclusion gives
+    // an intersection estimate for free. This is how per-partition /
+    // per-day sketches roll up to any ad-hoc slice.
+    "q_sketch_hll_union" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def slice(t: String) =
+        ev.where(col("event_type") === t).select(col("user_id").as("k"))
+      val ra = graft.operators.Sketches.hllRegisters(slice("view"), "k", HllM)
+      val rb = graft.operators.Sketches.hllRegisters(slice("purchase"), "k", HllM)
+      val merged = ra.select(col("bucket"), col("reg").as("rega"))
+        .join(rb.select(col("bucket"), col("reg").as("regb")), "bucket")
+        .select(col("bucket"), greatest(col("rega"), col("regb")).as("reg"))
+      def est1(regs: DataFrame, as: String) = graft.operators.Sketches
+        .hllEstimate(regs, HllM, HllAlpha).select(col("est").as(as))
+      slice("view").agg(count_distinct(col("k")).as("n_a"))
+        .crossJoin(broadcast(
+          slice("purchase").agg(count_distinct(col("k")).as("n_b"))))
+        .crossJoin(broadcast(
+          ev.where(col("event_type").isin("view", "purchase"))
+            .agg(count_distinct(col("user_id")).as("n_union_true"))))
+        .crossJoin(broadcast(est1(ra, "est_a")))
+        .crossJoin(broadcast(est1(rb, "est_b")))
+        .crossJoin(broadcast(est1(merged, "est_union")))
+        .select(col("n_a"), col("n_b"), col("n_union_true"),
+          col("est_a"), col("est_b"), col("est_union"),
+          round(col("est_a") + col("est_b") - col("est_union"), 2)
+            .as("est_inter"))
+    }),
+
     // Data-quality expectation checks — the validation stage every ingest
     // pipeline runs before training data is admitted: each rule is a
     // conditional sum over ONE shared scan (no per-rule pass), so adding a
@@ -2072,6 +2104,54 @@ object LlmOps {
          |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
          |  reg_md5
          |FROM sk""".stripMargin,
+
+    "q_sketch_hll_union" -> {
+      def side(tag: String, t: String) =
+        s"""h_$tag AS (
+           |  SELECT ${hexLongSql("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h
+           |  FROM events WHERE event_type = '$t'
+           |),
+           |br_$tag AS (SELECT h % $HllM AS bucket, h // $HllM AS rest FROM h_$tag),
+           |mx_$tag AS (
+           |  SELECT bucket,
+           |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS mrho
+           |  FROM br_$tag GROUP BY bucket
+           |),
+           |reg_$tag AS (
+           |  SELECT b.bucket, CAST(coalesce(mx_$tag.mrho, 0) AS BIGINT) AS reg
+           |  FROM (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
+           |  LEFT JOIN mx_$tag ON b.bucket = mx_$tag.bucket
+           |),
+           |sk_$tag AS (
+           |  SELECT max(R) AS R,
+           |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
+           |  FROM (SELECT reg, max(reg) OVER () AS R FROM reg_$tag)
+           |)""".stripMargin
+      def est(tag: String) =
+        s"(SELECT round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) FROM sk_$tag)"
+      s"""WITH ${side("a", "view")},
+         |${side("b", "purchase")},
+         |reg_m AS (
+         |  SELECT a.bucket, greatest(a.reg, b.reg) AS reg
+         |  FROM reg_a a JOIN reg_b b ON a.bucket = b.bucket
+         |),
+         |sk_m AS (
+         |  SELECT max(R) AS R,
+         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
+         |  FROM (SELECT reg, max(reg) OVER () AS R FROM reg_m)
+         |)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |   WHERE event_type = 'view') AS n_a,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |   WHERE event_type = 'purchase') AS n_b,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |   WHERE event_type IN ('view', 'purchase')) AS n_union_true,
+         |  ${est("a")} AS est_a,
+         |  ${est("b")} AS est_b,
+         |  ${est("m")} AS est_union,
+         |  round(${est("a")} + ${est("b")} - ${est("m")}, 2) AS est_inter""".stripMargin
+    },
 
     "q_dq_checks" ->
       """SELECT count(*) AS n_rows,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -77,6 +78,24 @@ object Relational {
       q.queryExecution.optimizedPlan // bake the rewrite in…
       graft.plans.SummaryRewrite.clear() // …and unregister before returning
       q
+    }),
+
+    // Incremental view maintenance — the answer to SummaryRewrite's
+    // staleness contract: when a batch arrives, refresh the summary by
+    // aggregating THE BATCH ONLY and merging partials (count/decimal-sum
+    // re-merge exactly); the existing fact data is never re-scanned. The
+    // base/delta split here is a deterministic key slice; the merged
+    // result must equal the direct whole-fact aggregate (the oracle).
+    "q_incremental_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def partial(df: DataFrame) = df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"))
+      partial(li.where(col("l_orderkey") % 10 =!= 0))      // existing summary
+        .unionByName(partial(li.where(col("l_orderkey") % 10 === 0))) // batch
+        .groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     }),
 
     // Skew-proof two-stage aggregation: stage 1 aggregates on (key, salt)
@@ -823,6 +842,13 @@ object Relational {
       s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    // The incrementally-merged partials must equal the direct whole-fact
+    // aggregate — the oracle never sees the base/delta split.
+    "q_incremental_agg" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // The summary-rewritten plan must equal the direct fact aggregation —
     // the oracle is deliberately summary-free.
     "q_mv_rewrite" ->
