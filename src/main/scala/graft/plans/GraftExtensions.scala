@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.encodeWordFn)
     ext.injectFunction(GraftExtensions.levWithinFn)
     ext.injectFunction(GraftExtensions.interleaveBitsFn)
+    ext.injectFunction(GraftExtensions.charShinglesFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -62,6 +63,23 @@ object GraftExtensions {
       InterleaveBitsExpression(children(0), children(1))
     })
 
+  private val charShinglesFn = (
+    new FunctionIdentifier("char_shingles"),
+    new ExpressionInfo(classOf[ShingleGenerator].getName, "char_shingles"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        s"char_shingles expects (text, k, stride), got ${children.length} arguments")
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                 what: String): Int = e match {
+        case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"char_shingles: $what must be an INT literal, got $other")
+      }
+      ShingleGenerator(children(0),
+        intLit(children(1), "k"), intLit(children(2), "stride"))
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -70,6 +88,8 @@ object GraftExtensions {
       levWithinFn._1, levWithinFn._2, levWithinFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       interleaveBitsFn._1, interleaveBitsFn._2, interleaveBitsFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      charShinglesFn._1, charShinglesFn._2, charShinglesFn._3)
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification

@@ -911,6 +911,22 @@ object LlmOps {
         .select(col("n_true"), lit(HllM.toLong).as("m"), col("est"), col("reg_md5"))
     }),
 
+    // Native Generator (the UDTF extension tier, completing the custom-
+    // operator surface: expression / optimizer rule / strategy+exec /
+    // parser / DSv2 / generator): the sampled char-shingle explode as ONE
+    // GenerateExec row-emitter — the HOF spelling
+    // explode(transform(sequence(...))) materializes a per-row array of
+    // len/stride elements first; the generator never allocates it. Stats
+    // per doc over the generated shingle stream.
+    "q_shingle_gen" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"char_shingles(text, $K, $Stride)")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          count_distinct(col("sh")).as("n_distinct"),
+          min(col("sh")).as("min_sh"), max(col("sh")).as("max_sh"))
+        .orderBy("doc_id")),
+
     // HLL MERGEABILITY — the property the sketch exists for at 100 TB:
     // the register tables of two populations (here: view vs purchase
     // users) merge by elementwise MAX into the exact sketch of their
@@ -2104,6 +2120,18 @@ object LlmOps {
          |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
          |  reg_md5
          |FROM sk""".stripMargin,
+
+    "q_shingle_gen" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, substr(text, i, $K) AS sh
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
+         |        FROM documents WHERE length(text) >= $K)
+         |)
+         |SELECT doc_id, count(*) AS n_sh,
+         |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+         |  min(sh) AS min_sh, max(sh) AS max_sh
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sketch_hll_union" -> {
       def side(tag: String, t: String) =

@@ -66,6 +66,26 @@ object StreamOps {
         expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', word)), 1, 8), 16, 10) AS BIGINT) % $width"))
       .groupBy("j", "cell").agg(count(lit(1)).as("cn"))
 
+  /** Incremental HyperLogLog: state = the m-register table itself (merge
+    * is per-bucket MAX — commutative, associative, idempotent), so state
+    * size is CONSTANT no matter how many keys stream through, and the
+    * registers after any prefix are bit-identical to the batch sketch of
+    * that prefix (StreamOpsSpec proves it per micro-batch). The same
+    * md5-derived (bucket, rho) rule as the batch operator
+    * ([[graft.operators.Sketches.hllRho]]), so stream and batch sketches
+    * can be MERGED with each other — e.g. a live sketch unioned onto
+    * yesterday's batch registers (q_sketch_hll_union's max-merge). Sparse
+    * form: buckets never hit are simply absent (batch twin: reg = 0). */
+  def streamingHll(rows: DataFrame, keyCol: String = "value",
+                   m: Int = 64): DataFrame =
+    rows.select(
+        expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .select((col("h") % m).as("bucket"),
+        expr(s"CAST(CASE WHEN h div $m = 0 THEN 55 ELSE 55 - length(bin(h div $m)) END AS BIGINT)")
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("reg"))
+
   /** Streaming exact deduplication on event_id with watermark-bounded
     * state (dropDuplicatesWithinWatermark): duplicates arriving within the
     * watermark delay are suppressed, and key state is evicted once the

@@ -161,6 +161,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("lineitem.parquet"), p)
   }
 
+  test("q_shingle_gen: native generator row-emitter, no per-row array transform") {
+    val p = plan("q_shingle_gen")
+    assert(p.contains("char_shingles"), p)
+    assert(!p.contains("transform("), p)
+  }
+
   test("q_sample_per_key: plans through the native TopKPerKeyExec pair") {
     val p = plan("q_sample_per_key")
     assert("TopKPerKey".r.findAllIn(p).nonEmpty, p)

@@ -52,6 +52,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamingHll registers equal the batch sketch of the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    def batchRegs(keys: Seq[String]): Map[Long, Long] =
+      StreamOps.streamingHll(keys.toDF("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val in = MemoryStream[String]
+    val q = StreamOps.streamingHll(in.toDF())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = (1 to 40).map(i => s"user-$i")
+      val b2 = (30 to 80).map(i => s"user-$i") // overlap: max-merge is idempotent
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val got1 = spark.table("hll_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got1 == batchRegs(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val got2 = spark.table("hll_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got2 == batchRegs(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("dedupByFingerprint suppresses shuffled re-posts, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
