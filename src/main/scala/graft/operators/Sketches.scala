@@ -76,12 +76,17 @@ object Sketches {
   /** CMS point estimate for every distinct key: min over hash rows of the
     * key's cell total — never below the true count. */
   def cmsEstimates(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
-    val coords = cmsCoords(df.select(keyCol), keyCol, depth, width)
-    val cells = coords.groupBy("j", "cell").agg(count(lit(1)).as("cn"))
+    // Collapse to per-key counts FIRST: the sketch is linear in the count
+    // vector, so hashing each DISTINCT key once (depth md5s) replaces
+    // depth md5s per occurrence — at 100 TB that is the difference
+    // between hash work ∝ corpus and ∝ vocabulary. Cell totals are
+    // identical: Σ over keys in the cell of their counts.
+    val wc = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_true"))
+    val coords = cmsCoords(wc, keyCol, depth, width)
+    val cells = coords.groupBy("j", "cell").agg(sum(col("n_true")).as("cn"))
     coords.join(cells, Seq("j", "cell"))
       .groupBy(col(keyCol))
-      .agg((count(lit(1)) / depth).cast("long").as("n_true"),
-        min(col("cn")).as("n_est"))
+      .agg(min(col("n_true")).as("n_true"), min(col("cn")).as("n_est"))
   }
 
   /** Elementwise register max — the HLL MERGE. Associative+commutative,

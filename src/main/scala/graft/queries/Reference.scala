@@ -203,6 +203,21 @@ object Reference {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
     }),
+    // Small-file compaction as an oracle-gated entry: write the corpus as
+    // 64 tiny files (the streaming-sink/over-parallel-write pathology),
+    // compact to a byte-sized target, and prove the file count collapsed
+    // AND the data survived intact — the oracle recomputes the stats from
+    // the source table, with files_collapsed pinned true.
+    "q_compact" -> ((s, dir) => {
+      val out = s"$TmpRoot/compact_docs"
+      docs(s, dir).repartition(64).write.mode("overwrite").parquet(out)
+      val (before, after) =
+        graft.operators.Compact.compact(s, out, targetBytes = 4L * 1024 * 1024)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .withColumn("files_collapsed", lit(before > after))
+    }),
     // Dynamic partition overwrite — the lakehouse refresh primitive:
     // rewrite ONLY the partitions present in the incoming batch, leave the
     // rest of the table untouched. At 100 TB this is the difference
@@ -324,6 +339,11 @@ object Reference {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_compact" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  true AS files_collapsed
+        |FROM documents""".stripMargin,
     // en partition rewritten with +1000 per row, every other lang intact
     "q_partition_overwrite" ->
       """SELECT lang, count(*) AS n,

@@ -146,6 +146,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_delta_dedup / q_span_dedup: equi joins only, never nested-loop") {
+    for (n <- Seq("q_delta_dedup", "q_span_dedup")) {
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+  }
+
   test("q_agg_salted: two aggregation tiers, salt in the first grouping only") {
     val p = plan("q_agg_salted")
     // stage 1 groups by (l_returnflag, salt); stage 2 by l_returnflag only —
@@ -182,7 +190,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val skip = Set("q_sink_roundtrip", "q_sink_text_roundtrip",
       "q_sink_csv_roundtrip", "q_sink_json_roundtrip", "q_sink_orc_roundtrip",
       "q_csv_corrupt", "q_partitioned_scan", "q_partition_overwrite",
-      "q_join_bucketed", "q_upsert",
+      "q_compact", "q_join_bucketed", "q_upsert",
       "q_cdc_apply", "q_schema_evolution", "q_synth_source")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
