@@ -207,6 +207,9 @@ object LlmOps {
   /** q_sample_pps expected sample size (Poisson, so realized size varies). */
   private val PpsK = 50
 
+  /** q_ann_pq: 64-dim vectors split into 8 subspaces of [[PqD]] dims. */
+  private val PqD = 8
+
   /** q_sketch_bloom shape: m bits × k hashes. At n=1.5k members the load
     * kn/m ≈ 0.27 → theoretical fp ≈ (1−e^−0.27)³ ≈ 1.4% — small but
     * non-zero, so the probe stage measures something real. */
@@ -656,6 +659,55 @@ object LlmOps {
         .where(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("cand_id"),
           round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Product quantization (PQ) ANN — the memory-side scale path that
+    // completes brute/IVF/LSH: vectors are split into 8 subspaces of 8
+    // dims; each subvector is replaced by the id of its nearest per-label
+    // subspace centroid (label-seeded codebook — deterministic, no
+    // iterative k-means), so a 64-int vector becomes 8 small codes. ADC
+    // scoring then approximates dot(query, candidate) as Σ_m
+    // dot(query_sub_m, centroid(code_m)) — a lookup-table sum, never a
+    // full-vector scan per candidate. At 100 TB the code table is ~1% of
+    // the vector bytes and the ADC join is |queries|·M rows per
+    // candidate. Determinism discipline: centroid distances compare as
+    // one FP division over exact BIGINTs (ties → label asc), ADC terms
+    // are 6-decimal-rounded DECIMALs summed exactly, and the final rank
+    // orders on the EXACT decimal before any display cast.
+    "q_ann_pq" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val all = quantized(s, dir).where(col("nq") > 0)
+      def comps(keyCol: String) = all
+        .select(col(keyCol), posexplode(col("q")).as(Seq("pos", "qv")))
+        .select(col(keyCol), expr(s"pos div $PqD").as("m"),
+          expr(s"pos % $PqD").as("d"), col("qv"))
+      val comp = comps("vec_id")
+      val cb = comps("label").groupBy(col("label").as("clabel"), col("m"), col("d"))
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      val assign = comp.join(cb, Seq("m", "d"))
+        .groupBy("vec_id", "m", "clabel")
+        .agg(sum(expr("(qv * n - s) * (qv * n - s)")).as("dn"), max("n").as("cn"))
+        .withColumn("rn", row_number().over(w.partitionBy("vec_id", "m")
+          .orderBy(expr("CAST(dn AS DOUBLE) / (cn * cn)").asc, col("clabel").asc)))
+        .where(col("rn") === 1)
+        .select(col("vec_id").as("cand_id"), col("m"), col("clabel").as("code"))
+      val adc = comp.where(col("vec_id") % 20 === 0)
+        .join(cb, Seq("m", "d"))
+        .groupBy(col("vec_id").as("q_id"), col("m"), col("clabel"))
+        .agg(sum(expr("qv * s")).as("dotnum"), max("n").as("n"))
+        .select(col("q_id"), col("m"), col("clabel").as("code"),
+          expr("CAST(round(CAST(dotnum AS DOUBLE) / n, 6) AS DECIMAL(24,6))")
+            .as("term"))
+      assign.join(adc, Seq("m", "code"))
+        .where(col("cand_id") =!= col("q_id"))
+        .groupBy("q_id", "cand_id").agg(sum(col("term")).as("adc_exact"))
+        .withColumn("rank", row_number().over(
+          w.partitionBy("q_id").orderBy(col("adc_exact").desc, col("cand_id").asc))
+          .cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("cand_id"),
+          round(col("adc_exact").cast("double"), 4).as("adc"))
         .orderBy("q_id", "rank")
     }),
 
@@ -1879,6 +1931,62 @@ object LlmOps {
          |  FROM c
          |)
          |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""WITH comp AS (
+         |  SELECT vec_id, label,
+         |    CAST((i-1) // $PqD AS BIGINT) AS m, (i-1) % $PqD AS d, q AS qv
+         |  FROM (SELECT vec_id, label, i, ${quantSqlElem("embedding[i]")} AS q
+         |        FROM (SELECT vec_id, label, embedding,
+         |                     unnest(generate_series(1, len(embedding))) AS i
+         |              FROM embeddings))
+         |),
+         |nz AS (SELECT vec_id FROM comp GROUP BY vec_id HAVING sum(qv*qv) > 0),
+         |compz AS (SELECT comp.* FROM comp JOIN nz USING (vec_id)),
+         |cb AS (
+         |  SELECT label AS clabel, m, d, CAST(sum(qv) AS BIGINT) AS s,
+         |         count(*) AS n
+         |  FROM compz GROUP BY 1, 2, 3
+         |),
+         |a1 AS (
+         |  SELECT c.vec_id, c.m, cb.clabel,
+         |    CAST(sum((c.qv * cb.n - cb.s) * (c.qv * cb.n - cb.s)) AS BIGINT) AS dn,
+         |    max(cb.n) AS cn
+         |  FROM compz c JOIN cb ON c.m = cb.m AND c.d = cb.d
+         |  GROUP BY 1, 2, 3
+         |),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, m, clabel AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY CAST(dn AS DOUBLE) / (cn * cn), clabel) AS rn FROM a1)
+         |  WHERE rn = 1
+         |),
+         |a2 AS (
+         |  SELECT c.vec_id AS q_id, c.m, cb.clabel AS code,
+         |    CAST(sum(c.qv * cb.s) AS BIGINT) AS dotnum, max(cb.n) AS n
+         |  FROM compz c JOIN cb ON c.m = cb.m AND c.d = cb.d
+         |  WHERE c.vec_id % 20 = 0
+         |  GROUP BY 1, 2, 3
+         |),
+         |adc AS (
+         |  SELECT q_id, m, code,
+         |    CAST(round(CAST(dotnum AS DOUBLE) / n, 6) AS DECIMAL(24,6)) AS term
+         |  FROM a2
+         |),
+         |sc AS (
+         |  SELECT q_id, cand_id, sum(term) AS adc_exact
+         |  FROM assign JOIN adc USING (m, code)
+         |  WHERE cand_id <> q_id
+         |  GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_exact DESC, cand_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, cand_id,
+         |  round(CAST(adc_exact AS DOUBLE), 4) AS adc
          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_ann_lsh" ->

@@ -416,6 +416,23 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
+    // The BUILT-IN gap sessionization (session_window — the same operator
+    // Structured Streaming uses for stateful sessions, here in batch):
+    // sessions merge while events fall inside [start, last + gap).
+    // Deliberately strict-boundary (an event at exactly last + gap starts
+    // a NEW session), which the oracle mirrors with `>= gap`; the custom
+    // twin q_sessionize uses `> gap` — both documented, each
+    // oracle-checked under its own rule.
+    "q_session_window" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "start_us")),
+
     // Ordered-funnel analysis (view → click → purchase): per step, the
     // user's earliest qualifying time must follow their earliest
     // qualifying time for the previous step — min-ts aggs + equi joins on
@@ -1069,6 +1086,26 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Strict gap boundary (>= gap ⇒ new session) — session_window's
+    // [start, last + gap) contract; end = last event + gap.
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |),
+        |f AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
