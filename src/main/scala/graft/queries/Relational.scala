@@ -416,6 +416,41 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
+    // Time-series resampling with forward fill — the gap-fill pass behind
+    // metrics dashboards and feature stores: events land on a regular
+    // 6-hour grid per user; empty buckets carry the last observation
+    // forward (NULL before the first). The grid is users × global bucket
+    // span (one 1-row span agg exploded — no per-user scans) and the fill
+    // is the count-non-null group trick: two windows, no self-join, no
+    // per-gap search. Deterministic: the per-bucket observation tie-breaks
+    // on (us, event_id); the fill copies a single value (no arithmetic).
+    "q_resample_ffill" -> ((s, dir) => {
+      val bucketUs = 21600000000L // 6 h in micros
+      val w = Window
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("bucket", expr(s"us div $bucketUs"))
+      val obs = ev.withColumn("rn", row_number().over(
+          w.partitionBy("user_id", "bucket")
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("bucket"), col("value").as("obs"))
+      val span = ev.agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"), explode(expr("sequence(b0, b1)")).as("bucket"))
+      grid.join(obs, Seq("user_id", "bucket"), "left_outer")
+        .withColumn("grp", count(col("obs")).over(
+          w.partitionBy("user_id").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("filled",
+          round(max(col("obs")).over(w.partitionBy("user_id", "grp")), 2))
+        .select(col("user_id"), col("bucket"), col("filled"),
+          when(col("obs").isNotNull, 1L).otherwise(0L).as("is_obs"))
+        .orderBy("user_id", "bucket")
+    }),
+
     // The BUILT-IN gap sessionization (session_window — the same operator
     // Structured Streaming uses for stateful sessions, here in batch):
     // sessions merge while events fall inside [start, last + gap).
@@ -1086,6 +1121,36 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    epoch_us(ts) // 21600000000 AS bucket
+        |  FROM events
+        |),
+        |obs AS (
+        |  SELECT user_id, bucket, value AS obs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1
+        |),
+        |span AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM e),
+        |grid AS (
+        |  SELECT u.user_id, g.bucket
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT b0 FROM span),
+        |                                            (SELECT b1 FROM span))) AS bucket) g
+        |),
+        |f AS (
+        |  SELECT grid.user_id, grid.bucket, obs.obs,
+        |    count(obs.obs) OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM grid LEFT JOIN obs
+        |    ON grid.user_id = obs.user_id AND grid.bucket = obs.bucket
+        |)
+        |SELECT user_id, bucket,
+        |  round(max(obs) OVER (PARTITION BY user_id, grp), 2) AS filled,
+        |  CAST(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
+        |FROM f ORDER BY user_id, bucket""".stripMargin,
     // Strict gap boundary (>= gap ⇒ new session) — session_window's
     // [start, last + gap) contract; end = last event + gap.
     "q_session_window" ->
