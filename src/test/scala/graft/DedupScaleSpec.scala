@@ -64,6 +64,47 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
   }
 
+  test("delta dedup flags a planted base/delta near-pair, not the uniques") {
+    import spark.implicits._
+    // build a corpus where the hash-bucket split (doc_id-keyed md5) is
+    // KNOWN: find a delta-side id (bucket >= 90), give it text
+    // near-identical to a base-side doc; delta docs with unique text must
+    // not be flagged.
+    val rnd = new scala.util.Random(11)
+    def sentence(n: Int): String =
+      Seq.fill(n)(Seq.fill(3 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val ids = (1L to 400L)
+    val deltaIds = ids.filter(b => bucket(b) >= 90)
+    val baseIds = ids.filterNot(b => bucket(b) >= 90)
+    assert(deltaIds.nonEmpty && baseIds.nonEmpty)
+    val shared = sentence(40)
+    val rows = ids.map { id =>
+      val text =
+        if (id == baseIds.head) shared
+        else if (id == deltaIds.head) shared + " tail" // planted near-pair
+        else sentence(40)
+      (id, text)
+    }
+    val out = "/root/repo/target/tmp/delta_dedup_corpus"
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = SparkEntry.queries("q_delta_dedup")(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((deltaIds.head, baseIds.head)),
+      s"planted pair missing: $got")
+    // random 40-word texts don't reach Jaccard 0.3 against anything
+    assert(got.size <= 2, s"false positives: $got")
+    spark.catalog.clearCache()
+  }
+
   test("components converge in O(log n) rounds on a 1000-link chain") {
     import spark.implicits._
     // the adversarial near-dup CHAIN: d1—d2—…—d1000, diameter 999. Plain
