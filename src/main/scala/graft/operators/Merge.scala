@@ -22,6 +22,34 @@ object Merge {
     updates.unionByName(
       target.join(updates.select(key), Seq(key), "left_anti"))
 
+  /** CDC GENERATION — the inverse of [[applyChanges]]: diff two snapshots
+    * of a keyed table into an I/U/D change feed. One full-outer join on
+    * the key; a row is 'I' when only the new snapshot has the key, 'D'
+    * when only the old one does, 'U' when both do and any non-key column
+    * differs under null-safe comparison; unchanged rows emit nothing.
+    * I/U rows carry the NEW values, D rows the old ones. Round-trip law
+    * (MergeSpec): applyChanges(old, diff(old, new), key) == new. */
+  def diff(old: DataFrame, neu: DataFrame, key: String): DataFrame = {
+    require(old.columns.sorted.sameElements(neu.columns.sorted),
+      s"schema mismatch: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val cols = old.columns.filterNot(_ == key).toSeq
+    val o = old.select(old.columns.toSeq.map(c => col(c).as(s"__o_$c")): _*)
+    val n = neu.select(neu.columns.toSeq.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = cols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, col(s"__o_$key") <=> col(s"__n_$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"__o_$key").isNull, "I")
+          .when(col(s"__n_$key").isNull, "D")
+          .when(changed, "U"))
+      .where(col("op").isNotNull)
+      .select(col("op") +:
+        coalesce(col(s"__n_$key"), col(s"__o_$key")).as(key) +:
+        cols.map(c =>
+          when(col("op") === "D", col(s"__o_$c"))
+            .otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   /** CDC apply: fold a change feed into `target`. `changes` carries the
     * target schema plus `opCol` ('I'nsert / 'U'pdate / 'D'elete) and
     * `seqCol` (change order). Per key, only the LATEST change (max seq,

@@ -416,6 +416,30 @@ object Relational {
         .orderBy("user_id", "session_id")
     }),
 
+    // CDC GENERATION (the inverse of q_cdc_apply): diff two snapshots into
+    // an I/U/D change feed with one full-outer join — the feed a
+    // downstream applyChanges consumer replays. The new snapshot is a
+    // deterministic transform of the old (drops %97 keys, bumps %5
+    // balances, inserts %61 clones under shifted keys), so the oracle can
+    // reconstruct the exact same diff. MergeSpec proves the round-trip
+    // law: applyChanges(old, diff(old, new)) == new.
+    "q_cdc_diff" -> ((s, dir) => {
+      val old = table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val neu = old.where(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, round(col("c_acctbal") + 100, 2))
+            .otherwise(col("c_acctbal")))
+        .unionByName(old.where(col("c_custkey") % 61 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("NEW-"), col("c_name")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      graft.operators.Merge.diff(old, neu, "c_custkey")
+        .select(col("op"), col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey", "op")
+    }),
+
     // Time-series resampling with forward fill — the gap-fill pass behind
     // metrics dashboards and feature stores: events land on a regular
     // 6-hour grid per user; empty buckets carry the last observation
@@ -1121,6 +1145,36 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same synthetic new-snapshot rule, diffed directly in SQL.
+    "q_cdc_diff" ->
+      """WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |neu AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100, 2)
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW-' || c_name, 0.0
+        |  FROM customer WHERE c_custkey % 61 = 0
+        |),
+        |j AS (
+        |  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+        |         o.c_name AS onm, o.c_acctbal AS ob,
+        |         n.c_name AS nnm, n.c_acctbal AS nb
+        |  FROM old o FULL OUTER JOIN neu n ON o.c_custkey = n.c_custkey
+        |),
+        |d AS (
+        |  SELECT CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+        |              WHEN onm IS DISTINCT FROM nnm
+        |                OR ob IS DISTINCT FROM nb THEN 'U' END AS op,
+        |         coalesce(nk, ok) AS c_custkey,
+        |         CASE WHEN nk IS NULL THEN onm ELSE nnm END AS c_name,
+        |         CASE WHEN nk IS NULL THEN ob ELSE nb END AS bal0
+        |  FROM j
+        |)
+        |SELECT op, c_custkey, c_name, round(bal0, 2) AS bal
+        |FROM d WHERE op IS NOT NULL
+        |ORDER BY c_custkey, op""".stripMargin,
     "q_resample_ffill" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -20,4 +20,25 @@ class MergeSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "x", 3L -> "c", 4L -> "z"), got)
   }
+
+  test("round trip: applyChanges(old, diff(old, new)) == new") {
+    import org.apache.spark.sql.functions._
+    val old = Seq((1L, "a", Some(10.0)), (2L, "b", Some(20.0)),
+      (3L, "c", Some(30.0)), (4L, "d", None: Option[Double]))
+      .toDF("k", "v", "x")
+    val neu = Seq((1L, "a", Some(10.0)),     // unchanged → no change row
+      (2L, "B", Some(20.0)),                  // value update
+      (4L, "d", Some(40.0)),                  // null → value update (null-safe)
+      (5L, "e", Some(50.0)))                  // insert; key 3 deleted
+      .toDF("k", "v", "x")
+    val feed = Merge.diff(old, neu, "k")
+    // unchanged rows emit nothing
+    assert(feed.where(col("k") === 1L).count() == 0)
+    val ops = feed.select("k", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "I"), ops)
+    val replayed = Merge.applyChanges(old, feed.withColumn("seq", lit(1L)), "k")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(replayed == neu.as[(Long, String, Option[Double])].collect().toSet,
+      replayed)
+  }
 }
