@@ -18,6 +18,13 @@ case class ImageFeatures(doc_id: Long, width: Int, height: Int,
 /** Typed features from a REAL zlib inflate: recovered byte count and md5. */
 case class InflateFeatures(doc_id: Long, n_bytes: Long, md5: String)
 
+/** Typed features of a nearest-neighbor-downscaled decoded image. */
+case class ResizeFeatures(doc_id: Long, rw: Int, rh: Int,
+                          n_px: Long, px_sum: Long, px_min: Int, px_max: Int)
+
+/** Per-sampled-frame features of a multi-frame (video-like) payload. */
+case class FrameFeatures(doc_id: Long, frame: Long, n_px: Long, f_sum: Long)
+
 /** Multimodal column plumbing with pure-JDK codecs: binary payloads in,
   * typed features out, batched per-partition decode.
   *
@@ -135,6 +142,88 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Nearest-neighbor downscale of a REAL decoded image: decode the PNG
+    * with ImageIO, sample every `factor`-th pixel of the raster
+    * (out(x, y) = in(x·factor, y·factor) — output dims ceil(w/f) ×
+    * ceil(h/f)), return stats of the RESIZED raster. The resize runs on
+    * decoded pixels, so codec + geometry are both under test; the oracle
+    * recomputes the sampled positions from the construction rule. */
+  def resizeImage(docId: Long, payload: Array[Byte],
+                  factor: Int = 2): Option[ResizeFeatures] = {
+    if (payload == null || payload.isEmpty || factor <= 0) return None
+    try {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val raster = img.getRaster
+      val (rw, rh) = ((img.getWidth + factor - 1) / factor,
+        (img.getHeight + factor - 1) / factor)
+      var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          val v = raster.getSample(x * factor, y * factor, 0)
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      Some(ResizeFeatures(docId, rw, rh, rw.toLong * rh, sum, mn, mx))
+    } catch { case _: Exception => None }
+  }
+
+  // ---- multi-frame ("video") payloads ----
+
+  /** Frame count for doc_id's synthetic clip: 4..8. */
+  def frameCount(docId: Long): Int = 4 + (docId % 5).toInt
+
+  /** Frame f's gray value at (x, y): (x·31 + y·17 + doc_id·13 + f·7) mod 256. */
+  def framePixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(x * 31L + y * 17L + docId * 13L + f * 7L, 256L).toInt
+
+  /** A zlib-compressed clip: frameCount raw grayscale frames of
+    * imageDims(doc_id), concatenated then deflated — the storage shape of
+    * a video column (one binary payload, frames addressable by offset). */
+  def videoPayload(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val frames = frameCount(docId)
+    val raw = new Array[Byte](frames * w * h)
+    var p = 0
+    var f = 0
+    while (f < frames) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raw(p) = framePixel(docId, f, x, y).toByte; p += 1; x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    deflateBytes(raw)
+  }
+
+  /** FRAME SAMPLING — decode the clip (real inflate), slice it into
+    * frames by offset, keep every `stride`-th frame, and emit per-frame
+    * pixel sums. None on corrupt payloads or a length that is not a whole
+    * number of frames (a torn write). */
+  def sampleFrames(docId: Long, payload: Array[Byte],
+                   stride: Int = 2): Seq[FrameFeatures] = {
+    val (w, h) = imageDims(docId)
+    val fsz = w * h
+    inflate(payload) match {
+      case Some(raw) if fsz > 0 && raw.length % fsz == 0 =>
+        val frames = raw.length / fsz
+        (0 until frames by stride).map { f =>
+          var sum = 0L
+          var i = f * fsz
+          val end = i + fsz
+          while (i < end) { sum += (raw(i) & 0xff); i += 1 }
+          FrameFeatures(docId, f.toLong, fsz.toLong, sum)
+        }
+      case _ => Nil
+    }
+  }
+
   /** zlib stream → recovered bytes. None on corrupt input. */
   def inflate(payload: Array[Byte]): Option[Array[Byte]] = {
     if (payload == null || payload.isEmpty) return None
@@ -187,6 +276,26 @@ object Multimodal {
           inflate(r.payload).map(b => InflateFeatures(r.doc_id, b.length.toLong, md5hex(b)))
         }
       }
+    }
+  }
+
+  /** Batched per-partition decode + nearest-neighbor resize. */
+  def extractResized(ds: Dataset[MediaRecord], factor: Int = 2,
+                     batchSize: Int = 64): Dataset[ResizeFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r =>
+        resizeImage(r.doc_id, r.payload, factor)))
+    }
+  }
+
+  /** Batched per-partition clip inflate + every-`stride`-th frame sample. */
+  def extractFrames(ds: Dataset[MediaRecord], stride: Int = 2,
+                    batchSize: Int = 64): Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r =>
+        sampleFrames(r.doc_id, r.payload, stride)))
     }
   }
 

@@ -755,6 +755,34 @@ object LlmOps {
       graft.operators.Multimodal.extractImages(recs).toDF().orderBy("doc_id")
     }),
 
+    // Multimodal RESIZE — the decoded raster downscaled nearest-neighbor
+    // (out(x,y) = in(2x,2y)) inside the same batched mapPartitions; codec
+    // AND geometry are both under test because the oracle recomputes the
+    // sampled positions from the construction rule. Decode+transform runs
+    // where the bytes live — no shuffle.
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val recs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.MediaRecord(
+          id, graft.operators.Multimodal.pngPayload(id))))
+      graft.operators.Multimodal.extractResized(recs).toDF().orderBy("doc_id")
+    }),
+
+    // Multimodal FRAME SAMPLING — a video-shaped payload (4..8 raw frames
+    // concatenated, zlib-compressed) is inflated with the real codec,
+    // sliced into frames by offset, and every 2nd frame's pixel sum is
+    // emitted. Torn payloads (length not a whole number of frames) drop
+    // like corrupt images. The oracle replays the frame rule per sampled
+    // index.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val recs = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => graft.operators.MediaRecord(
+          id, graft.operators.Multimodal.videoPayload(id))))
+      graft.operators.Multimodal.extractFrames(recs).toDF()
+        .orderBy("doc_id", "frame")
+    }),
+
     // Multimodal inflate, REAL codec: each doc's text is compressed to a
     // real zlib stream (java.util.zip.Deflater), then the query inflates
     // the bytes back and emits the recovered length + md5 — the round-trip
@@ -2042,6 +2070,56 @@ object LlmOps {
         |  CAST(min((x*31 + y*17 + doc_id*13) % 256) AS INT) AS px_min,
         |  CAST(max((x*31 + y*17 + doc_id*13) % 256) AS INT) AS px_max
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    // Sampled positions recomputed from the rule: out(x,y) = in(2x,2y),
+    // output dims ceil(w/2) × ceil(h/2).
+    "q_multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + doc_id % 17 AS INT) AS h
+        |  FROM documents
+        |),
+        |xs AS (
+        |  SELECT doc_id, w, h,
+        |    CAST((w + 1) // 2 AS INT) AS rw, CAST((h + 1) // 2 AS INT) AS rh,
+        |    unnest(generate_series(0, (w + 1) // 2 - 1)) AS x
+        |  FROM dims
+        |),
+        |px AS (
+        |  SELECT doc_id, rw, rh, x, unnest(generate_series(0, rh - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id, rw, rh,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum((x*2*31 + y*2*17 + doc_id*13) % 256) AS BIGINT) AS px_sum,
+        |  CAST(min((x*2*31 + y*2*17 + doc_id*13) % 256) AS INT) AS px_min,
+        |  CAST(max((x*2*31 + y*2*17 + doc_id*13) % 256) AS INT) AS px_max
+        |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin,
+
+    // Every 2nd frame of the 4..8-frame clip, pixel rule replayed per
+    // sampled index.
+    "q_multimodal_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 25 AS INT) AS w,
+        |    CAST(8 + doc_id % 17 AS INT) AS h,
+        |    CAST(4 + doc_id % 5 AS INT) AS frames
+        |  FROM documents
+        |),
+        |fr AS (SELECT doc_id, w, h,
+        |         unnest(generate_series(0, frames - 1, 2)) AS f
+        |       FROM base),
+        |xs AS (SELECT doc_id, w, h, f,
+        |         unnest(generate_series(0, w - 1)) AS x
+        |       FROM fr),
+        |px AS (SELECT doc_id, f, x,
+        |         unnest(generate_series(0, h - 1)) AS y
+        |       FROM xs)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum((x*31 + y*17 + doc_id*13 + f*7) % 256) AS BIGINT) AS f_sum
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
 
     // The inflate round-trip must recover the text's UTF-8 bytes exactly:
     // length and md5 both computed from the SOURCE here, from the

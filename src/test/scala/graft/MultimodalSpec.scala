@@ -27,6 +27,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("resize samples exactly in(2x,2y) with ceil-divided dims") {
+    for (id <- Seq(0L, 3L, 42L, 777L)) {
+      val f = Multimodal.resizeImage(id, Multimodal.pngPayload(id)).get
+      val (w, h) = Multimodal.imageDims(id)
+      assert(f.rw == (w + 1) / 2 && f.rh == (h + 1) / 2, s"id=$id")
+      var sum = 0L
+      for (y <- 0 until f.rh; x <- 0 until f.rw)
+        sum += Multimodal.pixel(id, 2 * x, 2 * y)
+      assert(f.px_sum == sum, s"id=$id")
+    }
+  }
+
+  test("frame sampling keeps every 2nd frame; torn payloads drop cleanly") {
+    val id = 9L
+    val frames = Multimodal.sampleFrames(id, Multimodal.videoPayload(id))
+    assert(frames.map(_.frame) == (0L until Multimodal.frameCount(id) by 2))
+    val (w, h) = Multimodal.imageDims(id)
+    val expect0 = (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.framePixel(id, 0, x, y).toLong).sum
+    assert(frames.head.f_sum == expect0)
+    // torn clip: a valid zlib stream whose length is not a whole frame
+    val torn = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(new Array[Byte](w * h + 1)); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      bos.toByteArray
+    }
+    assert(Multimodal.sampleFrames(id, torn).isEmpty)
+    assert(Multimodal.sampleFrames(id, Array[Byte](1, 2, 3)).isEmpty) // garbage
+  }
+
   test("zlib payload inflates back to the exact source bytes") {
     for (t <- Seq("", "a", "hello world " * 100, "ünïcødé — 中文 🙂")) {
       val got = Multimodal.inflate(Multimodal.deflatePayload(t)).get
