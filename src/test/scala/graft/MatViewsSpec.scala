@@ -76,4 +76,19 @@ class MatViewsSpec extends AnyFunSuite with SparkFixture {
     val df = query()
     assert(!df.queryExecution.optimizedPlan.toString.contains("cnt#"))
   }
+
+  test("rewrite applies through the SQL front door too") {
+    registered {
+      val df = spark.sql(
+        s"""SELECT l_returnflag, count(*) AS n
+           |FROM parquet.`$factPath`
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("sum(cnt#"), p)
+      val direct = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == direct)
+    }
+  }
 }
