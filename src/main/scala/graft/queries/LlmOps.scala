@@ -391,6 +391,34 @@ object LlmOps {
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
         .orderBy("d1", "d2")),
 
+    // CONTAINMENT near-dup (asymmetric): overlap / min(|A|, |B|) — catches
+    // a document EMBEDDED in a larger one, where symmetric Jaccard stays
+    // small (|A∩B|/|A∪B| shrinks as |B| grows). Same LSH candidates, same
+    // verify-on-candidates-only cost as the Jaccard stage. Honest recall
+    // note: the banding approximates JACCARD, so containment-high /
+    // jaccard-low pairs can be missed at the candidate stage — production
+    // containment search stratifies minhash by size; here the shared
+    // candidate generator is the documented contract.
+    "q_dedup_containment" -> ((s, dir) => {
+      val pairs = minhashCandPairs(s, dir)
+      val sets = maybePersist(repShingles(s, dir).distinct())
+      val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val co = pairs
+        .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .where(col("sh") === col("sh2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+      pairs.join(co, Seq("d1", "d2"), "left_outer")
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+        .withColumn("containment",
+          expr("CAST(coalesce(co, 0) AS DOUBLE) / least(sa, sb)"))
+        .where(col("containment") >= 0.5)
+        .select(col("d1"), col("d2"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("d1", "d2")
+    }),
+
     // Dedup APPLY: the pipeline's final step — drop every exact duplicate
     // (non-representative of its text cluster) and every doc that appears
     // as the greater id (d2) of a verified near-dup pair over the
@@ -1661,6 +1689,33 @@ object LlmOps {
          |LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
          |JOIN sz sa ON sa.doc_id = p.d1
          |JOIN sz sb ON sb.doc_id = p.d2
+         |ORDER BY p.d1, p.d2""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH $MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM cbands x JOIN cbands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         |co AS (
+         |  SELECT p.d1, p.d2, count(*) AS co
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.d1
+         |  JOIN sets b ON b.doc_id = p.d2 AND b.sh = a.sh
+         |  GROUP BY p.d1, p.d2
+         |)
+         |SELECT p.d1, p.d2,
+         |  round(CAST(coalesce(co.co, 0) AS DOUBLE)
+         |        / least(sa.sz, sb.sz), 4) AS containment
+         |FROM pairs p
+         |LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
+         |JOIN sz sa ON sa.doc_id = p.d1
+         |JOIN sz sb ON sb.doc_id = p.d2
+         |WHERE CAST(coalesce(co.co, 0) AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
          |ORDER BY p.d1, p.d2""".stripMargin,
 
     "q_dedup_apply" ->
