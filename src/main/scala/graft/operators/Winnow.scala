@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
@@ -13,41 +12,35 @@ import org.apache.spark.sql.functions._
   * value (the shared windows see identical hash multisets, so their minima
   * agree).
   *
-  * Spark shape: one narrow per-position explode, then ONE doc_id shuffle
-  * shared by both window functions (running min over the w-frame and the
-  * per-doc gram count) — per-doc state never leaves its partition, so the
-  * operator scales with corpus size, not document count. The k-gram hash is
-  * the first 8 md5 hex chars as a BIGINT, computable identically in DuckDB
-  * (see [[graft.queries.hex2longSql]]) so oracles can replay the rule.
+  * Spark shape: the whole selection runs inside ONE
+  * [[graft.plans.WinnowGenerator]] GenerateExec — per document, a single
+  * monotonic-deque pass over the gram hashes, zero shuffle. (Round 3 used a
+  * per-position explode feeding `Window.partitionBy(doc_id)`, whose w-frame
+  * min inserted a hash Exchange carrying one ~40-byte row per CHARACTER
+  * POSITION — several times the corpus size at 100 TB for a purely
+  * per-document computation. A fully-narrow higher-order-function variant
+  * — gram-hash array + slice/array_min per window — was also measured 2-4×
+  * slower than even that: nested lambdas evaluate interpreted, outside
+  * whole-stage codegen.) The k-gram hash is the first 8 md5 hex chars as a
+  * BIGINT, computable identically in DuckDB (see
+  * [[graft.queries.hex2longSql]]) so oracles can replay the rule.
   */
 object Winnow {
 
   /** Per-position window minima: one row per FULL w-window (gram position
     * i ≤ ng-w+1) with columns (idCol, i, wm, ng) — wm = the window's
-    * selected fingerprint, ng = the doc's total k-gram count (closed-form
-    * from the text length, so the only window function is the w-frame
-    * min). Documents with no full window yield no rows. Callers
-    * aggregate: the distinct (idCol, wm) pairs are the fingerprint set.
-    *
-    * (A fully-narrow higher-order-function variant — gram-hash array +
-    * slice/array_min per window, zero shuffles — was measured 2-4× SLOWER
-    * than this shape at sf0.1: nested lambdas evaluate interpreted,
-    * outside whole-stage codegen, and the per-window slice allocations
-    * dominate. The codegen'd explode + one narrow-key window won.) */
+    * selected fingerprint, ng = the doc's total k-gram count. Documents
+    * with no full window yield no rows. Callers aggregate: the distinct
+    * (idCol, wm) pairs are the fingerprint set — and because that
+    * aggregation partial-combines map-side, the only Exchange downstream
+    * carries the ~2/(w+1)-density fingerprint sets, never the gram
+    * stream. */
   def selected(df: DataFrame, idCol: String, textCol: String,
                k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w must be positive")
-    val frame = Window.partitionBy(idCol).orderBy("i").rowsBetween(0, w - 1)
+    graft.plans.GraftExtensions.register(df.sparkSession)
     df.where(length(col(textCol)) >= k + w - 1)
       .select(col(idCol),
-        (length(col(textCol)) - (k - 1)).cast("long").as("ng"),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"),
-        col(textCol).as("__winnow_t"))
-      .select(col(idCol), col("ng"), col("i"),
-        expr(s"CAST(conv(substring(md5(substring(__winnow_t, i, $k)), 1, 8), 16, 10) AS BIGINT)")
-          .as("h"))
-      .withColumn("wm", min(col("h")).over(frame))
-      .where(col("i") <= col("ng") - (w - 1)) // full windows only
-      .select(col(idCol), col("i"), col("wm"), col("ng"))
+        call_function("winnow_fingerprints", col(textCol), lit(k), lit(w)))
   }
 }

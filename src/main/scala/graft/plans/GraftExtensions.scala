@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.levWithinFn)
     ext.injectFunction(GraftExtensions.interleaveBitsFn)
     ext.injectFunction(GraftExtensions.charShinglesFn)
+    ext.injectFunction(GraftExtensions.winnowFingerprintsFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -80,6 +81,22 @@ object GraftExtensions {
         intLit(children(1), "k"), intLit(children(2), "stride"))
     })
 
+  private val winnowFingerprintsFn = (
+    new FunctionIdentifier("winnow_fingerprints"),
+    new ExpressionInfo(classOf[WinnowGenerator].getName, "winnow_fingerprints"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        s"winnow_fingerprints expects (text, k, w), got ${children.length} arguments")
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                 what: String): Int = e match {
+        case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"winnow_fingerprints: $what must be an INT literal, got $other")
+      }
+      WinnowGenerator(children(0), intLit(children(1), "k"), intLit(children(2), "w"))
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -90,6 +107,8 @@ object GraftExtensions {
       interleaveBitsFn._1, interleaveBitsFn._2, interleaveBitsFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       charShinglesFn._1, charShinglesFn._2, charShinglesFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      winnowFingerprintsFn._1, winnowFingerprintsFn._2, winnowFingerprintsFn._3)
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification

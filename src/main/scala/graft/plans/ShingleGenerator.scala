@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Strings shorter than k produce no rows (same contract as the dedup
   * pipeline's `WHERE length(text) >= k`). Position arithmetic is by
-  * UTF-16 code units (Java substring) — identical to codepoints on the
-  * ASCII corpus; documented, not hidden. Registered in SQL as
+  * CODEPOINT (matching Spark's `substring`/`length` SQL semantics and the
+  * DuckDB oracle), so non-BMP text cannot diverge and surrogate pairs are
+  * never split. Registered in SQL as
   * `char_shingles(text, k, stride)` via [[GraftExtensions]] (k, stride
   * must be INT literals). CodegenFallback: Generate nodes sit at
   * whole-stage-codegen boundaries anyway, so the fallback costs one
@@ -41,9 +42,18 @@ case class ShingleGenerator(child: Expression, k: Int, stride: Int)
     if (t == null) Nil
     else {
       val s = t.asInstanceOf[UTF8String].toString
-      if (s.length < k) Nil
-      else (0 to s.length - k by stride).iterator.map(i =>
-        InternalRow(UTF8String.fromString(s.substring(i, i + k))))
+      // codepoint start offsets (identity on ASCII, surrogate-safe beyond)
+      val off = {
+        val b = new scala.collection.mutable.ArrayBuffer[Int](s.length + 1)
+        var ci = 0
+        while (ci < s.length) { b += ci; ci += Character.charCount(s.codePointAt(ci)) }
+        b += s.length
+        b
+      }
+      val ncp = off.length - 1
+      if (ncp < k) Nil
+      else (0 to ncp - k by stride).iterator.map(i =>
+        InternalRow(UTF8String.fromString(s.substring(off(i), off(i + k)))))
     }
   }
 

@@ -159,8 +159,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // stage 1 groups by (l_returnflag, salt); stage 2 by l_returnflag only —
     // both with map-side partials, so four HashAggregate tiers total
     assert(p.contains("partial_sum"), p)
-    assert("Keys \\[2\\]: \\[l_returnflag[^,]*, salt".r.findFirstIn(p).isDefined
-      || p.contains("salt"), p)
+    assert("Keys \\[2\\]: \\[l_returnflag[^,]*, [^\\]]*salt".r.findFirstIn(p).isDefined, p)
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length == 4, p)
+  }
+
+  test("q_winnow: selection runs inside Generate — no Window, no pre-agg Exchange") {
+    val p = plan("q_winnow")
+    // round 3 shuffled one row per character position into a
+    // Window.partitionBy(doc_id) w-frame min; the WinnowGenerator computes
+    // the minima inline, so the plan must have no Window node and exactly
+    // two Exchanges (the partial-agg'd fingerprint-set shuffle + final sort)
+    assert(p.contains("winnow_fingerprints"), p)
+    assert(!p.contains("Window"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 2, p)
+    // the one data Exchange sits ABOVE a partial aggregate (map-side
+    // collect_set dedup), never below the Generate
+    assert(p.contains("partial_collect_set"), p)
   }
 
   test("q_mv_rewrite: answered from the summary, fact never scanned") {

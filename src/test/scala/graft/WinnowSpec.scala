@@ -59,6 +59,30 @@ class WinnowSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("codepoint positions: non-BMP text never splits surrogate pairs") {
+    // a codepoint-aware mirror (the plain-String mirror above would slide
+    // over UTF-16 units and split the emoji's surrogate pair)
+    def cpMirror(text: String): Set[Long] = {
+      val cps = text.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      if (cps.length < K) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to cps.length - K).map { i =>
+        val hex = md.digest(cps.slice(i, i + K).mkString.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+      if (hs.length < W) Set.empty else hs.sliding(W).map(_.min).toSet
+    }
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq(
+      1L -> (s"ab${emoji}cdef${emoji}ghijklm$emoji" * 2),
+      2L -> s"plain ascii text with no surrogates at all")
+    val got = sparkFps(docs)
+    docs.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == cpMirror(t), s"doc $id") }
+  }
+
   test("density: far fewer fingerprints than grams, never more than windows") {
     val rnd = new scala.util.Random(5)
     val text = Seq.fill(2000)("abcdefghijklmnop"(rnd.nextInt(16))).mkString
