@@ -21,7 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges (src, dst) BIGINT pairs, already in the direction(s)
+  /** Broadcasting the |V|-row rank table collects it through the driver, so
+    * the hint must be CONDITIONAL: past this many vertices the iteration
+    * falls back to the standard shuffled join instead of OOMing the driver.
+    * Default ≈ a few hundred MB of (long, double) rows — comfortably inside
+    * executor/driver memory on any real cluster; override per session with
+    * `spark.conf.set("graft.pagerank.broadcastMaxVerts", n)`. */
+  val DefaultBroadcastMaxVerts = 10_000_000L
+
+  private def confMaxVerts(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.pagerank.broadcastMaxVerts")
+      .map(_.toLong).getOrElse(DefaultBroadcastMaxVerts)
+
+  /** One damped-update iteration, pre-checkpoint (exposed for plan tests).
+    * When `useBroadcast`, ranks/contrib are |V|-row tables broadcast to the
+    * |E|-row edge probe — a NARROW pass over edges (no edge shuffle,
+    * map-side partial agg on dst), the |V| ≪ |E| regime that holds for
+    * host-graph quality priors. Otherwise both joins shuffle — the plain
+    * scalable shape. */
+  private[graft] def step(degEdges: DataFrame, verts: DataFrame,
+                          ranks: DataFrame, useBroadcast: Boolean): DataFrame = {
+    def hint(df: DataFrame) = if (useBroadcast) broadcast(df) else df
+    val contrib = degEdges.join(hint(ranks), col("src") === col("v"))
+      .select(col("dst"),
+        expr("CAST(round(r / deg, 8) AS DECIMAL(28,10))").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("sc"))
+    // literal strings, not 1 - 0.85 in Scala (whose double formatting
+    // would leak 0.15000000000000002 into the plan)
+    verts.join(hint(contrib), col("v") === col("dst"), "left_outer")
+      .select(col("v"), expr(
+        "CAST(round(0.15 + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE)")
+        .as("r"))
+  }
+
+  /** @param edges0 (src, dst) BIGINT pairs, already in the direction(s)
     *   mass should flow (pass both directions for an undirected graph).
     * @return (v, r) ranks after `iters` damped iterations (d = 0.85). */
   def run(edges0: DataFrame, iters: Int): DataFrame = {
@@ -39,25 +72,12 @@ object PageRank {
     val verts = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .distinct().localCheckpoint()
+    // |V| is known exactly (verts is checkpointed — the count is one cheap
+    // scan, amortized over every iteration); gate the broadcast hint on it
+    val useBroadcast = verts.count() <= confMaxVerts(edges0)
     var ranks = verts.withColumn("r", lit(1.0))
-    for (_ <- 1 to iters) {
-      // ranks is |V| rows vs the |E|-row edge table: broadcasting it makes
-      // the per-iteration probe a NARROW pass over edges (no edge shuffle,
-      // map-side partial agg on dst) — the |V| ≪ |E| regime that holds for
-      // host-graph quality priors. At |V| beyond broadcast reach, drop the
-      // hint and this degrades to the standard shuffled join.
-      val contrib = degEdges.join(broadcast(ranks), col("src") === col("v"))
-        .select(col("dst"),
-          expr("CAST(round(r / deg, 8) AS DECIMAL(28,10))").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("sc"))
-      // literal strings, not 1 - 0.85 in Scala (whose double formatting
-      // would leak 0.15000000000000002 into the plan)
-      ranks = verts.join(broadcast(contrib), col("v") === col("dst"), "left_outer")
-        .select(col("v"), expr(
-          "CAST(round(0.15 + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE)")
-          .as("r"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters)
+      ranks = step(degEdges, verts, ranks, useBroadcast).localCheckpoint()
     ranks
   }
 }

@@ -68,4 +68,29 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got == r) // run() returns the 8-decimal ranks; no further rounding
   }
+
+  test("PageRank broadcast hint is conditional on |V| vs the configured cap") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val verts = edges.select($"src".as("v")).union(edges.select($"dst".as("v"))).distinct()
+    val degEdges = edges.join(
+      edges.groupBy("src").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("deg")), "src")
+    val ranks = verts.withColumn("r", org.apache.spark.sql.functions.lit(1.0))
+    // the hint lives in the OPTIMIZED logical plan (physical join choice on a
+    // 3-row test graph would be broadcast either way via AQE size stats —
+    // the thing to pin is that run() stops ASKING for a broadcast past the cap)
+    def hints(useBroadcast: Boolean): String =
+      PageRank.step(degEdges, verts, ranks, useBroadcast)
+        .queryExecution.optimizedPlan.toString
+    assert(hints(useBroadcast = true).contains("strategy=broadcast"))
+    assert(!hints(useBroadcast = false).contains("strategy=broadcast"))
+
+    // and run() derives the flag from graft.pagerank.broadcastMaxVerts: with
+    // the cap forced below |V|=3 the ranks are STILL bit-identical — the
+    // shuffled fallback changes the plan, never the result
+    val expected = PageRank.run(edges, 2).collect().toSet
+    spark.conf.set("graft.pagerank.broadcastMaxVerts", "1")
+    try assert(PageRank.run(edges, 2).collect().toSet == expected)
+    finally spark.conf.unset("graft.pagerank.broadcastMaxVerts")
+  }
 }
