@@ -322,14 +322,23 @@ object Relational {
         .orderBy("event_type")
     }),
 
-    // Exact percentiles (linear interpolation) per event type.
-    "q_percentile" -> ((s, dir) =>
-      table(s, dir, "events").groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.75)"), 4).as("p75"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type")),
+    // Exact percentiles (linear interpolation) per event type — computed by
+    // operators.Percentiles as a distributed selection (range-partitioned
+    // two-level rank), NOT the built-in percentile() whose
+    // TypedImperativeAggregate buffers every value of a group on one task
+    // (an un-spillable OOM for big groups at scale). Same result, same
+    // DuckDB quantile_cont oracle.
+    "q_percentile" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val q = graft.operators.Percentiles
+        .exact(ev, "event_type", "value", Seq(0.25, 0.5, 0.75))
+      q.groupBy("event_type")
+        .agg(round(max(when(col("p") === 0.25, col("q"))), 4).as("p25"),
+          round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
+          round(max(when(col("p") === 0.75, col("q"))), 4).as("p75"))
+        .join(ev.groupBy("event_type").agg(count(lit(1)).as("n")), Seq("event_type"))
+        .orderBy("event_type")
+    }),
 
     // MERGE/upsert: update 1/10 of orders, insert synthetic new keys, then
     // aggregate the merged table (operators.Merge.upsert — one full-outer

@@ -177,6 +177,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_collect_set"), p)
   }
 
+  test("q_percentile: distributed selection, no whole-group percentile buffer") {
+    val p = plan("q_percentile")
+    // the built-in percentile() is a TypedImperativeAggregate that holds
+    // every value of a group in one task's buffer; the selection shape must
+    // plan row_number ranking instead, with the offset/rank sides broadcast
+    assert(!p.contains("percentile("), p)
+    assert(p.contains("row_number"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_mv_rewrite: answered from the summary, fact never scanned") {
     val p = plan("q_mv_rewrite")
     assert(p.contains("mv_lineitem"), p)
