@@ -33,14 +33,19 @@ object Merge {
     require(old.columns.sorted.sameElements(neu.columns.sorted),
       s"schema mismatch: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
     val cols = old.columns.filterNot(_ == key).toSeq
+    // explicit presence markers: classifying on `__o_<key> IS NULL` would
+    // misread a row whose key VALUE is null (the join is null-safe, so a
+    // null key matches across snapshots) as an insert even when unchanged
     val o = old.select(old.columns.toSeq.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__o_present", lit(true))
     val n = neu.select(neu.columns.toSeq.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__n_present", lit(true))
     val changed = cols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, col(s"__o_$key") <=> col(s"__n_$key"), "full_outer")
       .withColumn("op",
-        when(col(s"__o_$key").isNull, "I")
-          .when(col(s"__n_$key").isNull, "D")
+        when(col("__o_present").isNull, "I")
+          .when(col("__n_present").isNull, "D")
           .when(changed, "U"))
       .where(col("op").isNotNull)
       .select(col("op") +:

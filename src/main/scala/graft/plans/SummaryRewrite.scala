@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -91,7 +92,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate, cond: Option[Expression],
                          s: Summary): Option[LogicalPlan] = {
-    val sOut = s.plan.output
+    // A query can hit the same fact twice (self-join / union of two
+    // aggregates): splicing the registered plan VERBATIM would put the
+    // same exprIds in two places of one tree. Each rewrite gets a fresh
+    // relation instance (new exprIds), like the analyzer's own
+    // deduplication of repeated relations.
+    val splice = s.plan.transformUp {
+      case m: MultiInstanceRelation => m.newInstance()
+    }
+    val sOut = splice.output
     def sAttr(name: String): Option[AttributeReference] =
       sOut.collectFirst { case a: AttributeReference if a.name == name => a }
 
@@ -100,8 +109,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(c: Count, _, false, None, _)
           if c.children.nonEmpty &&
             c.children.forall(ch => ch.foldable && ch.eval() != null) =>
-        sAttr(s.cntCol).map(a =>
-          Cast(ae.copy(aggregateFunction = Sum(a)), ae.dataType))
+        sAttr(s.cntCol).map { a =>
+          val summed = Cast(ae.copy(aggregateFunction = Sum(a)), ae.dataType)
+          // count over an empty input is 0, but Sum(cnt) is NULL: a GLOBAL
+          // aggregate (no grouping) emits one row even when the carried dim
+          // filter matches zero summary rows, so the rewrite must restore
+          // count's empty-input semantics. Grouped aggregates emit no row
+          // for an empty group either way.
+          if (agg.groupingExpressions.isEmpty)
+            Coalesce(Seq(summed, Literal(0L))) else summed
+        }
       case ae @ AggregateExpression(sm: Sum, _, false, None, _) =>
         for { cn <- s.sums.get(sm.child.sql); a <- sAttr(cn) }
           yield Cast(ae.copy(aggregateFunction = Sum(a)), ae.dataType)
@@ -127,8 +144,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         newCond.exists(_.isEmpty)) None
     else {
       val child = newCond.flatten match {
-        case Some(c) => Filter(c, s.plan)
-        case None => s.plan
+        case Some(c) => Filter(c, splice)
+        case None => splice
       }
       Some(agg.copy(groupingExpressions = newGroupings.map(_.get),
         aggregateExpressions = newAggs.map(_.get), child = child))

@@ -77,6 +77,39 @@ class MatViewsSpec extends AnyFunSuite with SparkFixture {
     assert(!df.queryExecution.optimizedPlan.toString.contains("cnt#"))
   }
 
+  test("double fact reference: both rewrites get distinct exprIds and run") {
+    registered {
+      // union of two aggregates over the SAME fact — each rewrite must
+      // splice a FRESH summary instance, or the two subtrees would share
+      // attribute ids and mis-resolve
+      def one(flag: String) = spark.read.parquet(factPath)
+        .where(col("l_returnflag") === flag)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val df = one("A").unionByName(one("R"))
+      val p = df.queryExecution.optimizedPlan
+      assert("sum\\(cnt#".r.findAllIn(p.toString).length == 2, p)
+      // distinct exprIds for the two summary scans
+      val cntIds = p.collectLeaves().flatMap(_.output)
+        .filter(_.name == "cnt").map(_.exprId).distinct
+      assert(cntIds.length == 2, s"summary spliced verbatim twice: $cntIds")
+      val direct = Seq("A", "R").map(f => spark.read.parquet(factPath)
+        .where(col("l_returnflag") === f).count())
+      assert(df.orderBy("l_returnflag").collect().map(_.getLong(1)).toSeq == direct)
+    }
+  }
+
+  test("global count(*) with a zero-match dim filter rewrites to 0, not null") {
+    registered {
+      val df = spark.read.parquet(factPath)
+        .where(col("l_returnflag") === "ZZZ") // matches no summary row
+        .agg(count(lit(1)).as("n"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("sum(cnt#"), p) // the rewrite DID fire…
+      val r = df.collect()
+      assert(r.length == 1 && !r(0).isNullAt(0) && r(0).getLong(0) == 0L, r.toSeq)
+    }
+  }
+
   test("rewrite applies through the SQL front door too") {
     registered {
       val df = spark.sql(

@@ -41,4 +41,24 @@ class MergeSpec extends AnyFunSuite with SparkFixture {
     assert(replayed == neu.as[(Long, String, Option[Double])].collect().toSet,
       replayed)
   }
+
+  test("diff classifies null-KEY rows by presence, not key-null tests") {
+    import org.apache.spark.sql.functions._
+    val old = Seq((Option(1L), "a"), (None: Option[Long], "n"))
+      .toDF("k", "v")
+    // null key present in BOTH snapshots, unchanged → must emit NOTHING
+    val sameNull = Merge.diff(old, old, "k")
+    assert(sameNull.count() == 0, sameNull.collect().toSeq)
+    // null key updated → 'U' with new payload
+    val neuU = Seq((Option(1L), "a"), (None: Option[Long], "n2")).toDF("k", "v")
+    val u = Merge.diff(old, neuU, "k").select("op", "v")
+      .as[(String, String)].collect().toSet
+    assert(u == Set(("U", "n2")), u)
+    // null key only in OLD → 'D' carrying the old payload (not a spurious
+    // 'I' with null payload)
+    val neuD = Seq((Option(1L), "a")).toDF("k", "v")
+    val d = Merge.diff(old, neuD, "k").select("op", "v")
+      .as[(String, String)].collect().toSet
+    assert(d == Set(("D", "n")), d)
+  }
 }
