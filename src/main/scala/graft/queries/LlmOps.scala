@@ -226,9 +226,12 @@ object LlmOps {
     * Jaccard-1.0 pair before), and a rep x is dropped iff some smaller
     * doc's text is near-identical, which collapses to the rep-pair
     * (rep_B, x) with the same Jaccard. */
-  private def repDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+  private def repsOf(d: DataFrame): DataFrame =
+    d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
+
+  private def repDocs(s: SparkSession, dir: String): DataFrame =
+    repsOf(docs(s, dir))
 
   /** w-bit simhash per doc: majority vote per bit over md5-derived token
     * hashes. One narrow aggregation — linear at any corpus size; the
@@ -287,8 +290,8 @@ object LlmOps {
     * [[BandBucketCap]] docs. `bands` is persisted — it feeds the bucket
     * sizing AND both self-join sides (callers run inside Bench/Verify,
     * which clearCache() per query). */
-  private def minhashCandPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = maybePersist(bandRowsFromShingles(repShingles(s, dir)))
+  private def cappedBandPairs(sh: DataFrame): DataFrame = {
+    val bands = maybePersist(bandRowsFromShingles(sh))
     val smallBuckets = bands.groupBy("band", "v")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
       .select("band", "v")
@@ -300,6 +303,14 @@ object LlmOps {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
   }
+
+  private def minhashCandPairs(s: SparkSession, dir: String): DataFrame =
+    cappedBandPairs(repShingles(s, dir))
+
+  /** The Jaccard-LSH candidate channel alone, over an arbitrary (doc_id,
+    * text) corpus — exposed so specs can demonstrate what it MISSES. */
+  private[graft] def lshCandidates(d: DataFrame): DataFrame =
+    cappedBandPairs(shinglesOf(repsOf(d)))
 
   /** doc_ids dropped by the full dedup policy: every exact duplicate that
     * is not its cluster's representative, plus the greater id of every LSH
@@ -345,6 +356,57 @@ object LlmOps {
     }
     val near = verifiedPairs(s, dir, thr).select(col("d2").as("doc_id"))
     exact.unionByName(near).distinct()
+  }
+
+  /** Universe-sampling rate for the containment candidate channel: the
+    * 1/[[ContainSampleMod]] of shingles whose 32-bit md5 value ≡ 0 (mod
+    * this) form a deterministic sampled inverted index. A contained doc
+    * shares ALL its shingles with its container, so with m shared
+    * shingles the pair co-occurs under some sampled shingle unless none
+    * of the m hashes hits the sampled residue — P ≈ (1−1/16)^m < 1% past
+    * m ≈ 72. Same [[BandBucketCap]] df discipline as every other
+    * inverted-index join. */
+  private val ContainSampleMod = 16
+
+  /** Containment (asymmetric) near-dup pairs over an arbitrary (doc_id,
+    * text) corpus: overlap / min(|A|, |B|) ≥ `thr` — catches a document
+    * EMBEDDED in a larger one, where symmetric Jaccard shrinks as |B|
+    * grows. Candidates are the UNION of two channels, each replayed by
+    * the oracle:
+    *  - the Jaccard-LSH band buckets (shared with q_dedup_minhash) —
+    *    high-Jaccard pairs;
+    *  - a universe-sampled shingle index ([[ContainSampleMod]]) —
+    *    containment-high / jaccard-low pairs the Jaccard-tuned banding
+    *    misses (round-3's documented recall gap). Verify stays
+    *    candidates-only: the sampled index is 1/16 the shingle volume,
+    *    df-capped, so the join is bounded per shingle at any corpus
+    *    size. */
+  private[graft] def containmentPairs(d: DataFrame, thr: Double): DataFrame = {
+    val reps = repsOf(d)
+    val sh = shinglesOf(reps)
+    val sets = maybePersist(sh.distinct())
+    val sampled = sets.where(
+      expr(s"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % $ContainSampleMod = 0"))
+    val srare = sampled.groupBy("sh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2 && col("c") <= BandBucketCap).select("sh")
+    val scap = sampled.join(srare, Seq("sh"))
+    val sampPairs = scap.alias("x")
+      .join(scap.alias("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    val pairs = cappedBandPairs(sh).unionByName(sampPairs).distinct()
+    val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val co = pairs
+      .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .where(col("sh") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+    pairs.join(co, Seq("d1", "d2"), "left_outer")
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+      .withColumn("containment",
+        expr("CAST(coalesce(co, 0) AS DOUBLE) / least(sa, sb)"))
+      .where(col("containment") >= thr)
   }
 
   /** Quantized embeddings + exact integer self-norm. */
@@ -393,31 +455,17 @@ object LlmOps {
 
     // CONTAINMENT near-dup (asymmetric): overlap / min(|A|, |B|) — catches
     // a document EMBEDDED in a larger one, where symmetric Jaccard stays
-    // small (|A∩B|/|A∪B| shrinks as |B| grows). Same LSH candidates, same
-    // verify-on-candidates-only cost as the Jaccard stage. Honest recall
-    // note: the banding approximates JACCARD, so containment-high /
-    // jaccard-low pairs can be missed at the candidate stage — production
-    // containment search stratifies minhash by size; here the shared
-    // candidate generator is the documented contract.
-    "q_dedup_containment" -> ((s, dir) => {
-      val pairs = minhashCandPairs(s, dir)
-      val sets = maybePersist(repShingles(s, dir).distinct())
-      val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val co = pairs
-        .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-        .where(col("sh") === col("sh2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
-      pairs.join(co, Seq("d1", "d2"), "left_outer")
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-        .withColumn("containment",
-          expr("CAST(coalesce(co, 0) AS DOUBLE) / least(sa, sb)"))
-        .where(col("containment") >= 0.5)
+    // small (|A∩B|/|A∪B| shrinks as |B| grows). Candidates = Jaccard-LSH
+    // band buckets UNION a universe-sampled shingle index (see
+    // containmentPairs) — the second channel closes round-3's documented
+    // recall gap for containment-high / jaccard-low pairs; DedupScaleSpec
+    // plants a small-doc-inside-huge-doc pair the LSH channel provably
+    // misses. Verify stays candidates-only.
+    "q_dedup_containment" -> ((s, dir) =>
+      containmentPairs(docs(s, dir), 0.5)
         .select(col("d1"), col("d2"),
           round(col("containment"), 4).as("containment"))
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
 
     // Dedup APPLY: the pipeline's final step — drop every exact duplicate
     // (non-representative of its text cluster) and every doc that appears
@@ -961,6 +1009,66 @@ object LlmOps {
         .select(col("a"), col("b"), col("n_shared"),
           round(col("n_shared") / least(col("na"), col("nb")), 4).as("overlap"))
         .orderBy("a", "b")
+    }),
+
+    // SQL front door for the winnowing Generator: the same selection
+    // reached as LATERAL VIEW winnow_fingerprints(text, k, w) over plain
+    // SQL text — proof the registered function library composes in SQL,
+    // not just through the Column API. Output: per-doc fingerprint-set
+    // size (docs with no full window emit no rows on either engine).
+    "q_sql_winnow" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("documents_wv")
+      s.sql(
+        s"""SELECT doc_id, CAST(count(DISTINCT wm) AS BIGINT) AS n_fp
+           |FROM documents_wv
+           |LATERAL VIEW winnow_fingerprints(text, $WinnowK, $WinnowW) wf AS i, wm, ng
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
+    // STREAMING SINK ROUND-TRIP: a real Structured Streaming job (file
+    // source over the documents parquet, AvailableNow trigger) upserts
+    // per-batch word counts into a parquet state table via foreachBatch —
+    // the production "stream into a queryable table" shape — and the
+    // RESULT of the batch read-back is what the DuckDB oracle checks
+    // (batch wordcount over the same corpus). State is versioned per
+    // batch (state_N reads state_{N-1}) so the upsert never overwrites
+    // a directory it is reading; the checkpoint makes re-runs no-ops.
+    "q_stream_sink_roundtrip" -> ((s, dir) => {
+      val base = s"$TmpRoot/stream_upsert"
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      // the file source wants a DIRECTORY; the harness table is a single
+      // file inside the sf dir, so scope the listing with a glob filter
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val words = Tokenize.tokenize(src.select(col("doc_id"), col("text")), "text")
+        .select("word")
+      words.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val ss = batch.sparkSession
+          val prev = s"$base/state_${id - 1}"
+          val counts = batch.groupBy("word")
+            .agg(count(lit(1)).cast("long").as("n"))
+          val merged =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(prev)))
+              ss.read.parquet(prev).unionByName(counts)
+                .groupBy("word").agg(sum(col("n")).cast("long").as("n"))
+            else counts
+          merged.write.mode("overwrite").parquet(s"$base/state_$id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val latest = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .map(_.getName).filter(_.startsWith("state_"))
+        .map(_.stripPrefix("state_").toLong).max
+      s.read.parquet(s"$base/state_$latest").orderBy("word")
     }),
 
     // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
@@ -1694,12 +1802,24 @@ object LlmOps {
     "q_dedup_containment" ->
       s"""WITH $MinhashSigSql,
          |$BandsSql,
-         |pairs AS (
+         |bpairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM cbands x JOIN cbands y
          |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
          |),
          |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |samp AS (
+         |  SELECT doc_id, sh FROM sets
+         |  WHERE ${hex2longSql("md5(sh)", 1)} % $ContainSampleMod = 0
+         |),
+         |srare AS (SELECT sh FROM samp GROUP BY sh
+         |          HAVING count(*) BETWEEN 2 AND $BandBucketCap),
+         |spairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM samp x JOIN srare USING (sh) JOIN samp y USING (sh)
+         |  WHERE x.doc_id < y.doc_id
+         |),
+         |pairs AS (SELECT d1, d2 FROM bpairs UNION SELECT d1, d2 FROM spairs),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
          |co AS (
          |  SELECT p.d1, p.d2, count(*) AS co
@@ -2299,6 +2419,16 @@ object LlmOps {
          |FROM p JOIN nfp xa ON p.a = xa.doc_id JOIN nfp yb ON p.b = yb.doc_id
          |WHERE n_shared >= least(xa.nf, yb.nf) * $WinnowOverlap
          |ORDER BY a, b""".stripMargin,
+
+    "q_sql_winnow" ->
+      s"""WITH $WinnowSelSql
+         |SELECT doc_id, CAST(count(DISTINCT wm) AS BIGINT) AS n_fp
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_stream_sink_roundtrip" ->
+      s"""WITH $ToksSql
+         |SELECT word, CAST(count(*) AS BIGINT) AS n
+         |FROM toks GROUP BY word ORDER BY word""".stripMargin,
 
     "q_vocab_oov" ->
       s"""WITH $ToksSql,

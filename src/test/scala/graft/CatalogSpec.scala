@@ -77,4 +77,25 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       .groupBy("text").agg(countDistinct("simhash").as("n"))
     assert(joined.where(col("n") > 1).count() == 0)
   }
+
+  test("SQL front door: the whole native-function library is registered and callable") {
+    graft.plans.GraftExtensions.register(spark)
+    val expected = Seq("encode_word", "lev_within", "interleave_bits",
+      "char_shingles", "winnow_fingerprints")
+    for (f <- expected)
+      assert(spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)), s"$f not registered")
+    // one-liner smoke per scalar/generator function, pure SQL text
+    assert(spark.sql("SELECT encode_word('ab')").collect()(0).getString(0) == "0102")
+    assert(spark.sql("SELECT lev_within('kitten', 'sitting', 3)")
+      .collect()(0).getInt(0) == 3) // banded edit distance within k
+    // y's bit i lands at position 2i+1 (x takes the even positions)
+    assert(spark.sql("SELECT interleave_bits(0, 1)").collect()(0).getLong(0) == 2L)
+    assert(spark.sql("SELECT interleave_bits(1, 0)").collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT collect_list(sh) FROM (SELECT char_shingles('abcd', 3, 1) AS sh)")
+      .collect()(0).getSeq[String](0) == Seq("abc", "bcd"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM (SELECT winnow_fingerprints('abcdefghijklmnop', 8, 4))")
+      .collect()(0).getLong(0) == 6L) // ng = 9 grams → 6 full windows
+  }
 }

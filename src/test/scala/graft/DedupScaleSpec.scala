@@ -139,4 +139,32 @@ class DedupScaleSpec extends AnyFunSuite with SparkFixture {
     assert(nPairs < 100, s"boilerplate trigrams leaked into the join: $nPairs")
     spark.catalog.clearCache()
   }
+
+  test("containment: embedded small doc is found; the LSH channel alone misses it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def text(n: Int): String =
+      Seq.fill(n)("abcdefghijklmnopqrstuvwxyz "(rnd.nextInt(27))).mkString
+    val small = text(300)
+    // prefix length ≡ 0 (mod stride 3) so the embedded copy's shingle grid
+    // aligns with the standalone doc's — containment ≈ 1.0, |B| ≈ 21·|A|,
+    // Jaccard ≈ 0.05 (far below what 4×4 banding can surface)
+    val big = text(3000) + small + text(3000)
+    val filler = (3L to 20L).map(i => i -> text(400))
+    val docsDf = (Seq(1L -> small, 2L -> big) ++ filler).toDF("doc_id", "text")
+
+    val got = graft.queries.LlmOps.containmentPairs(docsDf, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)),
+      s"embedded pair not surfaced by the sampled channel: $got")
+    spark.catalog.clearCache()
+
+    // the Jaccard-tuned band buckets alone do NOT produce this candidate —
+    // the sampled shingle index is what closes the recall gap
+    val lsh = graft.queries.LlmOps.lshCandidates(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.contains((1L, 2L)),
+      "planted pair unexpectedly has high enough Jaccard for the LSH channel")
+    spark.catalog.clearCache()
+  }
 }
