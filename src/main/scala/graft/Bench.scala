@@ -54,10 +54,13 @@ object Bench {
     val resultKeys = results.map(_._1).toSet
     val total = results.collect { case (k, v) if Headline(k) => v }.sum +
       (Headline -- resultKeys).size * FailPenalty
-    // The graded fields ("metric"/"value") come LAST so a capture that
-    // keeps only the tail of stdout still parses them (round 2's driver
-    // capture truncated the head and lost the total), and the whole line
-    // is ALSO written to target/bench.json as a file-based fallback.
+    // Two stdout lines + one file, sized for the driver's 2000-char TAIL
+    // capture (which also keeps ~130 chars of sbt epilogue): the FULL
+    // 129-query map is ~3.3 kB and cannot fit, so it goes first on stdout
+    // and verbatim into target/bench.json; the LAST line is compact enough
+    // (~1.3 kB) to survive whole — the frozen 47-query headline map at
+    // 3 decimals, a pointer to the full map file, and the graded
+    // "metric"/"value" fields in final position.
     val line =
       s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
     println(line)
@@ -67,6 +70,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
+    val hq = results.collect { case (k, v) if Headline(k) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
+    println(s"""{"queries":$hq,"full_map":"target/bench.json","sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
     spark.stop()
   }
 
