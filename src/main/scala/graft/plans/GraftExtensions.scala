@@ -29,9 +29,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** ExpressionInfo with a real usage string, so `DESCRIBE FUNCTION`
+    * documents the library instead of printing `N/A`. */
+  private def info(clazz: Class[_], name: String, usage: String,
+                   examples: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "",
+      "\n" + examples + "\n  ", // ExpressionInfo requires "\n    Examples:" prefix
+      "", "misc_funcs", "4.0.0", "", "built-in")
+
   private val encodeWordFn = (
     new FunctionIdentifier("encode_word"),
-    new ExpressionInfo(classOf[EncodeWordExpression].getName, "encode_word"),
+    info(classOf[EncodeWordExpression], "encode_word",
+      "encode_word(word) - Returns the reference engine's positional-" +
+        "alphabetic encoding: each char in backtick..z maps to its " +
+        "zero-padded 2-digit code (backtick=00..z=26), others are skipped; " +
+        "empty result = token dropped by the keep-rule.",
+      "    Examples:\n      > SELECT encode_word('ab');\n       0102"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 1,
         s"encode_word expects exactly 1 argument, got ${children.length}")
@@ -40,7 +53,11 @@ object GraftExtensions {
 
   private val levWithinFn = (
     new FunctionIdentifier("lev_within"),
-    new ExpressionInfo(classOf[LevWithinExpression].getName, "lev_within"),
+    info(classOf[LevWithinExpression], "lev_within",
+      "lev_within(a, b, k) - Banded Levenshtein: the edit distance of a " +
+        "and b if it is <= k, else k+1, in O(k*len) time and O(len) " +
+        "space (k must be an INT literal). The fuzzy-join verify kernel.",
+      "    Examples:\n      > SELECT lev_within('kitten', 'sitting', 3);\n       3"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 3,
         s"lev_within expects (a, b, k), got ${children.length} arguments")
@@ -57,7 +74,12 @@ object GraftExtensions {
 
   private val interleaveBitsFn = (
     new FunctionIdentifier("interleave_bits"),
-    new ExpressionInfo(classOf[InterleaveBitsExpression].getName, "interleave_bits"),
+    info(classOf[InterleaveBitsExpression], "interleave_bits",
+      "interleave_bits(x, y) - Morton (Z-order) interleave of two 32-bit " +
+        "non-negative ints: x's bit i lands at position 2i, y's at 2i+1. " +
+        "Sorting by the result co-locates rows close in BOTH dimensions " +
+        "(min/max file skipping on either column).",
+      "    Examples:\n      > SELECT interleave_bits(1, 0);\n       1"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 2,
         s"interleave_bits expects (x, y), got ${children.length} arguments")
@@ -66,7 +88,13 @@ object GraftExtensions {
 
   private val charShinglesFn = (
     new FunctionIdentifier("char_shingles"),
-    new ExpressionInfo(classOf[ShingleGenerator].getName, "char_shingles"),
+    info(classOf[ShingleGenerator], "char_shingles",
+      "char_shingles(text, k, stride) - Generator: one row per sampled " +
+        "character k-gram of text (codepoint positions 0, stride, " +
+        "2*stride, ...; k and stride must be INT literals). Strings " +
+        "shorter than k emit no rows. The dedup-pipeline shingler as a " +
+        "native UDTF.",
+      "    Examples:\n      > SELECT char_shingles('abcd', 3, 1);\n       abc\n       bcd"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 3,
         s"char_shingles expects (text, k, stride), got ${children.length} arguments")
@@ -83,7 +111,15 @@ object GraftExtensions {
 
   private val winnowFingerprintsFn = (
     new FunctionIdentifier("winnow_fingerprints"),
-    new ExpressionInfo(classOf[WinnowGenerator].getName, "winnow_fingerprints"),
+    info(classOf[WinnowGenerator], "winnow_fingerprints",
+      "winnow_fingerprints(text, k, w) - Generator: MOSS winnowing over " +
+        "text. Emits (i, wm, ng) per full w-window of character k-gram " +
+        "md5 hashes: i = 1-based window start, wm = the window's minimum " +
+        "hash (BIGINT of the first 8 md5 hex chars), ng = total k-gram " +
+        "count. DISTINCT wm per doc is the ~2/(w+1)-density fingerprint " +
+        "set; any shared substring of length >= w+k-1 shares a " +
+        "fingerprint. k and w must be INT literals.",
+      "    Examples:\n      > SELECT count(*) FROM (SELECT winnow_fingerprints('abcdefghijklmnop', 8, 4));\n       6"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.length == 3,
         s"winnow_fingerprints expects (text, k, w), got ${children.length} arguments")

@@ -82,9 +82,14 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     graft.plans.GraftExtensions.register(spark)
     val expected = Seq("encode_word", "lev_within", "interleave_bits",
       "char_shingles", "winnow_fingerprints")
-    for (f <- expected)
+    for (f <- expected) {
       assert(spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(f)), s"$f not registered")
+      // DESCRIBE FUNCTION must print a real usage string, not "N/A"
+      val desc = spark.sql(s"DESCRIBE FUNCTION $f")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains(s"$f(") && !desc.contains("N/A"), s"$f usage:\n$desc")
+    }
     // one-liner smoke per scalar/generator function, pure SQL text
     assert(spark.sql("SELECT encode_word('ab')").collect()(0).getString(0) == "0102")
     assert(spark.sql("SELECT lev_within('kitten', 'sitting', 3)")
