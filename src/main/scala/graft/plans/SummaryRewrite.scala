@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -46,10 +46,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * @param dims     summary grouping columns (present verbatim in summary)
     * @param cntCol   summary column holding the per-group row count
     * @param sums     Sum-child resolved SQL -> summary partial-sum column
-    * @param plan     analyzed read plan of the summary parquet */
+    * @param plan     analyzed read plan of the summary parquet
+    * @param mins     Min-child resolved SQL -> summary partial-min column
+    * @param maxs     Max-child resolved SQL -> summary partial-max column */
   final case class Summary(factPath: String, dims: Seq[String],
                            cntCol: String, sums: Map[String, String],
-                           plan: LogicalPlan)
+                           plan: LogicalPlan,
+                           mins: Map[String, String] = Map.empty,
+                           maxs: Map[String, String] = Map.empty)
 
   @volatile private var registry: Seq[Summary] = Nil
 
@@ -122,7 +126,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(sm: Sum, _, false, None, _) =>
         for { cn <- s.sums.get(sm.child.sql); a <- sAttr(cn) }
           yield Cast(ae.copy(aggregateFunction = Sum(a)), ae.dataType)
-      case _: AggregateExpression => None // min/max/avg/distinct: unsupported
+      // min/max are self-decomposable like sum: min of per-group partial
+      // mins IS the min (ditto max) — rewrite when the measure is registered
+      case ae @ AggregateExpression(mn: Min, _, false, None, _) =>
+        for { cn <- s.mins.get(mn.child.sql); a <- sAttr(cn) }
+          yield Cast(ae.copy(aggregateFunction = Min(a)), ae.dataType)
+      case ae @ AggregateExpression(mx: Max, _, false, None, _) =>
+        for { cn <- s.maxs.get(mx.child.sql); a <- sAttr(cn) }
+          yield Cast(ae.copy(aggregateFunction = Max(a)), ae.dataType)
+      case _: AggregateExpression => None // avg/distinct/FILTER: unsupported
       case a: AttributeReference =>
         if (s.dims.contains(a.name)) sAttr(a.name) else None
       case other =>

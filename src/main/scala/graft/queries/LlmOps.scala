@@ -383,8 +383,11 @@ object LlmOps {
     *    size. */
   private[graft] def containmentPairs(d: DataFrame, thr: Double): DataFrame = {
     val reps = repsOf(d)
-    val sh = shinglesOf(reps)
-    val sets = maybePersist(sh.distinct())
+    // ONE shingle pass feeds everything: minhash minima are identical over
+    // the multiset and the distinct set (min ignores duplicates), so the
+    // band channel runs over the same persisted `sets` the sampled channel
+    // and the verify stage use — no second explode over the corpus
+    val sets = maybePersist(shinglesOf(reps).distinct())
     val sampled = sets.where(
       expr(s"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % $ContainSampleMod = 0"))
     val srare = sampled.groupBy("sh").agg(count(lit(1)).as("c"))
@@ -394,7 +397,7 @@ object LlmOps {
       .join(scap.alias("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val pairs = cappedBandPairs(sh).unionByName(sampPairs).distinct()
+    val pairs = cappedBandPairs(sets).unionByName(sampPairs).distinct()
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val co = pairs
       .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")

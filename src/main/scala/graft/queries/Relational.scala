@@ -80,6 +80,30 @@ object Relational {
       q
     }),
 
+    // MV rewrite, min/max flavor: min/max are self-decomposable exactly
+    // like sum (min of partial mins IS the min), so a summary carrying
+    // per-group min/max partials answers range-style dashboard queries
+    // from megabytes instead of the fact scan. Same register/force/clear
+    // discipline as q_mv_rewrite; the oracle is the direct fact SQL.
+    "q_mv_rewrite_minmax" -> ((s, dir) => {
+      val factPath = s"$dir/lineitem.parquet"
+      graft.operators.MatViews.registerSummary(s, factPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+        s"$TmpRoot/mv_lineitem_mm",
+        minMeasures = Seq("mn_price" -> col("l_extendedprice").cast(DecimalType(18, 2))),
+        maxMeasures = Seq("mx_price" -> col("l_extendedprice").cast(DecimalType(18, 2))))
+      val q = s.read.parquet(factPath)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("min_price"),
+          max(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("max_price"))
+        .orderBy("l_returnflag")
+      q.queryExecution.optimizedPlan // bake the rewrite in…
+      graft.plans.SummaryRewrite.clear() // …and unregister before returning
+      q
+    }),
+
     // Incremental view maintenance — the answer to SummaryRewrite's
     // staleness contract: when a batch arrives, refresh the summary by
     // aggregating THE BATCH ONLY and merging partials (count/decimal-sum
@@ -941,6 +965,13 @@ object Relational {
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+
+    "q_mv_rewrite_minmax" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // The salted two-stage plan must equal the direct aggregation — the
     // oracle is deliberately salt-free.
     "q_agg_salted" ->

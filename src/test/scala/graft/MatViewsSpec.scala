@@ -77,6 +77,36 @@ class MatViewsSpec extends AnyFunSuite with SparkFixture {
     assert(!df.queryExecution.optimizedPlan.toString.contains("cnt#"))
   }
 
+  test("min/max measures rewrite from partials; unregistered min stays direct") {
+    try {
+      MatViews.registerSummary(spark, factPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+        out + "_mm",
+        minMeasures = Seq("mn_p" -> col("l_extendedprice").cast(DecimalType(18, 2))),
+        maxMeasures = Seq("mx_p" -> col("l_extendedprice").cast(DecimalType(18, 2))))
+      def q() = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("mn"),
+          max(col("l_extendedprice").cast(DecimalType(18, 2))).as("mx"))
+        .orderBy("l_returnflag")
+      val df = q()
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("min(mn_p#") && p.contains("max(mx_p#"), p)
+      val viaSummary = df.collect().toSeq
+      SummaryRewrite.clear()
+      assert(viaSummary == q().collect().toSeq)
+
+      // a min over an UNREGISTERED measure must leave the plan untouched
+      MatViews.registerSummary(spark, factPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2))),
+        out + "_mm")
+      val direct = spark.read.parquet(factPath).groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("mn"))
+      assert(!direct.queryExecution.optimizedPlan.toString.contains("mn_p#"))
+    } finally SummaryRewrite.clear()
+  }
+
   test("double fact reference: both rewrites get distinct exprIds and run") {
     registered {
       // union of two aggregates over the SAME fact — each rewrite must

@@ -193,6 +193,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("lineitem.parquet"), p)
   }
 
+  test("q_mv_rewrite_minmax: min/max answered from partials, fact never scanned") {
+    val p = plan("q_mv_rewrite_minmax")
+    assert(p.contains("mv_lineitem_mm"), p)
+    assert(!p.contains("lineitem.parquet"), p)
+    assert(p.contains("min(mn_price") && p.contains("max(mx_price"), p)
+  }
+
   test("q_shingle_gen: native generator row-emitter, no per-row array transform") {
     val p = plan("q_shingle_gen")
     assert(p.contains("char_shingles"), p)
