@@ -22,22 +22,80 @@ object MatViews {
     *                 expression whose MIN / MAX the summary pre-aggregates
     *                 (min of partial mins IS the min, so re-merge is exact
     *                 for any type) */
+  /** @param factSubset when set, the summary covers only the matching
+    *   fact rows (a deliberately STALE summary — pair with
+    *   [[refreshIncremental]] to fold in the rest; registering it answers
+    *   queries as of the subset, per the staleness contract). */
   def registerSummary(spark: SparkSession, factPath: String,
                       dims: Seq[String], measures: Seq[(String, Column)],
                       outPath: String,
                       minMeasures: Seq[(String, Column)] = Nil,
-                      maxMeasures: Seq[(String, Column)] = Nil): DataFrame = {
-    val fact = spark.read.parquet(factPath)
+                      maxMeasures: Seq[(String, Column)] = Nil,
+                      factSubset: Option[Column] = None): DataFrame = {
+    val fact0 = spark.read.parquet(factPath)
+    val fact = factSubset.map(fact0.where).getOrElse(fact0)
     val aggs = count(lit(1)).as("cnt") +:
       (measures.map { case (n, c) => sum(c).as(n) } ++
         minMeasures.map { case (n, c) => min(c).as(n) } ++
         maxMeasures.map { case (n, c) => max(c).as(n) })
     fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(outPath)
+    registerFrom(spark, factPath, dims, measures, outPath,
+      minMeasures, maxMeasures)
+  }
+
+  /** Incremental summary maintenance — the answer to the staleness
+    * contract: when a batch lands in the fact, aggregate THE BATCH ONLY,
+    * merge its partials into the existing summary (count/sum re-add;
+    * min/max re-min/re-max — all four are self-decomposable, so the merge
+    * is exact), write the result to `newOutPath`, and re-register. The
+    * existing fact data is never re-scanned: refresh cost is O(batch) +
+    * O(summary), which at 100 TB is the difference between an ingest-time
+    * tick and a full recompute. `newOutPath` must differ from the current
+    * summary's path (immutable-storage discipline: a parquet dir is never
+    * overwritten while it is being read; the caller alternates paths or
+    * versions them).
+    *
+    * Measure definitions must match the original registration — they are
+    * re-resolved against the fact schema so the rewrite keys stay
+    * identical. */
+  def refreshIncremental(spark: SparkSession, factPath: String,
+                         batch: DataFrame, oldOutPath: String,
+                         dims: Seq[String], measures: Seq[(String, Column)],
+                         newOutPath: String,
+                         minMeasures: Seq[(String, Column)] = Nil,
+                         maxMeasures: Seq[(String, Column)] = Nil): DataFrame = {
+    require(newOutPath != oldOutPath,
+      s"refresh must write to a fresh path, got $newOutPath twice")
+    val existing = spark.read.parquet(oldOutPath)
+    val batchAggs = count(lit(1)).as("cnt") +:
+      (measures.map { case (n, c) => sum(c).as(n) } ++
+        minMeasures.map { case (n, c) => min(c).as(n) } ++
+        maxMeasures.map { case (n, c) => max(c).as(n) })
+    val batchSummary = batch.groupBy(dims.map(col): _*)
+      .agg(batchAggs.head, batchAggs.tail: _*)
+    val mergeAggs = sum(col("cnt")).cast("long").as("cnt") +:
+      (measures.map { case (n, _) => sum(col(n)).as(n) } ++
+        minMeasures.map { case (n, _) => min(col(n)).as(n) } ++
+        maxMeasures.map { case (n, _) => max(col(n)).as(n) })
+    existing.unionByName(batchSummary.select(existing.columns.map(col): _*))
+      .groupBy(dims.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+      .write.mode("overwrite").parquet(newOutPath)
+    // re-register off the refreshed summary (same measure keys — they are
+    // a function of the fact schema, which did not change)
+    registerFrom(spark, factPath, dims, measures, newOutPath,
+      minMeasures, maxMeasures)
+  }
+
+  /** Register an ALREADY-BUILT summary parquet (shared by the initial
+    * build and incremental refresh paths). */
+  private def registerFrom(spark: SparkSession, factPath: String,
+                           dims: Seq[String], measures: Seq[(String, Column)],
+                           outPath: String,
+                           minMeasures: Seq[(String, Column)],
+                           maxMeasures: Seq[(String, Column)]): DataFrame = {
+    val fact = spark.read.parquet(factPath)
     val summary = spark.read.parquet(outPath)
-    // canonical measure key: the RESOLVED sql of the agg child over the
-    // fact schema — the same string a user query's Sum/Min/Max child
-    // resolves to
     def keysOf(ms: Seq[(String, Column)]): Map[String, String] =
       ms.map { case (n, c) =>
         val resolved = fact.select(c.as("m")).queryExecution.analyzed

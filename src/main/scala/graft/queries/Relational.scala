@@ -104,6 +104,38 @@ object Relational {
       q
     }),
 
+    // MV incremental REFRESH, end to end: a deliberately stale summary
+    // (90% key slice) is registered, the remaining 10% "batch" is folded
+    // in via MatViews.refreshIncremental — partials re-merge exactly
+    // (count/sum re-add, min/max re-min/re-max), the fact is never
+    // re-scanned, and the refreshed summary is re-registered at a fresh
+    // path (immutable-storage discipline). The query then runs against
+    // the FACT and must equal the direct full aggregate (the oracle) —
+    // proving refresh + rewrite compose. At 100 TB this is the
+    // ingest-tick cost model: O(batch) + O(summary) per refresh.
+    "q_mv_refresh" -> ((s, dir) => {
+      val factPath = s"$dir/lineitem.parquet"
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2)))
+      val mins = Seq("mn_price" -> col("l_extendedprice").cast(DecimalType(18, 2)))
+      graft.operators.MatViews.registerSummary(s, factPath, dims, sums,
+        s"$TmpRoot/mv_li_v0", minMeasures = mins,
+        factSubset = Some(col("l_orderkey") % 10 =!= 0))
+      graft.operators.MatViews.refreshIncremental(s, factPath,
+        s.read.parquet(factPath).where(col("l_orderkey") % 10 === 0),
+        s"$TmpRoot/mv_li_v0", dims, sums, s"$TmpRoot/mv_li_v1",
+        minMeasures = mins)
+      val q = s.read.parquet(factPath)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"),
+          min(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("min_price"))
+        .orderBy("l_returnflag")
+      q.queryExecution.optimizedPlan // bake the rewrite in…
+      graft.plans.SummaryRewrite.clear() // …and unregister before returning
+      q
+    }),
+
     // Incremental view maintenance — the answer to SummaryRewrite's
     // staleness contract: when a batch arrives, refresh the summary by
     // aggregating THE BATCH ONLY and merging partials (count/decimal-sum
@@ -963,6 +995,13 @@ object Relational {
     "q_mv_rewrite" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_mv_refresh" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
 

@@ -107,6 +107,37 @@ class MatViewsSpec extends AnyFunSuite with SparkFixture {
     } finally SummaryRewrite.clear()
   }
 
+  test("incremental refresh: stale summary + batch partials == full rebuild") {
+    try {
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq("s_qty" -> col("l_quantity").cast(DecimalType(18, 2)))
+      val mins = Seq("mn_p" -> col("l_extendedprice").cast(DecimalType(18, 2)))
+      val maxs = Seq("mx_p" -> col("l_extendedprice").cast(DecimalType(18, 2)))
+      // stale: only keys not divisible by 7
+      MatViews.registerSummary(spark, factPath, dims, sums, out + "_v0",
+        minMeasures = mins, maxMeasures = maxs,
+        factSubset = Some(col("l_orderkey") % 7 =!= 0))
+      val refreshed = MatViews.refreshIncremental(spark, factPath,
+        spark.read.parquet(factPath).where(col("l_orderkey") % 7 === 0),
+        out + "_v0", dims, sums, out + "_v1",
+        minMeasures = mins, maxMeasures = maxs)
+      // the refreshed summary is cell-identical to a from-scratch rebuild
+      SummaryRewrite.clear()
+      val rebuilt = MatViews.registerSummary(spark, factPath, dims, sums,
+        out + "_full", minMeasures = mins, maxMeasures = maxs)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(dims.map(col): _*).collect().toSeq
+      assert(canon(refreshed) == canon(rebuilt))
+      // and a double refresh to the same path is refused
+      SummaryRewrite.clear()
+      intercept[IllegalArgumentException] {
+        MatViews.refreshIncremental(spark, factPath,
+          spark.read.parquet(factPath).limit(1),
+          out + "_v1", dims, sums, out + "_v1")
+      }
+    } finally SummaryRewrite.clear()
+  }
+
   test("double fact reference: both rewrites get distinct exprIds and run") {
     registered {
       // union of two aggregates over the SAME fact — each rewrite must

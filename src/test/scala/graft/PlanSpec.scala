@@ -200,6 +200,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("min(mn_price") && p.contains("max(mx_price"), p)
   }
 
+  test("q_mv_refresh: answered from the REFRESHED summary, fact never scanned") {
+    val p = plan("q_mv_refresh")
+    assert(p.contains("mv_li_v1"), p) // the v1 (post-refresh) summary
+    assert(!p.contains("lineitem.parquet"), p)
+  }
+
   test("q_shingle_gen: native generator row-emitter, no per-row array transform") {
     val p = plan("q_shingle_gen")
     assert(p.contains("char_shingles"), p)
