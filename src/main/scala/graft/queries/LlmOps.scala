@@ -826,9 +826,14 @@ object LlmOps {
     // oracle recomputes the same features from the construction rule alone
     // — any codec round-trip bug (stride, color model, truncation) breaks
     // the hash match.
+    // NB the repartition(): the id column scans as ONE tiny parquet split,
+    // and without a rebalance the CPU-bound codec work would run on a
+    // single core (measured: 3.3 s → 1 task at sf0.1). An 8-byte-id
+    // shuffle is ~free; real payload columns at scale arrive pre-spread,
+    // but any CPU-heavy stage fed by a tiny narrow scan must rebalance.
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
-      val recs = docs(s, dir).select(col("doc_id")).as[Long]
+      val recs = docs(s, dir).select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map(id => graft.operators.MediaRecord(
           id, graft.operators.Multimodal.pngPayload(id))))
       graft.operators.Multimodal.extractImages(recs).toDF().orderBy("doc_id")
@@ -841,7 +846,7 @@ object LlmOps {
     // where the bytes live — no shuffle.
     "q_multimodal_resize" -> ((s, dir) => {
       import s.implicits._
-      val recs = docs(s, dir).select(col("doc_id")).as[Long]
+      val recs = docs(s, dir).select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map(id => graft.operators.MediaRecord(
           id, graft.operators.Multimodal.pngPayload(id))))
       graft.operators.Multimodal.extractResized(recs).toDF().orderBy("doc_id")
@@ -855,7 +860,7 @@ object LlmOps {
     // index.
     "q_multimodal_frames" -> ((s, dir) => {
       import s.implicits._
-      val recs = docs(s, dir).select(col("doc_id")).as[Long]
+      val recs = docs(s, dir).select(col("doc_id")).repartition(s.sparkContext.defaultParallelism).as[Long]
         .mapPartitions(_.map(id => graft.operators.MediaRecord(
           id, graft.operators.Multimodal.videoPayload(id))))
       graft.operators.Multimodal.extractFrames(recs).toDF()
@@ -869,7 +874,8 @@ object LlmOps {
     // (Compressed size is encoder-dependent and deliberately not output.)
     "q_multimodal_inflate" -> ((s, dir) => {
       import s.implicits._
-      val recs = docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      val recs = docs(s, dir).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => graft.operators.MediaRecord(
           id, graft.operators.Multimodal.deflatePayload(t)) })
       graft.operators.Multimodal.extractInflate(recs).toDF().orderBy("doc_id")
