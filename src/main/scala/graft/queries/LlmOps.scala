@@ -368,6 +368,14 @@ object LlmOps {
     * inverted-index join. */
   private val ContainSampleMod = 16
 
+  /** Minimum shared SAMPLED shingles to promote a pair out of the
+    * containment candidate index: a truly contained doc with m shared
+    * shingles expects m/[[ContainSampleMod]] sampled co-hits (P(< 2) ≈
+    * 1% at m = 100), while the accidental single-co-hit pairs that
+    * dominate the raw index (measured 29k → 150 at sf0.1) carry no
+    * containment signal. Bounds the verify stage to real candidates. */
+  private val ContainCoMin = 2
+
   /** Containment (asymmetric) near-dup pairs over an arbitrary (doc_id,
     * text) corpus: overlap / min(|A|, |B|) ≥ `thr` — catches a document
     * EMBEDDED in a larger one, where symmetric Jaccard shrinks as |B|
@@ -383,21 +391,31 @@ object LlmOps {
     *    size. */
   private[graft] def containmentPairs(d: DataFrame, thr: Double): DataFrame = {
     val reps = repsOf(d)
-    // ONE shingle pass feeds everything: minhash minima are identical over
-    // the multiset and the distinct set (min ignores duplicates), so the
-    // band channel runs over the same persisted `sets` the sampled channel
-    // and the verify stage use — no second explode over the corpus
-    val sets = maybePersist(shinglesOf(reps).distinct())
-    val sampled = sets.where(
+    val sh = shinglesOf(reps)
+    // band channel reads the raw multiset (signature mins partial-agg
+    // map-side on the narrow explode — measured FASTER than routing it
+    // through the distinct set, whose Exchange it would then pay);
+    // verify shares the maybePersist'd distinct set as before
+    val sets = maybePersist(sh.distinct())
+    // the sampled index gets its OWN narrow pipeline — the 1/16 residue
+    // filter runs BEFORE the distinct, so its Exchange carries 1/16 the
+    // shingle volume — and is persisted unconditionally: it is provably
+    // tiny (|distinct shingles|/16 rows) and has 3 consumers (df filter +
+    // both self-join sides)
+    val sampled = sh.where(
       expr(s"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % $ContainSampleMod = 0"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srare = sampled.groupBy("sh").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= BandBucketCap).select("sh")
     val scap = sampled.join(srare, Seq("sh"))
     val sampPairs = scap.alias("x")
       .join(scap.alias("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val pairs = cappedBandPairs(sets).unionByName(sampPairs).distinct()
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= ContainCoMin).select("d1", "d2")
+    val pairs = cappedBandPairs(sh).unionByName(sampPairs).distinct()
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val co = pairs
       .join(sets.select(col("doc_id").as("d1"), col("sh")), "d1")
@@ -1824,9 +1842,10 @@ object LlmOps {
          |srare AS (SELECT sh FROM samp GROUP BY sh
          |          HAVING count(*) BETWEEN 2 AND $BandBucketCap),
          |spairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
          |  FROM samp x JOIN srare USING (sh) JOIN samp y USING (sh)
          |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $ContainCoMin
          |),
          |pairs AS (SELECT d1, d2 FROM bpairs UNION SELECT d1, d2 FROM spairs),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
