@@ -204,6 +204,11 @@ object LlmOps {
   private val HllM = 64
   private val HllAlpha = 0.709
 
+  /** q_kmeans shape: k clusters, fixed Lloyd iterations (both unrolled
+    * verbatim in the DuckDB oracle). */
+  private val KmK = 8
+  private val KmIters = 2
+
   /** q_sample_pps expected sample size (Poisson, so realized size varies). */
   private val PpsK = 50
 
@@ -1096,6 +1101,29 @@ object LlmOps {
         .map(_.getName).filter(_.startsWith("state_"))
         .map(_.stripPrefix("state_").toLong).max
       s.read.parquet(s"$base/state_$latest").orderBy("word")
+    }),
+
+    // K-MEANS corpus clustering (operators.KMeans): fixed-iteration
+    // Lloyd's over the integer-quantized embeddings — k smallest-id init,
+    // exact-BIGINT assignment distances (×1000 fixed-point centroids), so
+    // there is no floating-point accumulation order anywhere and the
+    // DuckDB oracle unrolls the identical iterations. Output: per-cluster
+    // membership stats + the centroid fingerprint.
+    "q_kmeans" -> ((s, dir) => {
+      val vecs = quantized(s, dir).select(col("vec_id").as("id"), col("q"))
+      val cents = graft.operators.KMeans.centroids(vecs, KmK, KmIters)
+      val q1000 = vecs.select(col("id"),
+        expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
+      graft.operators.KMeans.assign(q1000, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_vec"), max(col("id")).as("max_vec"),
+          sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("inertia"))
+        .join(cents.select(col("cid"),
+          expr("md5(array_join(transform(c1000, x -> CAST(x AS STRING)), ','))")
+            .as("c_md5")), "cid")
+        .orderBy("cid")
     }),
 
     // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
@@ -2447,6 +2475,63 @@ object LlmOps {
          |FROM p JOIN nfp xa ON p.a = xa.doc_id JOIN nfp yb ON p.b = yb.doc_id
          |WHERE n_shared >= least(xa.nf, yb.nf) * $WinnowOverlap
          |ORDER BY a, b""".stripMargin,
+
+    "q_kmeans" -> {
+      // unrolled Lloyd replay: c0 = init (k smallest ids), then per
+      // iteration t: d_t (exact integer distances) → a_t (argmin, ties to
+      // smaller cid) → c_t (fixed-point component update). Final
+      // assignment af runs over c{iters}.
+      val qvInit =
+        s"""qv AS (
+           |  SELECT vec_id AS id, i, 1000 * ${quantSqlElem("embedding[i]")} AS v
+           |  FROM (SELECT vec_id, embedding,
+           |               unnest(generate_series(1, len(embedding))) AS i
+           |        FROM embeddings)
+           |),
+           |init AS (
+           |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+           |  FROM (SELECT DISTINCT id FROM qv ORDER BY id LIMIT $KmK)
+           |),
+           |c0 AS (SELECT init.cid, qv.i, qv.v AS c FROM init JOIN qv USING (id))""".stripMargin
+      val steps = (1 to KmIters).map { t =>
+        s"""d$t AS (
+           |  SELECT qv.id, c.cid, sum((qv.v - c.c) * (qv.v - c.c)) AS d2
+           |  FROM qv JOIN c${t - 1} c ON qv.i = c.i GROUP BY qv.id, c.cid
+           |),
+           |a$t AS (
+           |  SELECT id, cid FROM (
+           |    SELECT id, cid,
+           |           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           |    FROM d$t) WHERE rn = 1
+           |),
+           |c$t AS (
+           |  SELECT a.cid, qv.i,
+           |         CAST(floor(CAST(sum(qv.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+           |  FROM a$t a JOIN qv USING (id) GROUP BY a.cid, qv.i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $qvInit,
+         |$steps,
+         |df AS (
+         |  SELECT qv.id, c.cid, sum((qv.v - c.c) * (qv.v - c.c)) AS d2
+         |  FROM qv JOIN c$KmIters c ON qv.i = c.i GROUP BY qv.id, c.cid
+         |),
+         |af AS (
+         |  SELECT id, cid, d2 FROM (
+         |    SELECT id, cid, d2,
+         |           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM df) WHERE rn = 1
+         |),
+         |cm AS (
+         |  SELECT cid, md5(array_to_string(
+         |    list_transform(list(c ORDER BY i), x -> CAST(x AS VARCHAR)), ',')) AS c_md5
+         |  FROM c$KmIters GROUP BY cid
+         |)
+         |SELECT af.cid, count(*) AS n, min(af.id) AS min_vec, max(af.id) AS max_vec,
+         |       CAST(sum(af.d2) AS DECIMAL(38,0)) AS inertia, any_value(cm.c_md5) AS c_md5
+         |FROM af JOIN cm USING (cid)
+         |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+    },
 
     "q_sql_winnow" ->
       s"""WITH $WinnowSelSql

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.KMeans
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks of the distributed Lloyd's iterations against a
+  * straightforward in-memory mirror of the exact-integer semantics —
+  * evidence beyond the single-corpus oracle that the algorithm is right
+  * on arbitrary shapes (ties, empty clusters, any partitioning). */
+class KMeansSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** In-memory mirror: same init (k smallest ids), same fixed-point
+    * centroid update floor(1000·S/n + 0.5) on ×1000-scaled ints, same
+    * (d2, cid) tie-break. */
+  private def mirror(vecs: Seq[(Long, Seq[Long])], k: Int,
+                     iters: Int): Map[Long, Seq[Long]] = {
+    val v1000 = vecs.map { case (id, q) => id -> q.map(_ * 1000L) }.toMap
+    var cents: Map[Long, Seq[Long]] =
+      vecs.map(_._1).sorted.take(k).zipWithIndex
+        .map { case (id, i) => i.toLong -> v1000(id) }.toMap
+    def nearest(v: Seq[Long]): Long =
+      cents.toSeq.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => val d = x - y; d * d }.sum, cid)
+      }.min._2
+    for (_ <- 1 to iters) {
+      val byC = v1000.values.toSeq
+        .groupBy(nearest) // Map[cid, members]
+      cents = byC.map { case (cid, ms) =>
+        val n = ms.size
+        cid -> ms.transpose.map(col =>
+          math.floor(col.sum.toDouble / n + 0.5).toLong).toSeq
+      }
+    }
+    cents
+  }
+
+  private def run(vecs: Seq[(Long, Seq[Long])], k: Int, iters: Int,
+                  parts: Int): Map[Long, Seq[Long]] =
+    KMeans.centroids(
+      vecs.toDF("id", "q").repartition(parts), k, iters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+
+  test("centroids match the in-memory mirror on random vectors (with ties)") {
+    val rnd = new scala.util.Random(19)
+    // small integer range → plenty of exact distance ties
+    val vecs = (1L to 60L).map(id => id -> Seq.fill(4)(rnd.nextInt(5).toLong))
+    for (parts <- Seq(1, 7)) {
+      assert(run(vecs, 4, 2, parts) == mirror(vecs, 4, 2), s"parts=$parts")
+    }
+  }
+
+  test("a centroid that loses all members disappears consistently") {
+    // two far groups + one init vector (id 2) sitting exactly between the
+    // duplicated mass at id 1's location: after one update every vector is
+    // closer to a surviving centroid and a cluster may empty out — the
+    // mirror and the operator must agree on the surviving set
+    val vecs = Seq(
+      1L -> Seq(0L, 0L), 2L -> Seq(1L, 1L), 3L -> Seq(100L, 100L),
+      4L -> Seq(0L, 0L), 5L -> Seq(0L, 0L), 6L -> Seq(100L, 100L))
+    val got = run(vecs, 3, 2, 3)
+    assert(got == mirror(vecs, 3, 2), got)
+  }
+
+  test("assignment ties break to the smaller cid") {
+    // two identical centroids: every vector is equidistant; all must land
+    // on cid 0
+    val vecs = Seq(1L -> Seq(5L, 5L), 2L -> Seq(5L, 5L), 3L -> Seq(7L, 1L))
+    val q1000 = vecs.toDF("id", "q")
+      .select(col("id"), expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
+    val cents = Seq((0L, Seq(5000L, 5000L)), (1L, Seq(5000L, 5000L)))
+      .toDF("cid", "c1000")
+    val got = KMeans.assign(q1000, cents)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.forall(_ == 0L), got)
+  }
+}
