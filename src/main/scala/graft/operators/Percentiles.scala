@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-key percentiles (linear interpolation — the `percentile()` /
@@ -13,23 +12,15 @@ import org.apache.spark.sql.functions._
   * of tasks, an OOM the buffer cannot spill out of. This operator computes
   * the same result as a distributed SELECTION instead:
   *
-  *  1. range-partition by (key, value) — a huge group SPANS partitions, so
-  *     no task ever holds more than ~|data|/parts rows;
-  *  2. per-(partition, key) chunk counts (≤ parts × |keys| rows — metadata,
-  *     not data) give each chunk its global rank offset via a prefix sum
-  *     over the tiny chunk table;
-  *  3. global rank = chunk offset + row_number within the chunk (the
-  *     row_number window partitions by (partition-id, key), bounded by the
-  *     range-partition size regardless of group skew);
-  *  4. only the two interpolation-neighbor ranks per (key, percentile) are
+  *  1. [[Ranks.withinKey]] assigns global within-key ranks via the
+  *     range-partitioned two-level scheme — a huge group SPANS partitions,
+  *     so no task ever holds more than ~|data|/parts rows;
+  *  2. only the two interpolation-neighbor ranks per (key, percentile) are
   *     joined out (broadcast of a tiny rank list), then combined with
   *     Spark's own interpolation formula `(1-frac)·lo + frac·hi`.
   *
-  * The range Exchange feeds both the chunk-count and row_number branches;
-  * Spark's ReuseExchange dedups it, so the data is shuffled once (plus the
-  * (pid, key) hash Exchange for the window — both carry just the projected
-  * (key, value) pair). Every join is an equi join on (key[, rank]); the
-  * rank/offset sides are broadcast-hinted tiny tables.
+  * Every join is an equi join on (key[, rank]); the rank/offset sides are
+  * broadcast-hinted tiny tables.
   */
 object Percentiles {
 
@@ -44,14 +35,12 @@ object Percentiles {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad ps: $ps")
     val data = df.where(col(valCol).isNotNull)
       .select(col(keyCol).as("__k"), col(valCol).as("__v"))
-    val parted = data.repartitionByRange(parts, col("__k"), col("__v"))
-      .withColumn("__pid", spark_partition_id())
-    // chunk = the slice of one key inside one range partition; counts are
-    // ≤ parts × |keys| rows, aggregated map-side before their Exchange
-    val chunks = parted.groupBy("__pid", "__k").agg(count(lit(1)).as("__c"))
-    val offs = chunks.withColumn("__off",
-      sum(col("__c")).over(Window.partitionBy("__k").orderBy("__pid")) - col("__c"))
-    val ns = chunks.groupBy("__k").agg(sum(col("__c")).as("__n"))
+    // the two-level rank (range partition + chunk offsets) lives in
+    // [[Ranks.withinKey]] — ties on __v get partition-dependent ranks,
+    // which is fine HERE because tied values are interchangeable for
+    // selection (the value at any tied rank is the same value)
+    val ranked0 = Ranks.withinKey(data, "__k", Seq("__v"), parts)
+    val ns = data.groupBy("__k").agg(count(lit(1)).as("__n"))
     // Spark's percentile(): position r = p·(n-1) (0-based), neighbors
     // floor(r)/ceil(r), result (1-frac)·lo + frac·hi (exactly lo when
     // frac = 0) — spelled identically here so results bit-match
@@ -63,11 +52,7 @@ object Percentiles {
       .withColumn("__frac", col("__r") - floor(col("__r")))
     val need = targets.select(col("__k"),
       explode(array(col("__lo"), col("__hi"))).as("__rk")).distinct()
-    val ranked = parted
-      .withColumn("__lrk",
-        row_number().over(Window.partitionBy("__pid", "__k").orderBy("__v")))
-      .join(broadcast(offs), Seq("__pid", "__k"))
-      .select(col("__k"), (col("__off") + col("__lrk")).as("__rk"), col("__v"))
+    val ranked = ranked0.select(col("__k"), col("rk").as("__rk"), col("__v"))
     val vals = ranked.join(broadcast(need), Seq("__k", "__rk"))
     targets
       .join(vals.select(col("__k"), col("__rk").as("__lo"), col("__v").as("__vlo")),

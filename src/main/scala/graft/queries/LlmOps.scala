@@ -209,6 +209,12 @@ object LlmOps {
   private val KmK = 8
   private val KmIters = 2
 
+  /** q_mix_sources target mixture, as integer WEIGHTS (4:2:2:1:1) — integer
+    * ratios keep the achievable-size arithmetic exact on both engines
+    * (units = min over langs of n_lang div w_lang; kept_lang = w·units). */
+  private val MixWeights: Seq[(String, Long)] =
+    Seq("en" -> 4L, "es" -> 2L, "de" -> 2L, "fr" -> 1L, "zh" -> 1L)
+
   /** q_sample_pps expected sample size (Poisson, so realized size varies). */
   private val PpsK = 50
 
@@ -1124,6 +1130,33 @@ object LlmOps {
           expr("md5(array_join(transform(c1000, x -> CAST(x AS STRING)), ','))")
             .as("c_md5")), "cid")
         .orderBy("cid")
+    }),
+
+    // DOMAIN MIXING (mixture resampling): downsample each language to hit
+    // a target ratio (4:2:2:1:1) exactly — the data-mixing step of LLM
+    // corpus assembly. Achievable size is exact integer arithmetic
+    // (units = min over langs of n DIV w; kept = w·units) and the keep
+    // rule is deterministic: the w·units smallest (md5(doc_id), doc_id)
+    // ranks per lang, ranked distributively by Ranks.withinKey — no
+    // per-lang single-task window at any corpus size.
+    "q_mix_sources" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("hx", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      val wDf = MixWeights.toDF("lang", "w")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val withW = counts.join(wDf, "lang")
+      val units = withW.agg(min(expr("n DIV w")).as("u"))
+      val kept = graft.operators.Ranks.withinKey(d, "lang", Seq("hx", "doc_id"))
+        .join(broadcast(withW.select("lang", "w")), "lang")
+        .crossJoin(broadcast(units))
+        .where(col("rk") <= col("w") * col("u"))
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"),
+          min(col("doc_id")).as("first_kept"))
+        .join(counts, Seq("lang"))
+        .select("lang", "n", "n_kept", "kept_chars", "first_kept")
+        .orderBy("lang")
     }),
 
     // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
@@ -2531,6 +2564,31 @@ object LlmOps {
          |       CAST(sum(af.d2) AS DECIMAL(38,0)) AS inertia, any_value(cm.c_md5) AS c_md5
          |FROM af JOIN cm USING (cid)
          |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+    },
+
+    "q_mix_sources" -> {
+      val wVals = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         md5('mix:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents
+         |),
+         |w(lang, w) AS (VALUES $wVals),
+         |counts AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+         |u AS (SELECT min(n // w) AS u FROM counts JOIN w USING (lang)),
+         |r AS (SELECT d.*,
+         |        row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk
+         |      FROM d),
+         |kept AS (
+         |  SELECT r.* FROM r JOIN w USING (lang) CROSS JOIN u
+         |  WHERE r.rk <= w.w * u.u
+         |)
+         |SELECT counts.lang, counts.n,
+         |       count(*) AS n_kept,
+         |       CAST(sum(kept.n_chars) AS BIGINT) AS kept_chars,
+         |       min(kept.doc_id) AS first_kept
+         |FROM kept JOIN counts USING (lang)
+         |GROUP BY counts.lang, counts.n ORDER BY counts.lang""".stripMargin
     },
 
     "q_sql_winnow" ->
