@@ -209,6 +209,9 @@ object LlmOps {
   private val KmK = 8
   private val KmIters = 2
 
+  /** q_sample_diverse per-cluster quota. */
+  private val DiverseQuota = 10
+
   /** q_mix_sources target mixture, as integer WEIGHTS (4:2:2:1:1) — integer
     * ratios keep the achievable-size arithmetic exact on both engines
     * (units = min over langs of n_lang div w_lang; kept_lang = w·units). */
@@ -1132,6 +1135,27 @@ object LlmOps {
         .orderBy("cid")
     }),
 
+    // DIVERSITY SAMPLING — clustering and sampling COMPOSED: k-means
+    // buckets the embedding space, then a fixed per-cluster quota keeps
+    // the DiverseQuota smallest (md5, id) ranks per cluster (via the same
+    // distributed Ranks.withinKey — a popular cluster never ranks on one
+    // task). The standard "cover the space, don't oversample the dense
+    // core" curation step; the oracle replays clustering + quota exactly.
+    "q_sample_diverse" -> ((s, dir) => {
+      val vecs = quantized(s, dir).select(col("vec_id").as("id"), col("q"))
+      val cents = graft.operators.KMeans.centroids(vecs, KmK, KmIters)
+      val q1000 = vecs.select(col("id"),
+        expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
+      val assigned = graft.operators.KMeans.assign(q1000, cents)
+        .withColumn("hx", md5(concat(lit("div:"), col("id").cast("string"))))
+      graft.operators.Ranks.withinKey(assigned, "cid", Seq("hx", "id"))
+        .where(col("rk") <= DiverseQuota)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_kept"), min(col("id")).as("min_kept"),
+          max(col("id")).as("max_kept"), sum(col("id")).as("sum_kept"))
+        .orderBy("cid")
+    }),
+
     // DOMAIN MIXING (mixture resampling): downsample each language to hit
     // a target ratio (4:2:2:1:1) exactly — the data-mixing step of LLM
     // corpus assembly. Achievable size is exact integer arithmetic
@@ -1738,6 +1762,60 @@ object LlmOps {
        |  FROM g
        |),
        |f AS (SELECT doc_id, i, wm, ng FROM wmw WHERE i <= ng - ${WinnowW - 1})""".stripMargin
+
+  /** Unrolled Lloyd replay (oracle twin of [[graft.operators.KMeans]] at
+    * ([[KmK]], [[KmIters]])): c0 = init (k smallest ids), then per
+    * iteration t: d_t (exact integer distances) → a_t (argmin, ties to
+    * smaller cid) → c_t (fixed-point component update). Ends with `af`
+    * (final assignment: id, cid, d2) and `cm` (centroid md5 per cid). */
+  private lazy val KmeansCtes: String = {
+    val qvInit =
+      s"""qv AS (
+         |  SELECT vec_id AS id, i, 1000 * ${quantSqlElem("embedding[i]")} AS v
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)
+         |),
+         |init AS (
+         |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+         |  FROM (SELECT DISTINCT id FROM qv ORDER BY id LIMIT $KmK)
+         |),
+         |c0 AS (SELECT init.cid, qv.i, qv.v AS c FROM init JOIN qv USING (id))""".stripMargin
+    val steps = (1 to KmIters).map { t =>
+      s"""d$t AS (
+         |  SELECT qv.id, c.cid, sum((qv.v - c.c) * (qv.v - c.c)) AS d2
+         |  FROM qv JOIN c${t - 1} c ON qv.i = c.i GROUP BY qv.id, c.cid
+         |),
+         |a$t AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM d$t) WHERE rn = 1
+         |),
+         |c$t AS (
+         |  SELECT a.cid, qv.i,
+         |         CAST(floor(CAST(sum(qv.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+         |  FROM a$t a JOIN qv USING (id) GROUP BY a.cid, qv.i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$qvInit,
+       |$steps,
+       |df AS (
+       |  SELECT qv.id, c.cid, sum((qv.v - c.c) * (qv.v - c.c)) AS d2
+       |  FROM qv JOIN c$KmIters c ON qv.i = c.i GROUP BY qv.id, c.cid
+       |),
+       |af AS (
+       |  SELECT id, cid, d2 FROM (
+       |    SELECT id, cid, d2,
+       |           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM df) WHERE rn = 1
+       |),
+       |cm AS (
+       |  SELECT cid, md5(array_to_string(
+       |    list_transform(list(c ORDER BY i), x -> CAST(x AS VARCHAR)), ',')) AS c_md5
+       |  FROM c$KmIters GROUP BY cid
+       |)""".stripMargin
+  }
 
   private val MinhashSigSql: String = {
     val mins = (0 until H)
@@ -2509,62 +2587,25 @@ object LlmOps {
          |WHERE n_shared >= least(xa.nf, yb.nf) * $WinnowOverlap
          |ORDER BY a, b""".stripMargin,
 
-    "q_kmeans" -> {
-      // unrolled Lloyd replay: c0 = init (k smallest ids), then per
-      // iteration t: d_t (exact integer distances) → a_t (argmin, ties to
-      // smaller cid) → c_t (fixed-point component update). Final
-      // assignment af runs over c{iters}.
-      val qvInit =
-        s"""qv AS (
-           |  SELECT vec_id AS id, i, 1000 * ${quantSqlElem("embedding[i]")} AS v
-           |  FROM (SELECT vec_id, embedding,
-           |               unnest(generate_series(1, len(embedding))) AS i
-           |        FROM embeddings)
-           |),
-           |init AS (
-           |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
-           |  FROM (SELECT DISTINCT id FROM qv ORDER BY id LIMIT $KmK)
-           |),
-           |c0 AS (SELECT init.cid, qv.i, qv.v AS c FROM init JOIN qv USING (id))""".stripMargin
-      val steps = (1 to KmIters).map { t =>
-        s"""d$t AS (
-           |  SELECT qv.id, c.cid, sum((qv.v - c.c) * (qv.v - c.c)) AS d2
-           |  FROM qv JOIN c${t - 1} c ON qv.i = c.i GROUP BY qv.id, c.cid
-           |),
-           |a$t AS (
-           |  SELECT id, cid FROM (
-           |    SELECT id, cid,
-           |           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-           |    FROM d$t) WHERE rn = 1
-           |),
-           |c$t AS (
-           |  SELECT a.cid, qv.i,
-           |         CAST(floor(CAST(sum(qv.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-           |  FROM a$t a JOIN qv USING (id) GROUP BY a.cid, qv.i
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $qvInit,
-         |$steps,
-         |df AS (
-         |  SELECT qv.id, c.cid, sum((qv.v - c.c) * (qv.v - c.c)) AS d2
-         |  FROM qv JOIN c$KmIters c ON qv.i = c.i GROUP BY qv.id, c.cid
-         |),
-         |af AS (
-         |  SELECT id, cid, d2 FROM (
-         |    SELECT id, cid, d2,
-         |           row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |    FROM df) WHERE rn = 1
-         |),
-         |cm AS (
-         |  SELECT cid, md5(array_to_string(
-         |    list_transform(list(c ORDER BY i), x -> CAST(x AS VARCHAR)), ',')) AS c_md5
-         |  FROM c$KmIters GROUP BY cid
-         |)
+    "q_kmeans" ->
+      s"""WITH $KmeansCtes
          |SELECT af.cid, count(*) AS n, min(af.id) AS min_vec, max(af.id) AS max_vec,
          |       CAST(sum(af.d2) AS DECIMAL(38,0)) AS inertia, any_value(cm.c_md5) AS c_md5
          |FROM af JOIN cm USING (cid)
-         |GROUP BY af.cid ORDER BY af.cid""".stripMargin
-    },
+         |GROUP BY af.cid ORDER BY af.cid""".stripMargin,
+
+    "q_sample_diverse" ->
+      s"""WITH $KmeansCtes,
+         |rk AS (
+         |  SELECT cid, id,
+         |         row_number() OVER (PARTITION BY cid
+         |           ORDER BY md5('div:' || CAST(id AS VARCHAR)), id) AS rk
+         |  FROM af
+         |),
+         |kept AS (SELECT cid, id FROM rk WHERE rk <= $DiverseQuota)
+         |SELECT cid, count(*) AS n_kept, min(id) AS min_kept, max(id) AS max_kept,
+         |       CAST(sum(id) AS BIGINT) AS sum_kept
+         |FROM kept GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q_mix_sources" -> {
       val wVals = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
