@@ -10,6 +10,17 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
 
   private def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
 
+  test("q_stream_sink_roundtrip is idempotent across in-process reruns") {
+    // the checkpoint marks the source file processed, so a second run sees
+    // no new data, executes zero batches, and the versioned state table
+    // read back is bit-identical — reruns (Bench's 3 reps, Verify retries)
+    // must not perturb the sink
+    def run() = SparkEntry.queries("q_stream_sink_roundtrip")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first.nonEmpty && first == run())
+  }
+
   test("streamingWordCount counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
