@@ -21,6 +21,14 @@ object Sessions {
       // full extension surface incl. the parser tier (GRAFT TOPK dialect);
       // the parser can only be injected at session build
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Local-deployment scan-split tuning: the default 4 MB per-file open
+      // cost swamps the split formula for the small harness parquets, so
+      // every scan planned as ~1 partition and first-stage explodes ran
+      // near-serial on a 32-core box. Open cost on local page-cached disk
+      // is ~zero; 64 KB lets bytesPerCore drive the split count instead.
+      // (On object storage at cluster scale the 4 MB default is the right
+      // number — this is a deployment knob, not engine logic.)
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

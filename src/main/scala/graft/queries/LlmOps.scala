@@ -339,6 +339,10 @@ object LlmOps {
     * display) and [[verifiedPairs]] (which thresholds). Candidates with
     * zero shared shingles keep jac = 0 (left-outer co-count). */
   private def verifiedJaccard(s: SparkSession, dir: String): DataFrame = {
+    // pairs has two consumers; measured BOTH ways at sf0.1 — persisting it
+    // loses (5.1 s vs 3.3 s median): the block-manager materialization
+    // costs more than re-running the capped band join, the same
+    // recompute-beats-persist economics as SCALE.md "Persist points"
     val pairs = minhashCandPairs(s, dir)
     val sets = maybePersist(repShingles(s, dir).distinct())
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -413,13 +417,12 @@ object LlmOps {
     val sets = maybePersist(sh.distinct())
     // the sampled index gets its OWN narrow pipeline — the 1/16 residue
     // filter runs BEFORE the distinct, so its Exchange carries 1/16 the
-    // shingle volume — and is persisted unconditionally: it is provably
-    // tiny (|distinct shingles|/16 rows) and has 3 consumers (df filter +
-    // both self-join sides)
+    // shingle volume. Its 3 consumers (df filter + both self-join sides)
+    // recompute it: measured at sf0.1, recompute (3.5 s query median)
+    // beats block-manager persist (5.7-6.1 s) — SCALE.md "Persist points"
     val sampled = sh.where(
       expr(s"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % $ContainSampleMod = 0"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srare = sampled.groupBy("sh").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= BandBucketCap).select("sh")
     val scap = sampled.join(srare, Seq("sh"))
@@ -429,6 +432,8 @@ object LlmOps {
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_co"))
       .where(col("n_co") >= ContainCoMin).select("d1", "d2")
+    // two consumers, but NOT persisted: measured at sf0.1 the recompute
+    // beats the block-manager materialization (SCALE.md "Persist points")
     val pairs = cappedBandPairs(sh).unionByName(sampPairs).distinct()
     val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val co = pairs
@@ -1520,7 +1525,12 @@ object LlmOps {
       // shuffle (|charset|² / |charset| groups).
       // (measured at sf0.1: persisting this explode ties the 3x narrow
       // recompute — same SCALE.md conclusion as the minhash family)
-      def bg = docs(s, dir).where(length(col("text")) >= 2)
+      // The repartition is the tiny-scan rebalance rule (the harness
+      // corpus is one parquet split, so all three explode+partial-agg
+      // branches would otherwise run on ONE core); the three branches
+      // share one identical Exchange via ReuseExchange.
+      def bg = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .where(length(col("text")) >= 2)
         .select(col("doc_id"),
           explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
           col("text"))
