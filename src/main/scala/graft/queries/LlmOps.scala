@@ -1188,6 +1188,47 @@ object LlmOps {
         .orderBy("lang")
     }),
 
+    // STREAMING WINDOWED AGGREGATION through a sink: tumbling 1-hour
+    // event-time windows aggregated in COMPLETE mode (state = the whole
+    // window table — the dashboard-refresh shape), snapshotted per batch
+    // into a versioned parquet table via foreachBatch; the batch read-back
+    // of the final snapshot must equal the batch windowed aggregate (the
+    // oracle). Window starts are emitted as epoch micros so the parquet
+    // types line up engine-to-engine. Complements q_stream_sink_roundtrip
+    // (append-mode counts) and the StreamOpsSpec watermark/late-data
+    // coverage.
+    "q_stream_window_sink" -> ((s, dir) => {
+      val base = s"$TmpRoot/stream_window"
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val src0 = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val src = // same nanosecond-parquet handling as queries.table()
+        if (sch("ts").dataType == org.apache.spark.sql.types.LongType)
+          src0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else src0
+      src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("ws"),
+          col("event_type"), col("n"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$base/state_$id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val latest = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .map(_.getName).filter(_.startsWith("state_"))
+        .map(_.stripPrefix("state_").toLong).max
+      s.read.parquet(s"$base/state_$latest").orderBy("ws", "event_type")
+    }),
+
     // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
     // signal): top-V words by corpus frequency (count-desc/word-asc so the
     // cut is deterministic under ties), then per-doc OOV fraction. The
@@ -2646,6 +2687,11 @@ object LlmOps {
       s"""WITH $WinnowSelSql
          |SELECT doc_id, CAST(count(DISTINCT wm) AS BIGINT) AS n_fp
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_stream_window_sink" ->
+      """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS ws,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_sink_roundtrip" ->
       s"""WITH $ToksSql
