@@ -449,6 +449,44 @@ object LlmOps {
       .where(col("containment") >= thr)
   }
 
+  /** Per-doc char-bigram LM scores (doc_id, n_bigrams, nll) — the shared
+    * scoring stage of q_lm_score (display) and q_filter_perplexity (the
+    * percentile gate). Bigram stream is a narrow explode recomputed per
+    * consumer (cheaper than materializing — SCALE.md "Persist points");
+    * each model aggregate collapses it map-side to a tiny shuffle
+    * (|charset|² / |charset| groups). The repartition is the tiny-scan
+    * rebalance rule (the harness corpus is one parquet split, so all
+    * three explode+partial-agg branches would otherwise run on ONE core);
+    * the three branches share one identical Exchange via ReuseExchange.
+    * term = n × round(ln(bc/cc), 8) as DECIMAL: an integer times an
+    * 8-decimal fixed-point value is exact, so the sum equals the
+    * per-position oracle's n identical addends — order-free. Operand
+    * precisions are sized so the product type DECIMAL(29,8) needs no
+    * precision-loss adjustment (18+10+1 ≤ 38). */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
+    def bg = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      .where(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 2)").as("bgm"))
+    val bgCnt = bg.groupBy("bgm").agg(count(lit(1)).as("bc"))
+    // c1 occurrences at non-final positions = first char of each bigram:
+    // derived from bgm (no second substring over text, no text carry)
+    val c1Cnt = bg.select(expr("substring(bgm, 1, 1)").as("c1"))
+      .groupBy("c1").agg(count(lit(1)).as("cc"))
+    // the scoring probe pre-aggregates to per-doc DISTINCT bigram counts
+    val bgn = bg.groupBy("doc_id", "bgm").agg(count(lit(1)).as("n"))
+      .withColumn("c1", expr("substring(bgm, 1, 1)"))
+    bgn.join(broadcast(bgCnt), "bgm").join(broadcast(c1Cnt), "c1")
+      .withColumn("term", expr(
+        "CAST(n AS DECIMAL(18,0)) * CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(10,8))"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        round((-sum(col("term"))).cast("double") / sum(col("n")), 4)
+          .as("nll"))
+  }
+
   /** Quantized embeddings + exact integer self-norm. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("label"), expr(QuantSpark).as("q"))
@@ -1559,49 +1597,27 @@ object LlmOps {
     // The model is |charset|² rows → broadcast joins; scoring is one
     // narrow pass. Same determinism scheme as q_char_entropy: exact
     // integer-ratio division, ln pre-rounded to 8, decimal-summed terms.
-    "q_lm_score" -> ((s, dir) => {
-      // Per-position bigram stream: narrow explode, recomputed per
-      // consumer (cheaper than materializing — see SCALE.md "Persist
-      // points"); each model aggregate collapses it map-side to a tiny
-      // shuffle (|charset|² / |charset| groups).
-      // (measured at sf0.1: persisting this explode ties the 3x narrow
-      // recompute — same SCALE.md conclusion as the minhash family)
-      // The repartition is the tiny-scan rebalance rule (the harness
-      // corpus is one parquet split, so all three explode+partial-agg
-      // branches would otherwise run on ONE core); the three branches
-      // share one identical Exchange via ReuseExchange.
-      def bg = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
-        .where(length(col("text")) >= 2)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
-          col("text"))
-        .select(col("doc_id"), expr("substring(text, i, 2)").as("bgm"))
-      val bgCnt = bg.groupBy("bgm").agg(count(lit(1)).as("bc"))
-      // c1 occurrences at non-final positions = first char of each bigram:
-      // derived from bgm (no second substring over text, no text carry)
-      val c1Cnt = bg.select(expr("substring(bgm, 1, 1)").as("c1"))
-        .groupBy("c1").agg(count(lit(1)).as("cc"))
-      // The scoring probe pre-aggregates to per-doc DISTINCT bigram counts
-      // (doc_id, bgm) → n, so the model joins probe severalfold fewer
-      // rows than the per-position stream on natural text. Single
-      // consumer — no persist question.
-      val bgn = bg.groupBy("doc_id", "bgm").agg(count(lit(1)).as("n"))
-        .withColumn("c1", expr("substring(bgm, 1, 1)"))
-      // term = n × round(ln(bc/cc), 8) as DECIMAL: an integer times an
-      // 8-decimal fixed-point value is exact, so the sum equals the
-      // per-position oracle's n identical addends — order-free. Operand
-      // precisions are sized so the product type DECIMAL(29,8) needs no
-      // precision-loss adjustment (18+10+1 ≤ 38), which would otherwise
-      // silently round the scale below 8 (ln(ratio) always fits 2 integer
-      // digits: corpus ratios stay far above e^-100).
-      bgn.join(broadcast(bgCnt), "bgm").join(broadcast(c1Cnt), "c1")
-        .withColumn("term", expr(
-          "CAST(n AS DECIMAL(18,0)) * CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(10,8))"))
-        .groupBy("doc_id")
-        .agg(sum(col("n")).as("n_bigrams"),
-          round((-sum(col("term"))).cast("double") / sum(col("n")), 4)
-            .as("nll"))
-        .orderBy("doc_id")
+    "q_lm_score" -> ((s, dir) => lmScores(s, dir).orderBy("doc_id")),
+
+    // PERPLEXITY-PERCENTILE FILTERING — the scoring composed with the
+    // distributed percentile into the actual CCNet-style corpus gate:
+    // keep documents whose average NLL is at or below the corpus p75
+    // (computed by operators.Percentiles — no whole-corpus buffer), drop
+    // the worst quartile. Output: kept-set summary + the threshold. The
+    // oracle recomputes the same scores and quantile_cont threshold.
+    "q_filter_perplexity" -> ((s, dir) => {
+      val scores = lmScores(s, dir).withColumn("__g", lit(1))
+      val thr = graft.operators.Percentiles
+        .exact(scores, "__g", "nll", Seq(0.75))
+        .select(col("q").as("thr"))
+      // + 1e-9: nll values live on a 1e-4 grid while engine-specific IEEE
+      // evaluation (FMA contraction, rounding spellings) can move the
+      // interpolated threshold by an ulp (~1e-16) — the epsilon makes the
+      // keep rule boundary-proof without admitting any extra grid point
+      scores.crossJoin(broadcast(thr))
+        .where(col("nll") <= col("thr") + 1e-9)
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_bigrams")).as("kept_bigrams"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
     // Benchmark decontamination: fraction of each doc's 8-char shingles
@@ -1867,6 +1883,28 @@ object LlmOps {
        |  FROM c$KmIters GROUP BY cid
        |)""".stripMargin
   }
+
+  /** Char-bigram LM replay (oracle twin of [[lmScores]]): ends in CTE
+    * `scores` = (doc_id, n_bigrams, nll). */
+  private val LmScoreCtes: String =
+    """bg AS (
+      |  SELECT doc_id, substr(text, i, 1) AS c1, substr(text, i, 2) AS bgm
+      |  FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, length(text) - 1)) AS i
+      |        FROM documents WHERE length(text) >= 2)
+      |),
+      |bgc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
+      |c1c AS (SELECT c1, count(*) AS cc FROM bg GROUP BY c1),
+      |t AS (
+      |  SELECT bg.doc_id,
+      |    CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(28,10)) AS term
+      |  FROM bg JOIN bgc USING (bgm) JOIN c1c USING (c1)
+      |),
+      |scores AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    round(-CAST(sum(term) AS DOUBLE) / count(*), 4) AS nll
+      |  FROM t GROUP BY doc_id
+      |)""".stripMargin
 
   private val MinhashSigSql: String = {
     val mins = (0 until H)
@@ -2998,22 +3036,34 @@ object LlmOps {
          |FROM qv ORDER BY vec_id""".stripMargin,
 
     "q_lm_score" ->
-      """WITH bg AS (
-        |  SELECT doc_id, substr(text, i, 1) AS c1, substr(text, i, 2) AS bgm
-        |  FROM (SELECT doc_id, text,
-        |               unnest(generate_series(1, length(text) - 1)) AS i
-        |        FROM documents WHERE length(text) >= 2)
-        |),
-        |bgc AS (SELECT bgm, count(*) AS bc FROM bg GROUP BY bgm),
-        |c1c AS (SELECT c1, count(*) AS cc FROM bg GROUP BY c1),
-        |t AS (
-        |  SELECT bg.doc_id,
-        |    CAST(round(ln(CAST(bc AS DOUBLE) / cc), 8) AS DECIMAL(28,10)) AS term
-        |  FROM bg JOIN bgc USING (bgm) JOIN c1c USING (c1)
-        |)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(-CAST(sum(term) AS DOUBLE) / count(*), 4) AS nll
-        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $LmScoreCtes
+         |SELECT doc_id, n_bigrams, nll FROM scores ORDER BY doc_id""".stripMargin,
+
+    "q_filter_perplexity" ->
+      // NOT quantile_cont: its lo + f·(hi−lo) spelling differs from the
+      // engine's (1−f)·lo + f·hi by an ulp, which flips round(…,4) at an
+      // exact .00005 boundary (observed on this corpus). The oracle
+      // replays the selection formula verbatim in double arithmetic —
+      // bit-identical IEEE on both engines.
+      s"""WITH $LmScoreCtes,
+         |ranked AS (SELECT nll, row_number() OVER (ORDER BY nll) AS rk FROM scores),
+         |tp AS (
+         |  SELECT CAST(floor(r) AS BIGINT) + 1 AS lo,
+         |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
+         |         r - floor(r) AS f
+         |  FROM (SELECT CAST(0.75 AS DOUBLE) * (count(*) - 1) AS r,
+         |               count(*) AS n FROM scores)
+         |),
+         |thr AS (
+         |  SELECT CASE WHEN t.f = 0 THEN lo.nll
+         |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.nll + t.f * hi.nll
+         |         END AS thr
+         |  FROM tp t JOIN ranked lo ON lo.rk = t.lo JOIN ranked hi ON hi.rk = t.hi
+         |)
+         |SELECT count(*) AS n_kept,
+         |       CAST(sum(n_bigrams) AS BIGINT) AS kept_bigrams,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM scores CROSS JOIN thr WHERE nll <= thr.thr + 1e-9""".stripMargin,
 
     "q_contamination" ->
       s"""WITH s8 AS (
