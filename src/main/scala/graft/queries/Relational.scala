@@ -893,6 +893,25 @@ object Relational {
         .orderBy("v")
     }),
 
+    // Community detection via SYNCHRONOUS label propagation
+    // (operators.LabelProp) over the same part-supplier graph as
+    // q_pagerank: deterministic sweep (most frequent neighbor label, ties
+    // to smallest) makes LPA a pure function of the graph, so the oracle
+    // unrolls the identical rounds — the async textbook variant is
+    // update-order-dependent and unverifiable. Output: community sizes.
+    "q_communities" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      graft.operators.LabelProp
+        .run(pairs.select(col("p").as("src"), col("sv").as("dst")), 3)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy("community")
+    }),
+
     // Semi-structured ingestion: schema-on-read over the JSON `props`
     // column with from_json (codegen'd Jackson parse, no UDF), then a
     // standard partial-agg rollup. At 100 TB the parse happens map-side
@@ -1511,6 +1530,34 @@ object Relational {
          |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
          |$iters
          |SELECT v, round(r, 6) AS rank FROM r3 ORDER BY v""".stripMargin
+    },
+
+    "q_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (
+           |  SELECT e.src, l.lbl, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2
+           |),
+           |l$i AS (
+           |  SELECT src AS v, lbl FROM (
+           |    SELECT src, lbl,
+           |           row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+           |    FROM n$i) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
+         |),
+         |e AS (
+         |  SELECT p AS src, sv AS dst FROM pairs
+         |  UNION
+         |  SELECT sv AS src, p AS dst FROM pairs
+         |),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+         |$rounds
+         |SELECT lbl AS community, count(*) AS n_members,
+         |       min(v) AS min_v, max(v) AS max_v
+         |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
     },
 
     "q_json_extract" ->

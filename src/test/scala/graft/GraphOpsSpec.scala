@@ -69,6 +69,31 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == r) // run() returns the 8-decimal ranks; no further rounding
   }
 
+  test("LabelProp matches a synchronous in-memory mirror on random graphs") {
+    val rnd = new scala.util.Random(101)
+    for (trial <- 1 to 6) {
+      val nV = 3 + rnd.nextInt(20)
+      val raw = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(e => e._1 != e._2)
+      if (raw.nonEmpty) {
+        val und = (raw ++ raw.map(_.swap)).distinct
+        val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lbl = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to 3) {
+          lbl = adj.map { case (v, ns) =>
+            val counts = ns.groupBy(lbl).view.mapValues(_.size)
+            // most frequent neighbor label, ties to the smallest label
+            v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+          }
+        }
+        val got = graft.operators.LabelProp.run(raw.toDF("src", "dst"), 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == lbl, s"trial $trial edges=$raw")
+      }
+    }
+  }
+
   test("PageRank broadcast hint is conditional on |V| vs the configured cap") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
     val verts = edges.select($"src".as("v")).union(edges.select($"dst".as("v"))).distinct()
