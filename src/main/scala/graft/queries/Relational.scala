@@ -893,6 +893,29 @@ object Relational {
         .orderBy("v")
     }),
 
+    // Per-key p99 anomaly flagging: the event-analytics twin of the
+    // perplexity gate — thresholds computed PER event_type by the
+    // distributed Percentiles operator (no whole-group buffer), events
+    // above their type's p99 counted as anomalies. The keep rule carries
+    // a relative epsilon (1e-9·max(|thr|,1)): engine-specific IEEE
+    // evaluation can move an interpolated threshold by an ulp, while
+    // adjacent order statistics on this data sit ~0.08 apart — the
+    // epsilon is boundary-proof and admits no extra event. The oracle
+    // replays the engine's exact interpolation formula per key.
+    "q_anomalies" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+      val thr = graft.operators.Percentiles
+        .exact(ev, "event_type", "value", Seq(0.99))
+        .select(col("event_type"), col("q").as("thr"))
+      ev.join(broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >
+            col("thr") + lit(1e-9) * greatest(abs(col("thr")), lit(1.0)), 1L)
+            .otherwise(0L)).as("n_anom"))
+        .orderBy("event_type")
+    }),
+
     // Community detection via SYNCHRONOUS label propagation
     // (operators.LabelProp) over the same part-supplier graph as
     // q_pagerank: deterministic sweep (most frequent neighbor label, ties
@@ -1531,6 +1554,37 @@ object Relational {
          |$iters
          |SELECT v, round(r, 6) AS rank FROM r3 ORDER BY v""".stripMargin
     },
+
+    "q_anomalies" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |tp AS (
+        |  SELECT event_type,
+        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
+        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
+        |         r - floor(r) AS f
+        |  FROM (SELECT event_type, count(value) AS n,
+        |               CAST(0.99 AS DOUBLE) * (count(value) - 1) AS r
+        |        FROM ev GROUP BY event_type)
+        |),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+        |  FROM ev WHERE value IS NOT NULL
+        |),
+        |thr AS (
+        |  SELECT t.event_type,
+        |         CASE WHEN t.f = 0 THEN lo.value
+        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.value + t.f * hi.value
+        |         END AS thr
+        |  FROM tp t
+        |  JOIN ranked lo ON lo.event_type = t.event_type AND lo.rk = t.lo
+        |  JOIN ranked hi ON hi.event_type = t.event_type AND hi.rk = t.hi
+        |)
+        |SELECT ev.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value > thr.thr + 1e-9 * greatest(abs(thr.thr), 1.0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM ev JOIN thr USING (event_type)
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
     "q_communities" -> {
       val rounds = (1 to 3).map { i =>
