@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   *  - vectors are pre-quantized ints scaled ×1000 (q1000 = 1000·q);
   *  - centroid components are stored as the SAME fixed-point scale:
-  *    c1000_i = floor(1000·S_i/n + 0.5) where S_i is the exact integer
-  *    member sum — one correctly-rounded IEEE division per component,
-  *    bit-identical on any engine;
+  *    c1000_i = round-half-up(S_i/n) where S_i is the exact integer
+  *    member sum — computed in PURE INTEGER arithmetic as
+  *    (2·S + n − pmod(2·S + n, 2·n)) div (2·n), i.e. an exactly-divisible
+  *    floor division, so there is no DOUBLE (and no engine-version
+  *    sum-typing or FP half-boundary dependence) anywhere in the loop;
   *  - assignment minimizes Σ(q1000_i − c1000_i)², an exact BIGINT sum
   *    (≤ 64·(2·10⁷)² ≈ 2.6·10¹⁶ per distance — no overflow, no
   *    floating-point accumulation order anywhere), ties broken by
@@ -58,10 +60,12 @@ object KMeans {
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        // one correctly-rounded IEEE division per component, then floor —
-        // bit-identical in any IEEE engine; stays in the ×1000 scale
+        // pure-integer round-half-up of s/n: floor((2s+n)/(2n)) with the
+        // numerator pre-adjusted by its positive mod so the division is
+        // EXACT (truncate == floor on an exact quotient) — no DOUBLE, so
+        // no FP half-boundary can ever differ between engines
         .withColumn("c",
-          expr("CAST(floor(CAST(s AS DOUBLE) / n + 0.5d) AS BIGINT)"))
+          expr("(2*s + n - pmod(2*s + n, 2*n)) div (2*n)"))
       cents = sums.groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
           .as("c1000"))

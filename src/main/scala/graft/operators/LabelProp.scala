@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   *
   * Per round: one equi join (edge ⋈ labels on dst, shuffles the edge
   * list) + two aggregations with map-side partials ((src, lbl) counts,
-  * then the per-src argmax as a single min/max-struct — never a window
-  * over a vertex's whole neighborhood on one task). Fixed iterations and
-  * localCheckpoint per round, same discipline as [[PageRank]] /
-  * [[ConnectedComponents]]. Isolated vertices (no edges) keep their own
+  * then the per-src argmax as a single min-struct — never a window
+  * over a vertex's whole neighborhood on one task). Fixed iterations,
+  * localCheckpoint every SECOND round (lineage spans at most two rounds
+  * — bounded — while halving the per-round materialization constant that
+  * dominated the round-4 bench on small graphs; at scale the edge join
+  * dominates either way). Isolated vertices (no edges) keep their own
   * label by construction (vertices are derived from the edge list).
+  *
+  * The argmax encodes (count desc, label asc) as min(struct(-c, lbl)):
+  * the COUNT is negated (always safe — counts are small non-negative
+  * numbers), never the label, so any BIGINT label including
+  * Long.MinValue tie-breaks correctly.
   */
 object LabelProp {
 
@@ -31,16 +38,17 @@ object LabelProp {
       .distinct().localCheckpoint()
     var labels = e.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val nbr = e.join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-      // argmax by (count desc, label asc): max of (c, -lbl) structs —
-      // a plain aggregate, no per-vertex window sort
-      labels = nbr
+      // argmax by (count desc, label asc): min of (-c, lbl) structs —
+      // a plain aggregate, no per-vertex window sort; the negation is on
+      // the count (never near Long.MinValue), not the label
+      val next = nbr
         .groupBy(col("src").as("v"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("v"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("v"), col("m.lbl").as("lbl"))
+      labels = if (r % 2 == 0 || r == iters) next.localCheckpoint() else next
     }
     labels
   }

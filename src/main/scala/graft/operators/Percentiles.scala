@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *     joined out (broadcast of a tiny rank list), then combined with
   *     Spark's own interpolation formula `(1-frac)·lo + frac·hi`.
   *
-  * Every join is an equi join on (key[, rank]); the rank/offset sides are
-  * broadcast-hinted tiny tables.
+  * Every join is an equi join on (key[, rank]); the rank/offset metadata
+  * sides join under the `graft.ranks.offsetsBroadcast` policy (default:
+  * AQE sizes them at runtime — see [[Ranks]]' high-cardinality guard).
   */
 object Percentiles {
 
@@ -53,7 +54,9 @@ object Percentiles {
     val need = targets.select(col("__k"),
       explode(array(col("__lo"), col("__hi"))).as("__rk")).distinct()
     val ranked = ranked0.select(col("__k"), col("rk").as("__rk"), col("__v"))
-    val vals = ranked.join(broadcast(need), Seq("__k", "__rk"))
+    // |keys|·|ps|·2 rows — tiny for low-cardinality keys, but subject to
+    // the same high-cardinality guard as the rank offsets (Ranks scaladoc)
+    val vals = ranked.join(Ranks.maybeBroadcast(need), Seq("__k", "__rk"))
     targets
       .join(vals.select(col("__k"), col("__rk").as("__lo"), col("__v").as("__vlo")),
         Seq("__k", "__lo"))

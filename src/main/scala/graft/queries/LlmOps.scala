@@ -1119,7 +1119,9 @@ object LlmOps {
     // batch (state_N reads state_{N-1}) so the upsert never overwrites
     // a directory it is reading; the checkpoint makes re-runs no-ops.
     "q_stream_sink_roundtrip" -> ((s, dir) => {
-      val base = s"$TmpRoot/stream_upsert"
+      // keyed by the sf dir name: two corpora in one JVM must not fold
+      // batches into each other's state tables
+      val base = s"$TmpRoot/stream_upsert_${new java.io.File(dir).getName}"
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
       // the file source wants a DIRECTORY; the harness table is a single
       // file inside the sf dir, so scope the listing with a glob filter
@@ -1151,7 +1153,10 @@ object LlmOps {
       val latest = Option(new java.io.File(base).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .map(_.getName).filter(_.startsWith("state_"))
-        .map(_.stripPrefix("state_").toLong).max
+        .map(_.stripPrefix("state_").toLong)
+        .maxOption.getOrElse(sys.error(
+          s"no state_* under $base: checkpoint survived but state dirs " +
+            "are gone — delete the checkpoint to replay"))
       s.read.parquet(s"$base/state_$latest").orderBy("word")
     }),
 
@@ -1236,7 +1241,7 @@ object LlmOps {
     // (append-mode counts) and the StreamOpsSpec watermark/late-data
     // coverage.
     "q_stream_window_sink" -> ((s, dir) => {
-      val base = s"$TmpRoot/stream_window"
+      val base = s"$TmpRoot/stream_window_${new java.io.File(dir).getName}"
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val src0 = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet")
@@ -1263,7 +1268,10 @@ object LlmOps {
       val latest = Option(new java.io.File(base).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .map(_.getName).filter(_.startsWith("state_"))
-        .map(_.stripPrefix("state_").toLong).max
+        .map(_.stripPrefix("state_").toLong)
+        .maxOption.getOrElse(sys.error(
+          s"no state_* under $base: checkpoint survived but state dirs " +
+            "are gone — delete the checkpoint to replay"))
       s.read.parquet(s"$base/state_$latest").orderBy("ws", "event_type")
     }),
 
@@ -1833,7 +1841,9 @@ object LlmOps {
   /** Unrolled Lloyd replay (oracle twin of [[graft.operators.KMeans]] at
     * ([[KmK]], [[KmIters]])): c0 = init (k smallest ids), then per
     * iteration t: d_t (exact integer distances) → a_t (argmin, ties to
-    * smaller cid) → c_t (fixed-point component update). Ends with `af`
+    * smaller cid) → c_t (fixed-point component update — the same
+    * pure-integer round-half-up spelling as the operator: exactly-divisible
+    * floor division, no DOUBLE on either engine). Ends with `af`
     * (final assignment: id, cid, d2) and `cm` (centroid md5 per cid). */
   private lazy val KmeansCtes: String = {
     val qvInit =
@@ -1860,9 +1870,10 @@ object LlmOps {
          |    FROM d$t) WHERE rn = 1
          |),
          |c$t AS (
-         |  SELECT a.cid, qv.i,
-         |         CAST(floor(CAST(sum(qv.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-         |  FROM a$t a JOIN qv USING (id) GROUP BY a.cid, qv.i
+         |  SELECT cid, i,
+         |         CAST((2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n) AS BIGINT) AS c
+         |  FROM (SELECT a.cid, qv.i, sum(qv.v) AS s, count(*) AS n
+         |        FROM a$t a JOIN qv USING (id) GROUP BY a.cid, qv.i)
          |)""".stripMargin
     }.mkString(",\n")
     s"""$qvInit,

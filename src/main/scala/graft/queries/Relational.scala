@@ -388,11 +388,15 @@ object Relational {
       val ev = table(s, dir, "events")
       val q = graft.operators.Percentiles
         .exact(ev, "event_type", "value", Seq(0.25, 0.5, 0.75))
-      q.groupBy("event_type")
-        .agg(round(max(when(col("p") === 0.25, col("q"))), 4).as("p25"),
-          round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
-          round(max(when(col("p") === 0.75, col("q"))), 4).as("p75"))
-        .join(ev.groupBy("event_type").agg(count(lit(1)).as("n")), Seq("event_type"))
+      // counts are the LEFT side: a group whose values are ALL NULL gets
+      // no Percentiles rows (it filters nulls) but must still surface
+      // with NULL quantiles — exactly what quantile_cont's oracle emits
+      ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .join(q.groupBy("event_type")
+          .agg(round(max(when(col("p") === 0.25, col("q"))), 4).as("p25"),
+            round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
+            round(max(when(col("p") === 0.75, col("q"))), 4).as("p75")),
+          Seq("event_type"), "left_outer")
         .orderBy("event_type")
     }),
 

@@ -94,6 +94,16 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("LabelProp tie-breaks correctly for a Long.MinValue label") {
+    // the argmax encodes (count desc, label asc) WITHOUT negating the
+    // label — the old max(struct(c, -lbl)) overflowed at Long.MinValue
+    // (-MinValue == MinValue) and could never win a tie
+    val raw = Seq((Long.MinValue, 5L), (5L, 6L), (6L, Long.MinValue))
+    val got = graft.operators.LabelProp.run(raw.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet == Set(Long.MinValue), got)
+  }
+
   test("PageRank broadcast hint is conditional on |V| vs the configured cap") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
     val verts = edges.select($"src".as("v")).union(edges.select($"dst".as("v"))).distinct()
