@@ -28,7 +28,8 @@ object Sessions {
       // is ~zero; 64 KB lets bytesPerCore drive the split count instead.
       // (On object storage at cluster scale the 4 MB default is the right
       // number — this is a deployment knob, not engine logic.)
-      .config("spark.sql.files.openCostInBytes", "65536")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
