@@ -1821,6 +1821,107 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("lang", "bin")
+    }),
+
+    // BM25 relevance: top-20 docs for a fixed query-term set. The scale
+    // shape is two narrow token aggregations (doc length; tf filtered to
+    // the query terms BEFORE the shuffle) plus broadcasts of the tiny
+    // df/stats sides — the corpus is never joined to itself and the top-k
+    // is a TakeOrderedAndProject, not a global sort. Determinism: ln() is
+    // not correctly-rounded across libms, so idf is pre-rounded to 8
+    // decimals (the q_tfidf technique); the remaining ops (+,-,*,/) are
+    // IEEE-exact given identical spelling, and per-term contributions are
+    // rounded to 6 decimals then decimal-summed so partitioning cannot
+    // reorder a float sum.
+    "q_bm25" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = t.where(col("word").isin(BmTerms: _*))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      tf.join(broadcast(dfreq), "word").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(BmContribExpr))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), dsum(col("contrib"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }),
+
+    // Equi-DEPTH decile binning of per-doc token counts — the feature-
+    // binning pass behind quantile bucketing, built on the distributed
+    // two-level rank ([[graft.operators.Ranks.withinKey]]) instead of a
+    // single-partition global window: bin = (rank-1)·10 div n over the
+    // UNIQUE order (n_tok, doc_id), so ties never straddle bins
+    // nondeterministically and everything stays in exact integers (no
+    // interpolated quantile boundaries to ulp-flip cross-engine).
+    "q_bin_equidepth" -> ((s, dir) => {
+      val dl = toks(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val n = dl.agg(count(lit(1)).as("n"))
+      graft.operators.Ranks
+        .withinKey(dl.withColumn("__k", lit(1)), "__k", Seq("n_tok", "doc_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("bin", expr("(rk - 1) * 10 div n"))
+        .groupBy(col("bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), min("n_tok").as("lo"),
+          max("n_tok").as("hi"), sum("n_tok").as("sum_tok"))
+        .orderBy("bin")
+    }),
+
+    // BPE tokenizer training, first 3 merge rounds over the word-frequency
+    // dictionary — the distributed core of tokenizer fitting: per round,
+    // count adjacent symbol pairs weighted by word count (a narrow
+    // explode + partial-agg'd sum), take the global argmax pair
+    // (weight desc, pair asc — deterministic), and apply the merge with a
+    // non-overlapping left-to-right literal replace. The chosen pair
+    // flows back via crossJoin(broadcast(1 row)) — no driver collect, the
+    // whole 3-round loop is ONE declarative plan. Scale: pair counting is
+    // |vocab|-bound (not corpus-bound) after the word-count shuffle, and
+    // each merge is a map-side string op.
+    "q_bpe_merges" -> ((s, dir) => {
+      val wc0 = toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("seq", concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1 ")))
+      def top1(wc: DataFrame): DataFrame = wc
+        .where(expr("size(split(trim(seq), ' ')) >= 2"))
+        .select(col("cnt"), split(trim(col("seq")), " ").as("syms"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("w"))
+        .orderBy(desc("w"), asc("l"), asc("r")).limit(1)
+      def merge(wc: DataFrame, t1: DataFrame): DataFrame = wc
+        .crossJoin(broadcast(t1))
+        .withColumn("seq", expr(
+          "replace(seq, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))"))
+        .select("word", "cnt", "seq")
+      val t1 = top1(wc0);  val wc1 = merge(wc0, t1)
+      val t2 = top1(wc1);  val wc2 = merge(wc1, t2)
+      val t3 = top1(wc2)
+      t1.withColumn("step", lit(1L))
+        .unionByName(t2.withColumn("step", lit(2L)))
+        .unionByName(t3.withColumn("step", lit(3L)))
+        .select(col("step"), col("l"), col("r"), col("w"))
+        .orderBy("step")
+    }),
+
+    // Deterministic training-data shuffle: shard = md5 bucket of doc_id
+    // (the shared 100-bucket rule) folded to 8 shards,
+    // within-shard position = rank of an INDEPENDENT salted hash (so the
+    // order inside a shard is decorrelated from the shard assignment) via
+    // `Ranks.withinKey` — a 10¹¹-doc shard never sorts on one task. The
+    // whole permutation is a pure function of doc_id: re-runs, retries and
+    // corpus growth never reorder existing docs relative to each other
+    // within a shard (new docs splice in at their hash positions).
+    "q_shuffle_shards" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("shard", expr(s"($HashBucketSpark) % 8"))
+        .withColumn("h", md5(concat(lit("ord"), col("doc_id").cast("string"))))
+      graft.operators.Ranks.withinKey(d, "shard", Seq("h", "doc_id"))
+        .select(col("doc_id"), col("shard"), col("rk").as("pos"))
+        .orderBy("shard", "pos")
     })
   )
 
@@ -1835,6 +1936,22 @@ object LlmOps {
 
   /** Token budget per packed training row. */
   private val PackBudget = 512
+
+  /** BM25 query terms: three common + one rare ("dup", df≈5% of docs) so
+    * scores discriminate. */
+  private val BmTerms = Seq("spark", "query", "vector", "dup")
+
+  /** Per-(doc, term) BM25 contribution (k1 = 1.2, b = 0.75), ONE string
+    * parsed by BOTH engines (columns tf, df, dl, n_docs, sum_dl): spelling
+    * the arithmetic once guarantees the identical IEEE evaluation order.
+    * idf is pre-rounded to 8 decimals because ln() is not correctly-
+    * rounded (q_tfidf note); every other op is exact-input +,-,*,/ —
+    * correctly rounded, so bit-identical cross-engine. The final 6-decimal
+    * round makes the contribution decimal-summable (order-free). */
+  private val BmContribExpr: String =
+    "round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)" +
+      " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75" +
+      " * (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)"
 
   // =========================================================================
   //  DuckDB oracles
@@ -3228,6 +3345,90 @@ object LlmOps {
          |      FROM c)
          |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH $ToksSql,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+         |       WHERE word IN ${inList(BmTerms)} GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |          FROM dl),
+         |c AS (
+         |  SELECT tf.doc_id, $BmContribExpr AS contrib
+         |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  ${dsumSql("contrib", 6)} AS score
+         |FROM c GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_bin_equidepth" ->
+      s"""WITH $ToksSql,
+         |dl AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+         |r AS (SELECT n_tok,
+         |        row_number() OVER (ORDER BY n_tok, doc_id) AS rk,
+         |        count(*) OVER () AS n
+         |      FROM dl)
+         |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS bin,
+         |  count(*) AS n_docs, min(n_tok) AS lo, max(n_tok) AS hi,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""WITH $ToksSql,
+         |wc0 AS (
+         |  SELECT word, count(*) AS cnt,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |  FROM toks GROUP BY word
+         |),
+         |p1 AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM wc0),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |),
+         |t1 AS (SELECT l, r, w FROM p1 ORDER BY w DESC, l, r LIMIT 1),
+         |wc1 AS (
+         |  SELECT word, cnt,
+         |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+         |  FROM wc0 CROSS JOIN t1
+         |),
+         |p2 AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM wc1),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |),
+         |t2 AS (SELECT l, r, w FROM p2 ORDER BY w DESC, l, r LIMIT 1),
+         |wc2 AS (
+         |  SELECT word, cnt,
+         |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+         |  FROM wc1 CROSS JOIN t2
+         |),
+         |p3 AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM wc2),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |),
+         |t3 AS (SELECT l, r, w FROM p3 ORDER BY w DESC, l, r LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS step, l, r, w FROM t1
+         |UNION ALL SELECT CAST(2 AS BIGINT), l, r, w FROM t2
+         |UNION ALL SELECT CAST(3 AS BIGINT), l, r, w FROM t3
+         |ORDER BY step""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ($hashBucketSql) % 8 AS shard,
+         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM d ORDER BY shard, pos""".stripMargin
   )
 }

@@ -1007,7 +1007,59 @@ object Relational {
           sha2(col("text"), 256).as("sha"),
           size(col("embedding")).cast("long").as("dim"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Pareto skyline over distinct (price, size) points: minimize price,
+    // maximize size — a point survives iff nothing is ≤ price AND ≥ size
+    // with one strict. Two-pass sweep: pass 1 prunes inside price buckets
+    // IN PARALLEL (a locally-dominated point is globally dominated, so
+    // the local skyline is a superset of the answer); pass 2 runs the
+    // exact running-max sweep over the pruned survivors only — the single-
+    // partition window touches |local skylines|, not |points| (at scale:
+    // bucket count ~ partitions, survivors per bucket ≤ distinct sizes).
+    // Sort (price asc, size desc): dominated ⇔ max(size) over strictly-
+    // preceding rows ≥ own size. Comparisons only — no float arithmetic.
+    "q_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = table(s, dir, "part")
+        .groupBy(col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val localW = Window.partitionBy("b")
+        .orderBy(asc("price"), desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = pts.withColumn("b", floor(col("price") / 10.0))
+        .withColumn("m", max("size").over(localW))
+        .where(col("m").isNull || col("m") < col("size"))
+      val globalW = Window.orderBy(asc("price"), desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      local.withColumn("m2", max("size").over(globalW))
+        .where(col("m2").isNull || col("m2") < col("size"))
+        .select(col("price"), col("size"), col("n_parts"))
+        .orderBy("price", "size")
+    }),
+
+    // SCD type-2 history build: each event is a new "version" of its
+    // user's value; the history row is [valid_from, valid_to) with
+    // valid_to = next version's timestamp (NULL ⇒ current). One lead()
+    // window per user — partition-parallel (the 100 TB shape: windows
+    // partition by the dimension key, never global), ties broken by
+    // event_id so the version chain is total. The warehouse ETL dual of
+    // q_cdc_apply: CDC folds to latest state, SCD2 keeps every interval.
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), round(col("value"), 2).as("v"))
+        .withColumn("valid_to", lead(col("us"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_id"), col("us").as("valid_from"),
+          col("valid_to"), col("v"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1646,6 +1698,39 @@ object Relational {
         |)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
         |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-        |       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""".stripMargin
+        |       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    // independent formulation: direct NOT EXISTS domination test over the
+    // distinct point set (quadratic — fine at oracle scale, and a genuinely
+    // different algorithm than the engine's bucketed sweep)
+    "q_skyline" ->
+      s"""WITH pts AS (
+        |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+        |    count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2
+        |)
+        |SELECT price, size, n_parts
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price <= a.price AND b.size >= a.size
+        |    AND (b.price < a.price OR b.size > a.size))
+        |ORDER BY price, size""".stripMargin,
+
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    round(value, 2) AS v
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, us AS valid_from,
+        |  lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to,
+        |  v,
+        |  CAST(CASE WHEN lead(us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM e
+        |ORDER BY user_id, valid_from, event_id""".stripMargin
   )
 }

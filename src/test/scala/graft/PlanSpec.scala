@@ -218,6 +218,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), p) // never falls back to a window sort
   }
 
+  test("q_bm25: top-k is TakeOrderedAndProject; df and stats sides broadcast") {
+    val p = plan("q_bm25")
+    // limit-after-orderBy must plan the distributed top-k operator (k rows
+    // per partition cross), never a global Sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("catalog-wide: no query plans a CartesianProduct") {
     // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
     // are fine; an actual CartesianProduct (both sides big, no key) is
