@@ -1059,6 +1059,58 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("us").as("valid_from"),
           col("valid_to"), col("v"), col("is_current"))
         .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // DYNAMIC partition pruning: the fact side is a lang-partitioned
+    // layout, the dim side is a runtime-derived language set (majority
+    // languages by doc count) — the partitions to keep are unknowable at
+    // plan time, so Catalyst must inject a DynamicPruningExpression into
+    // the fact scan's PartitionFilters (fed by the reused dim broadcast).
+    // At 100 TB this is THE difference between scanning the whole fact
+    // table and only the joined partitions when the filter lives on the
+    // dim. Round5OpsSpec asserts the dynamicpruning subquery is planned.
+    "q_dpp" -> ((s, dir) => {
+      val out = s"${graft.queries.TmpRoot}/docs_by_lang_dpp"
+      table(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(out)
+      val dim = table(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 75)
+      s.read.parquet(out)
+        .join(broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // Robust outlier detection: median / MAD (median absolute deviation)
+    // per event_type — two COMPOSED passes of the distributed Percentiles
+    // selection (median of values, then median of |value − median|), so
+    // no whole-group buffer exists at either level. The outlier rule
+    // |v − med| > 3·mad carries the same relative epsilon as q_anomalies
+    // (interpolation ulps can't flip a count); med/mad are output-safe
+    // because the oracle replays the engine's exact interpolation formula
+    // (bit-identical doubles), not quantile_cont.
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+      val med = graft.operators.Percentiles
+        .exact(ev, "event_type", "value", Seq(0.5))
+        .select(col("event_type"), col("q").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("d"))
+      val mad = graft.operators.Percentiles
+        .exact(dev, "event_type", "d", Seq(0.5))
+        .select(col("event_type"), col("q").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") >
+            lit(3.0) * col("mad") + lit(1e-9) * greatest(col("mad"), lit(1.0)),
+            1L).otherwise(0L)).as("n_out"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"))
+        .orderBy("event_type")
     })
   )
 
@@ -1731,6 +1783,77 @@ object Relational {
         |    ORDER BY us, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_current
         |FROM e
-        |ORDER BY user_id, valid_from, event_id""".stripMargin
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_dpp" ->
+      """WITH d AS (
+        |  SELECT lang FROM documents GROUP BY lang HAVING count(*) >= 75
+        |)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents JOIN d USING (lang)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the engine's exact interpolation formula at BOTH levels
+    // (median, then median of deviations) so med/mad are bit-identical
+    // doubles — never quantile_cont, whose different FMA spelling can
+    // drift an ulp (the q_anomalies technique, composed)
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |tp1 AS (
+        |  SELECT event_type,
+        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
+        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
+        |         r - floor(r) AS f
+        |  FROM (SELECT event_type, count(value) AS n,
+        |               CAST(0.5 AS DOUBLE) * (count(value) - 1) AS r
+        |        FROM ev GROUP BY event_type)
+        |),
+        |rk1 AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+        |  FROM ev WHERE value IS NOT NULL
+        |),
+        |med AS (
+        |  SELECT t.event_type,
+        |         CASE WHEN t.f = 0 THEN lo.value
+        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.value + t.f * hi.value
+        |         END AS med
+        |  FROM tp1 t
+        |  JOIN rk1 lo ON lo.event_type = t.event_type AND lo.rk = t.lo
+        |  JOIN rk1 hi ON hi.event_type = t.event_type AND hi.rk = t.hi
+        |),
+        |dv AS (
+        |  SELECT ev.event_type, med.med, abs(value - med.med) AS d
+        |  FROM ev JOIN med USING (event_type)
+        |),
+        |tp2 AS (
+        |  SELECT event_type,
+        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
+        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
+        |         r - floor(r) AS f
+        |  FROM (SELECT event_type, count(d) AS n,
+        |               CAST(0.5 AS DOUBLE) * (count(d) - 1) AS r
+        |        FROM dv GROUP BY event_type)
+        |),
+        |rk2 AS (
+        |  SELECT event_type, d,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk
+        |  FROM dv WHERE d IS NOT NULL
+        |),
+        |mad AS (
+        |  SELECT t.event_type,
+        |         CASE WHEN t.f = 0 THEN lo.d
+        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.d + t.f * hi.d
+        |         END AS mad
+        |  FROM tp2 t
+        |  JOIN rk2 lo ON lo.event_type = t.event_type AND lo.rk = t.lo
+        |  JOIN rk2 hi ON hi.event_type = t.event_type AND hi.rk = t.hi
+        |)
+        |SELECT dv.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d > 3.0 * mad.mad + 1e-9 * greatest(mad.mad, 1.0)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  round(max(dv.med), 4) AS med, round(max(mad.mad), 4) AS mad
+        |FROM dv JOIN mad USING (event_type)
+        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin
   )
 }

@@ -110,6 +110,31 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("dpp: fact scan carries a dynamic pruning partition filter") {
+    // run once so the partitioned layout exists, then plan the same
+    // join shape and assert Catalyst injected the runtime partition filter
+    SparkEntry.queries("q_dpp")(spark, Sf).collect()
+    val dim = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 75)
+    val fact = spark.read
+      .parquet(s"${graft.queries.TmpRoot}/docs_by_lang_dpp")
+      .join(broadcast(dim), "lang")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val p = fact.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
+  test("mad_outliers: med/mad are non-negative and outliers are a minority") {
+    val rows = SparkEntry.queries("q_mad_outliers")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nOut, mad) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      assert(mad >= 0.0)
+      assert(nOut >= 0 && nOut * 2 < n, s"outliers not a minority: $r")
+    }
+  }
+
   test("skyline: result is exactly the non-dominated distinct point set") {
     val fr = SparkEntry.queries("q_skyline")(spark, Sf).collect()
       .map(r => (r.getDouble(0), r.getLong(1)))
