@@ -1186,6 +1186,41 @@ object LlmOps {
       s.read.parquet(s"$base/state_$latest").orderBy("word")
     }),
 
+    // STREAM-STREAM JOIN SINK: the watermarked click→purchase inner join
+    // (StreamOps.clickToPurchase — user equi-key + event-time bound, the
+    // state-eviction contract of any unbounded-unbounded join) run as a
+    // real AvailableNow job over the events parquet, appended to a parquet
+    // sink, then batch-read and DuckDB-checked against the equivalent
+    // batch join. Inner stream-stream joins emit matches in the batch
+    // they occur, so the single-file AvailableNow run is complete by
+    // construction; the checkpoint makes re-runs no-ops.
+    "q_stream_join_sink" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"$TmpRoot/stream_join_${new java.io.File(dir).getName}"
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val ev = src.as[graft.streaming.Event]
+      val clicks = ev.where(col("event_type") === "click")
+        .as[graft.streaming.Event]
+      val purchases = ev.where(col("event_type") === "purchase")
+        .as[graft.streaming.Event]
+      graft.streaming.StreamOps.clickToPurchase(clicks, purchases)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .format("parquet").option("path", s"$base/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          round(col("purchase_value"), 2).as("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // K-MEANS corpus clustering (operators.KMeans): fixed-iteration
     // Lloyd's over the integer-quantized embeddings — k smallest-id init,
     // exact-BIGINT assignment distances (×1000 fixed-point centroids), so
@@ -3419,6 +3454,18 @@ object LlmOps {
          |UNION ALL SELECT CAST(2 AS BIGINT), l, r, w FROM t2
          |UNION ALL SELECT CAST(3 AS BIGINT), l, r, w FROM t3
          |ORDER BY step""".stripMargin,
+
+    "q_stream_join_sink" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events
+        |)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id AS user_id, round(p.value, 2) AS purchase_value
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.us >= c.us AND p.us <= c.us + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_shuffle_shards" ->
       s"""WITH d AS (

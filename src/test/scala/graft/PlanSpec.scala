@@ -236,7 +236,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_sink_csv_roundtrip", "q_sink_json_roundtrip", "q_sink_orc_roundtrip",
       "q_csv_corrupt", "q_partitioned_scan", "q_partition_overwrite",
       "q_compact", "q_join_bucketed", "q_upsert",
-      "q_cdc_apply", "q_schema_evolution", "q_synth_source", "q_dpp")
+      "q_cdc_apply", "q_schema_evolution", "q_synth_source", "q_dpp",
+      "q_stream_join_sink")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
       .filter { name =>
