@@ -1369,6 +1369,29 @@ object LlmOps {
         .cmsEstimates(corpusToks(s, dir).select("word"), "word", CmsDepth, CmsWidth)
         .orderBy("word")),
 
+    // Heavy hitters (φ = 1/64 of corpus tokens) via sketch-then-verify:
+    // CMS point estimates never undercount, so thresholding n_est yields
+    // a candidate set with NO false negatives; the exact count then
+    // confirms or rejects each candidate. At 100 TB the pattern's value
+    // is that exact counting is confined to |candidates| ≈ 1/φ keys —
+    // the sketch pass is constant-state and the threshold is
+    // corpus-relative (integer tot div 64 — scale-honest, no magic
+    // absolute count). Unconfirmed rows (collision-inflated) are KEPT
+    // with confirmed=0 so the oracle pins the false-positive behavior
+    // too, not just the survivors.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val est = graft.operators.Sketches
+        .cmsEstimates(t.select("word"), "word", CmsDepth, CmsWidth)
+      val total = t.agg(count(lit(1)).as("tot"))
+      est.crossJoin(broadcast(total))
+        .withColumn("thr", expr("tot div 64"))
+        .where(col("n_est") >= col("thr"))
+        .select(col("word"), col("n_est"), col("n_true"),
+          when(col("n_true") >= col("thr"), 1L).otherwise(0L).as("confirmed"))
+        .orderBy("word")
+    }),
+
     // HyperLogLog from scratch (Flajolet et al.): 64 registers, register =
     // max leading-zero rank of the 54-bit hash remainder — max is
     // order-free, so the register table is exact under any partitioning.
@@ -2955,6 +2978,27 @@ object LlmOps {
          |SELECT word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
          |FROM r JOIN cells USING (j, cell)
          |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_heavy_hitters" ->
+      s"""WITH $ToksSql,
+         |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         |r AS (
+         |  SELECT word, n, j,
+         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || word)", 1)} % $CmsWidth AS cell
+         |  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)
+         |),
+         |cells AS (
+         |  SELECT j, cell, CAST(sum(n) AS BIGINT) AS cn FROM r GROUP BY j, cell
+         |),
+         |est AS (
+         |  SELECT word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
+         |  FROM r JOIN cells USING (j, cell) GROUP BY word
+         |),
+         |tot AS (SELECT count(*) // 64 AS thr FROM toks)
+         |SELECT word, n_est, n_true,
+         |  CAST(CASE WHEN n_true >= thr THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+         |FROM est CROSS JOIN tot
+         |WHERE n_est >= thr ORDER BY word""".stripMargin,
 
     "q_sketch_hll" ->
       s"""WITH h AS (

@@ -110,6 +110,26 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("heavy hitters: CMS candidates have no false negatives, even squeezed") {
+    import spark.implicits._
+    // a deliberately narrow sketch (width 4) forces collisions: estimates
+    // may inflate (false positives allowed) but can NEVER undercount, so
+    // thresholding n_est keeps every true heavy hitter
+    val words = (Seq.fill(50)("hot1") ++ Seq.fill(40)("hot2") ++
+      (1 to 30).flatMap(i => Seq.fill(2)(s"cold$i"))).toDF("word")
+    val est = graft.operators.Sketches.cmsEstimates(words, "word", 4, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    est.foreach { case (w, nTrue, nEst) =>
+      assert(nEst >= nTrue, s"$w undercounted: est $nEst < true $nTrue")
+    }
+    val thr = 40
+    val candidates = est.filter(_._3 >= thr).map(_._1).toSet
+    assert(Set("hot1", "hot2").subsetOf(candidates)) // no false negatives
+    // and the verify stage separates the survivors exactly
+    assert(est.filter(e => e._3 >= thr && e._2 >= thr).map(_._1).toSet ==
+      Set("hot1", "hot2"))
+  }
+
   test("dpp: fact scan carries a dynamic pruning partition filter") {
     // run once so the partitioned layout exists, then plan the same
     // join shape and assert Catalyst injected the runtime partition filter
