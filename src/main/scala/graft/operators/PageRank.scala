@@ -54,6 +54,53 @@ object PageRank {
         .as("r"))
   }
 
+  /** One personalized iteration: like [[step]] but teleport mass lands
+    * ONLY on the seed set (`verts` carries s ∈ {0,1}) — the rank update is
+    * r = 0.15·s + 0.85·Σc, the topic-sensitive PageRank recurrence. Same
+    * determinism discipline (one rounded IEEE expression; decimal-summed
+    * contributions). */
+  private def stepPersonalized(degEdges: DataFrame, verts: DataFrame,
+                               ranks: DataFrame, useBroadcast: Boolean): DataFrame = {
+    def hint(df: DataFrame) = if (useBroadcast) broadcast(df) else df
+    val contrib = degEdges.join(hint(ranks), col("src") === col("v"))
+      .select(col("dst"),
+        expr("CAST(round(r / deg, 8) AS DECIMAL(28,10))").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("sc"))
+    verts.join(hint(contrib), col("v") === col("dst"), "left_outer")
+      .select(col("v"), col("s"), expr(
+        "CAST(round(0.15 * s + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE)")
+        .as("r"))
+  }
+
+  /** Personalized (topic-sensitive) PageRank: teleport mass lands only on
+    * `seeds` (a (v) table), so ranks measure proximity to the seed set —
+    * the "trusted seed" quality prior of web-corpus curation (TrustRank
+    * shape). r₀ = 1[v ∈ seeds]; per-iteration r = 0.15·s + 0.85·Σc. Same
+    * shuffle profile, broadcast gate, and cross-engine determinism as
+    * [[run]]; a vertex unreachable from the seeds keeps rank 0 (not the
+    * uniform 0.15) — that asymmetry is the point of personalization.
+    * @return (v, s, r): seed flag and rank after `iters` iterations. */
+  def runPersonalized(edges0: DataFrame, iters: Int,
+                      seeds: DataFrame): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val degEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    val verts = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v"))).distinct()
+      .join(seeds.select(col("v")).distinct().withColumn("__s", lit(1L)),
+        Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("__s"), lit(0L)).as("s"))
+      .localCheckpoint()
+    val useBroadcast = verts.count() <= confMaxVerts(edges0)
+    var ranks = verts.select(col("v"), col("s"), col("s").cast("double").as("r"))
+    for (_ <- 1 to iters)
+      ranks = stepPersonalized(degEdges, verts, ranks, useBroadcast)
+        .localCheckpoint()
+    ranks
+  }
+
   /** @param edges0 (src, dst) BIGINT pairs, already in the direction(s)
     *   mass should flow (pass both directions for an undirected graph).
     * @return (v, r) ranks after `iters` damped iterations (d = 0.85). */

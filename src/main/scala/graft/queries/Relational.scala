@@ -897,6 +897,26 @@ object Relational {
         .orderBy("v")
     }),
 
+    // Personalized (topic-sensitive) PageRank: teleport mass lands ONLY
+    // on the supplier vertices — ranks measure proximity to the trusted
+    // seed side (the TrustRank curation shape: seed a vetted domain list,
+    // rank everything by seed-proximity). Same unrolled-iteration oracle
+    // technique as q_pagerank; vertices unreachable from the seeds keep
+    // rank 0 — the asymmetry that distinguishes PPR from the uniform
+    // teleport.
+    "q_ppr" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
+        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
+      val seeds = pairs.select(col("sv").as("v")).distinct()
+      graft.operators.PageRank.runPersonalized(edges, 3, seeds)
+        .select(col("v"), col("s"), round(col("r"), 6).as("rank"))
+        .orderBy("v")
+    }),
+
     // Per-key p99 anomaly flagging: the event-analytics twin of the
     // perplexity gate — thresholds computed PER event_type by the
     // distributed Percentiles operator (no whole-group buffer), events
@@ -1661,6 +1681,39 @@ object Relational {
          |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
          |$iters
          |SELECT v, round(r, 6) AS rank FROM r3 ORDER BY v""".stripMargin
+    },
+
+    "q_ppr" -> {
+      // same unrolled-iteration technique as q_pagerank, with the
+      // personalized teleport r = 0.15·s + 0.85·Σc and r0 = s
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst, sum(CAST(round(r${i - 1}.r / deg.deg, 8) AS DECIMAL(28,10))) AS sc
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst
+           |),
+           |r$i AS (
+           |  SELECT sv.v,
+           |    CAST(round(0.15 * s + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE) AS r
+           |  FROM sv LEFT JOIN c$i ON sv.v = c$i.dst
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
+         |),
+         |e AS (
+         |  SELECT p AS src, sv AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sv AS src, p AS dst FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT src AS v FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |sv AS (SELECT v, CAST(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END AS BIGINT) AS s
+         |       FROM verts),
+         |r0 AS (SELECT v, CAST(s AS DOUBLE) AS r FROM sv),
+         |$iters
+         |SELECT sv.v, sv.s, round(r3.r, 6) AS rank
+         |FROM sv JOIN r3 ON sv.v = r3.v ORDER BY sv.v""".stripMargin
     },
 
     "q_anomalies" ->

@@ -69,6 +69,42 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == r) // run() returns the 8-decimal ranks; no further rounding
   }
 
+  test("Personalized PageRank mirrors in memory; non-seed-reachable ranks are 0") {
+    val rnd = new scala.util.Random(13)
+    val nV = 12
+    val edges0 = Seq.fill(30)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = edges0 ++ edges0.map(_.swap)
+    val seedSet = Set(0L, 3L, 7L)
+    val got = PageRank.runPersonalized(edges.toDF("src", "dst"), 3,
+        seedSet.toSeq.toDF("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    def r8(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size }
+    def s(v: Long): Double = if (seedSet(v)) 1.0 else 0.0
+    var r = verts.map(v => v -> s(v)).toMap
+    for (_ <- 1 to 3) {
+      val contribs = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => java.math.BigDecimal.valueOf(r8(r(e._1) / deg(e._1))))
+          .reduce(_.add(_))
+      }
+      r = verts.map(v => v ->
+        r8(0.15 * s(v) + 0.85 * contribs.get(v).map(_.doubleValue()).getOrElse(0.0))).toMap
+    }
+    assert(got == r)
+
+    // an isolated component with no seed keeps rank exactly 0 — the PPR
+    // asymmetry the uniform teleport cannot express
+    val island = edges ++ Seq((100L, 101L), (101L, 100L))
+    val gotI = PageRank.runPersonalized(island.toDF("src", "dst"), 3,
+        seedSet.toSeq.toDF("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(gotI(100L) == 0.0 && gotI(101L) == 0.0)
+  }
+
   test("LabelProp matches a synchronous in-memory mirror on random graphs") {
     val rnd = new scala.util.Random(101)
     for (trial <- 1 to 6) {
