@@ -1007,6 +1007,52 @@ object LlmOps {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // CAPSTONE v2 — corpus ASSEMBLY: where q_pipeline_prep ends at the
+    // kept set, this carries it to training-ready shards in the SAME
+    // declarative plan: quality gate (≥ minTok kept tokens, all langs) →
+    // near-dedup drop → exact-ratio domain mixing (4:2:2:1:1 per lang) →
+    // deterministic shard shuffle (md5 fold + independent-hash in-shard
+    // order) → ~512-token greedy packing per shard. Every stage is the
+    // same logic as its standalone query (q_mix_sources /
+    // q_shuffle_shards / q_pack_sequences), so the end-to-end composition
+    // is oracle-checked. Both rank stages ride Ranks.withinKey; packing
+    // windows partition by shard — nothing global, nothing single-task.
+    "q_pipeline_assemble" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val minTok = 20
+      val ntok = toks(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val kept = docs(s, dir).select("doc_id", "lang")
+        .join(ntok.where(col("n_tok") >= minTok), "doc_id")
+        .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
+      val wDf = MixWeights.toDF("lang", "w")
+      val withW = kept.groupBy("lang").agg(count(lit(1)).as("n")).join(wDf, "lang")
+      val units = withW.agg(min(expr("n DIV w")).as("u"))
+      val mixed = graft.operators.Ranks.withinKey(
+          kept.withColumn("hx",
+            md5(concat(lit("mix:"), col("doc_id").cast("string")))),
+          "lang", Seq("hx", "doc_id"))
+        .join(broadcast(withW.select("lang", "w")), "lang")
+        .crossJoin(broadcast(units))
+        .where(col("rk") <= col("w") * col("u"))
+        .select("doc_id", "n_tok")
+      val positioned = graft.operators.Ranks.withinKey(
+          mixed.withColumn("shard", expr(s"($HashBucketSpark) % 8"))
+            .withColumn("h",
+              md5(concat(lit("ord"), col("doc_id").cast("string")))),
+          "shard", Seq("h", "doc_id"))
+        .withColumnRenamed("rk", "pos")
+      val byShard = Window.partitionBy("shard").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      positioned.withColumn("cum", sum(col("n_tok")).over(byShard))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")) / lit(PackBudget)).cast("long"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard", "bin")
+    }),
+
     // Language ID: stopword-hit scoring with a deterministic argmax.
     "q_lang_id" -> ((s, dir) => {
       val scoreAggs = Stops.map { case (lang, words) =>
@@ -2793,6 +2839,52 @@ object LlmOps {
          |JOIN scp ON d.doc_id = scp.doc_id
          |WHERE scp.n_tok >= 20 AND scp.pred = 'en'
          |  AND d.doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin
+    },
+
+    "q_pipeline_assemble" -> {
+      val wVals = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH $ToksSql,
+         |ntok AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+         |$MinhashSigSql,
+         |$BandsSql,
+         |$NearDupsSql,
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, ntok.n_tok
+         |  FROM documents d JOIN ntok ON d.doc_id = ntok.doc_id
+         |  WHERE ntok.n_tok >= 20
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dropids)
+         |),
+         |w(lang, w) AS (VALUES $wVals),
+         |counts AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
+         |u AS (SELECT min(n // w) AS u FROM counts JOIN w USING (lang)),
+         |mr AS (SELECT kept.*,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |       FROM kept),
+         |mixed AS (
+         |  SELECT mr.doc_id, mr.n_tok FROM mr JOIN w USING (lang) CROSS JOIN u
+         |  WHERE mr.rk <= w.w * u.u
+         |),
+         |shx AS (
+         |  SELECT doc_id, n_tok, ($hashBucketSql) % 8 AS shard,
+         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM mixed
+         |),
+         |pos AS (
+         |  SELECT doc_id, n_tok, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+         |  FROM shx
+         |),
+         |packed AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM pos
+         |)
+         |SELECT shard, CAST(floor((cum - n_tok) / $PackBudget.0) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM packed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
     },
 
     "q_lang_id" -> {

@@ -110,6 +110,22 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("pipeline_assemble: exact mixture ratio and contiguous per-shard bins") {
+    val rows = SparkEntry.queries("q_pipeline_assemble")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the mixed corpus is u units of the 4:2:2:1:1 weights → total docs
+    // divisible by Σw = 10 (exact-ratio mixing survived the composition)
+    assert(rows.map(_._3).sum % 10 == 0)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val bins = g.map(_._2).sorted
+      assert(bins.toSeq == (bins.head to bins.last), // contiguous bins
+        s"gap in bins: ${bins.toSeq}")
+      // greedy packing: every bin but the shard's last holds > 0 tokens
+      assert(g.forall(_._4 > 0))
+    }
+  }
+
   test("heavy hitters: CMS candidates have no false negatives, even squeezed") {
     import spark.implicits._
     // a deliberately narrow sketch (width 4) forces collisions: estimates
