@@ -1984,31 +1984,27 @@ object LlmOps {
     // |vocab|-bound (not corpus-bound) after the word-count shuffle, and
     // each merge is a map-side string op.
     "q_bpe_merges" -> ((s, dir) => {
-      val wc0 = toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
-        .withColumn("seq", concat(lit(" "),
-          regexp_replace(col("word"), "(.)", "$1 ")))
-      def top1(wc: DataFrame): DataFrame = wc
-        .where(expr("size(split(trim(seq), ' ')) >= 2"))
-        .select(col("cnt"), split(trim(col("seq")), " ").as("syms"))
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("w"))
-        .orderBy(desc("w"), asc("l"), asc("r")).limit(1)
-      def merge(wc: DataFrame, t1: DataFrame): DataFrame = wc
-        .crossJoin(broadcast(t1))
-        .withColumn("seq", expr(
-          "replace(seq, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))"))
-        .select("word", "cnt", "seq")
-      val t1 = top1(wc0);  val wc1 = merge(wc0, t1)
-      val t2 = top1(wc1);  val wc2 = merge(wc1, t2)
-      val t3 = top1(wc2)
-      t1.withColumn("step", lit(1L))
-        .unionByName(t2.withColumn("step", lit(2L)))
-        .unionByName(t3.withColumn("step", lit(3L)))
+      val (_, merges) = bpeChain(s, dir)
+      merges.zipWithIndex.map { case (t, i) =>
+        t.withColumn("step", lit((i + 1).toLong))
+      }.reduce(_ unionByName _)
         .select(col("step"), col("l"), col("r"), col("w"))
         .orderBy("step")
+    }),
+
+    // BPE APPLY — the tokenizer completes train→apply the way the dedup
+    // family completes candidates→verify→apply: the 3 learned merges are
+    // applied to the whole vocabulary (the same broadcast-pair literal
+    // replace as training, so the two queries cannot drift) and each
+    // word's resulting symbol count is emitted. n_sym is the per-word
+    // token cost under the learned tokenizer — Σ cnt·n_sym is the corpus
+    // token count a budget planner would use. All map-side after the
+    // word-count collapse.
+    "q_bpe_apply" -> ((s, dir) => {
+      val (wc3, _) = bpeChain(s, dir)
+      wc3.select(col("word"), col("cnt"),
+        expr("CAST(size(split(trim(seq), ' ')) AS BIGINT)").as("n_sym"))
+        .orderBy("word")
     }),
 
     // Deterministic training-data shuffle: shard = md5 bucket of doc_id
@@ -2044,6 +2040,36 @@ object LlmOps {
   /** BM25 query terms: three common + one rare ("dup", df≈5% of docs) so
     * scores discriminate. */
   private val BmTerms = Seq("spark", "query", "vector", "dup")
+
+  /** Shared BPE training chain (q_bpe_merges / q_bpe_apply): word counts →
+    * char-split symbol sequences → 3 rounds of (weighted pair count →
+    * deterministic argmax → broadcast literal merge). Returns the final
+    * sequence table and the 3 chosen merges. One definition so train and
+    * apply cannot drift. */
+  private def bpeChain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val wc0 = toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 ")))
+    def top1(wc: DataFrame): DataFrame = wc
+      .where(expr("size(split(trim(seq), ' ')) >= 2"))
+      .select(col("cnt"), split(trim(col("seq")), " ").as("syms"))
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1)," +
+          " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").as("w"))
+      .orderBy(desc("w"), asc("l"), asc("r")).limit(1)
+    def merge(wc: DataFrame, t1: DataFrame): DataFrame = wc
+      .crossJoin(broadcast(t1))
+      .withColumn("seq", expr(
+        "replace(seq, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))"))
+      .select("word", "cnt", "seq")
+    val t1 = top1(wc0); val wc1 = merge(wc0, t1)
+    val t2 = top1(wc1); val wc2 = merge(wc1, t2)
+    val t3 = top1(wc2); val wc3 = merge(wc2, t3)
+    (wc3, Seq(t1, t2, t3))
+  }
 
   /** Per-(doc, term) BM25 contribution (k1 = 1.2, b = 0.75), ONE string
     * parsed by BOTH engines (columns tf, df, dl, n_docs, sum_dl): spelling
@@ -3590,6 +3616,53 @@ object LlmOps {
          |UNION ALL SELECT CAST(2 AS BIGINT), l, r, w FROM t2
          |UNION ALL SELECT CAST(3 AS BIGINT), l, r, w FROM t3
          |ORDER BY step""".stripMargin,
+
+    "q_bpe_apply" ->
+      s"""WITH $ToksSql,
+         |wc0 AS (
+         |  SELECT word, count(*) AS cnt,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |  FROM toks GROUP BY word
+         |),
+         |p1 AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM wc0),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |),
+         |t1 AS (SELECT l, r, w FROM p1 ORDER BY w DESC, l, r LIMIT 1),
+         |wc1 AS (
+         |  SELECT word, cnt,
+         |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+         |  FROM wc0 CROSS JOIN t1
+         |),
+         |p2 AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM wc1),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |),
+         |t2 AS (SELECT l, r, w FROM p2 ORDER BY w DESC, l, r LIMIT 1),
+         |wc2 AS (
+         |  SELECT word, cnt,
+         |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+         |  FROM wc1 CROSS JOIN t2
+         |),
+         |p3 AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS w
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms FROM wc2),
+         |       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2
+         |),
+         |t3 AS (SELECT l, r, w FROM p3 ORDER BY w DESC, l, r LIMIT 1),
+         |wc3 AS (
+         |  SELECT word, cnt,
+         |    replace(seq, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS seq
+         |  FROM wc2 CROSS JOIN t3
+         |)
+         |SELECT word, cnt,
+         |  CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym
+         |FROM wc3 ORDER BY word""".stripMargin,
 
     "q_stream_join_sink" ->
       """WITH e AS (

@@ -62,6 +62,24 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ws.forall(_ > 0))
   }
 
+  test("bpe apply: symbol counts shrink by at most the trained merge weights") {
+    val merges = SparkEntry.queries("q_bpe_merges")(spark, Sf).collect()
+    val applied = SparkEntry.queries("q_bpe_apply")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    applied.foreach { case (w, _, nSym) =>
+      assert(nSym >= 1 && nSym <= w.length, s"$w: n_sym $nSym")
+    }
+    val totalChars = applied.map { case (w, cnt, _) => cnt * w.length }.sum
+    val totalSyms = applied.map { case (_, cnt, nSym) => cnt * nSym }.sum
+    val claimed = merges.map(_.getLong(3)).sum
+    // each executed merge removes exactly one symbol; non-overlapping
+    // left-to-right replace may execute FEWER merges than the counted
+    // pair weight (" a a a " counts 2 pairs, merges once) — never more
+    assert(totalSyms < totalChars, "training merged nothing")
+    assert(totalChars - totalSyms <= claimed,
+      s"merged more symbols ($totalChars - $totalSyms) than trained weight $claimed")
+  }
+
   test("bpe merge actually rewrites sequences (merged token appears)") {
     // replay round 1 by hand on the tiny corpus: after merging the top
     // pair (l, r), no word sequence may still contain ' l r ' as adjacent
