@@ -25,6 +25,11 @@ case class ResizeFeatures(doc_id: Long, rw: Int, rh: Int,
 /** Per-sampled-frame features of a multi-frame (video-like) payload. */
 case class FrameFeatures(doc_id: Long, frame: Long, n_px: Long, f_sum: Long)
 
+/** Typed features from a REAL WAV decode (javax.sound.sampled): format
+  * metadata from the RIFF header, amplitude statistics from the PCM data. */
+case class AudioFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+                         sum_abs: Long, max_abs: Long)
+
 /** Multimodal column plumbing with pure-JDK codecs: binary payloads in,
   * typed features out, batched per-partition decode.
   *
@@ -172,6 +177,69 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  // ---- audio (WAV/PCM) payloads ----
+
+  /** Sample count for doc_id's synthetic clip: 400..720. */
+  def sampleCount(docId: Long): Int = 400 + (docId % 5).toInt * 80
+
+  /** 16-bit PCM sample i: ((doc_id·31 + i·17) mod 65536) − 32768. */
+  def sample16(docId: Long, i: Int): Int =
+    java.lang.Math.floorMod(docId * 31L + i * 17L, 65536L).toInt - 32768
+
+  /** A REAL WAV file (canonical 44-byte RIFF/PCM header + little-endian
+    * 16-bit mono samples at 8 kHz) of the deterministic signal for doc_id —
+    * written directly to the RIFF spec, so the decode side
+    * (`javax.sound.sampled.AudioSystem`, an independent JDK parser)
+    * validates these bytes the same way ImageIO validates the hand-rolled
+    * PNG: a bug in either implementation breaks the oracle match. */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val n = sampleCount(docId)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1)            // audio format: PCM
+      .putShort(1)            // channels: mono
+      .putInt(8000)           // sample rate
+      .putInt(8000 * 2)       // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes(ascii)).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(sample16(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** WAV → format + amplitude features via the REAL JDK audio parser.
+    * None on corrupt/undecodable payloads or unexpected formats — the
+    * droppable-and-countable shape shared with the image decoders. */
+  def decodeAudio(docId: Long, payload: Array[Byte]): Option[AudioFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+      val bytes = ais.readAllBytes()
+      ais.close()
+      if (bytes.length % 2 != 0) return None // torn sample
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var mx = 0L
+      var n = 0L
+      while (bb.remaining >= 2) {
+        val a = math.abs(bb.getShort.toLong)
+        sum += a; if (a > mx) mx = a; n += 1
+      }
+      Some(AudioFeatures(docId, fmt.getSampleRate.toLong, n, sum, mx))
+    } catch { case _: Exception => None }
+  }
+
   // ---- multi-frame ("video") payloads ----
 
   /** Frame count for doc_id's synthetic clip: 4..8. */
@@ -296,6 +364,15 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap(r =>
         sampleFrames(r.doc_id, r.payload, stride)))
+    }
+  }
+
+  /** Batched per-partition WAV decode over binary payloads. */
+  def extractAudio(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r =>
+        decodeAudio(r.doc_id, r.payload)))
     }
   }
 

@@ -61,6 +61,8 @@ object LlmOps {
           graft.operators.MediaRecord(id, graft.operators.Multimodal.pngPayload(id))))
         case "video" => ids.as[Long].mapPartitions(_.map(id =>
           graft.operators.MediaRecord(id, graft.operators.Multimodal.videoPayload(id))))
+        case "wav" => ids.as[Long].mapPartitions(_.map(id =>
+          graft.operators.MediaRecord(id, graft.operators.Multimodal.wavPayload(id))))
         case "zlib" => docs(s, dir).select(col("doc_id"), col("text"))
           .repartition(s.sparkContext.defaultParallelism).as[(Long, String)]
           .mapPartitions(_.map { case (id, t) => graft.operators.MediaRecord(
@@ -980,6 +982,21 @@ object LlmOps {
       val recs = mediaTable(s, dir, "zlib")
         .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
       graft.operators.Multimodal.extractInflate(recs).toDF().orderBy("doc_id")
+    }),
+
+    // Multimodal AUDIO, REAL codec: a deterministic 16-bit mono PCM
+    // signal is written per doc_id as actual RIFF/WAV bytes (canonical
+    // 44-byte header, hand-rolled to the spec), then decoded back through
+    // the INDEPENDENT JDK parser (javax.sound.sampled.AudioSystem) and
+    // amplitude statistics emitted. The oracle recomputes the same
+    // features from the construction rule alone — completing the
+    // image/audio/video modality triple on the same binary-column
+    // plumbing (zero shuffle, batched mapPartitions, drop-and-count).
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val recs = mediaTable(s, dir, "wav")
+        .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
+      graft.operators.Multimodal.extractAudio(recs).toDF().orderBy("doc_id")
     }),
 
     // CAPSTONE — the full training-data prep pipeline in one plan:
@@ -2844,6 +2861,22 @@ object LlmOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays the PCM construction rule (samples are non-negative doc_id
+    // and index, so plain % matches floorMod)
+    "q_multimodal_audio" ->
+      """WITH n AS (
+        |  SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+        |  FROM n, unnest(generate_series(0, n - 1)) AS t(i)
+        |)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  count(*) AS n_samples,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_prep" -> {
       val scores = Stops.map { case (lang, words) =>

@@ -60,6 +60,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.sampleFrames(id, Array[Byte](1, 2, 3)).isEmpty) // garbage
   }
 
+  test("WAV payload parses via javax.sound and matches the PCM rule exactly") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val bytes = Multimodal.wavPayload(id)
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      val f = Multimodal.decodeAudio(id, bytes).get
+      val n = Multimodal.sampleCount(id)
+      assert(f.sample_rate == 8000L && f.n_samples == n.toLong, s"id=$id: $f")
+      var (sum, mx) = (0L, 0L)
+      for (i <- 0 until n) {
+        val a = math.abs(Multimodal.sample16(id, i).toLong)
+        sum += a; mx = math.max(mx, a)
+      }
+      assert(f.sum_abs == sum && f.max_abs == mx, s"id=$id")
+    }
+    // corrupt shapes drop, never throw: garbage, truncated header, empty
+    assert(Multimodal.decodeAudio(1L, Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeAudio(1L, Multimodal.wavPayload(1L).take(20)).isEmpty)
+    assert(Multimodal.decodeAudio(1L, Array.emptyByteArray).isEmpty)
+  }
+
   test("zlib payload inflates back to the exact source bytes") {
     for (t <- Seq("", "a", "hello world " * 100, "ünïcødé — 中文 🙂")) {
       val got = Multimodal.inflate(Multimodal.deflatePayload(t)).get
