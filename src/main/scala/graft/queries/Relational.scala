@@ -1103,6 +1103,37 @@ object Relational {
         .orderBy("lang")
     }),
 
+    // Winsorization (robust clipping): per event_type, clamp values into
+    // [p05, p95] and report how much mass moved — the feature-engineering
+    // staple before scale-sensitive models. Thresholds come from ONE
+    // Percentiles.exact pass (both ps share the rank shuffle); the clip
+    // comparisons carry the q_anomalies relative epsilon, and the
+    // thresholds are output-safe because the oracle replays the engine's
+    // interpolation formula (bit-identical lo/hi both engines).
+    "q_winsorize" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
+      val thr = graft.operators.Percentiles
+        .exact(ev, "event_type", "value", Seq(0.05, 0.95))
+        .groupBy("event_type")
+        .agg(max(when(col("p") < 0.5, col("q"))).as("lo"),
+          max(when(col("p") > 0.5, col("q"))).as("hi"))
+      val eps = (c: org.apache.spark.sql.Column) =>
+        lit(1e-9) * greatest(abs(c), lit(1.0))
+      ev.where(col("value").isNotNull).join(broadcast(thr), "event_type")
+        .withColumn("clip_lo", col("value") < col("lo") - eps(col("lo")))
+        .withColumn("clip_hi", col("value") > col("hi") + eps(col("hi")))
+        .withColumn("w", when(col("clip_lo"), col("lo"))
+          .when(col("clip_hi"), col("hi")).otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clip_lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("clip_hi"), 1L).otherwise(0L)).as("n_hi"),
+          round(dsum(col("value"), 4) / count(lit(1)), 4).as("mean_before"),
+          round(dsum(col("w"), 4) / count(lit(1)), 4).as("mean_after"),
+          round(max(col("lo")), 4).as("lo"), round(max(col("hi")), 4).as("hi"))
+        .orderBy("event_type")
+    }),
+
     // Robust outlier detection: median / MAD (median absolute deviation)
     // per event_type — two COMPOSED passes of the distributed Percentiles
     // selection (median of values, then median of |value − median|), so
@@ -1845,6 +1876,59 @@ object Relational {
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents JOIN d USING (lang)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the engine's interpolation formula for p05/p95 (bit-identical
+    // thresholds — the q_anomalies technique), then the clip accounting
+    "q_winsorize" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |tp AS (
+        |  SELECT event_type, p,
+        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
+        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
+        |         r - floor(r) AS f
+        |  FROM (
+        |    SELECT event_type, n, p, p * (n - 1) AS r
+        |    FROM (SELECT event_type, count(value) AS n FROM ev GROUP BY event_type)
+        |    CROSS JOIN (SELECT unnest([CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p)
+        |  )
+        |),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
+        |  FROM ev WHERE value IS NOT NULL
+        |),
+        |qv AS (
+        |  SELECT t.event_type, t.p,
+        |         CASE WHEN t.f = 0 THEN lo.value
+        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.value + t.f * hi.value
+        |         END AS q
+        |  FROM tp t
+        |  JOIN ranked lo ON lo.event_type = t.event_type AND lo.rk = t.lo
+        |  JOIN ranked hi ON hi.event_type = t.event_type AND hi.rk = t.hi
+        |),
+        |thr AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN p < 0.5 THEN q END) AS lo,
+        |         max(CASE WHEN p > 0.5 THEN q END) AS hi
+        |  FROM qv GROUP BY event_type
+        |),
+        |c AS (
+        |  SELECT ev.event_type, value, thr.lo, thr.hi,
+        |    value < thr.lo - 1e-9 * greatest(abs(thr.lo), 1.0) AS clip_lo,
+        |    value > thr.hi + 1e-9 * greatest(abs(thr.hi), 1.0) AS clip_hi
+        |  FROM ev JOIN thr USING (event_type) WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN clip_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN clip_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+        |    AS mean_before,
+        |  round(CAST(sum(CAST(CASE WHEN clip_lo THEN lo
+        |                           WHEN clip_hi THEN hi
+        |                           ELSE value END AS DECIMAL(18,4))) AS DOUBLE)
+        |        / count(*), 4) AS mean_after,
+        |  round(max(lo), 4) AS lo, round(max(hi), 4) AS hi
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // replays the engine's exact interpolation formula at BOTH levels
     // (median, then median of deviations) so med/mad are bit-identical

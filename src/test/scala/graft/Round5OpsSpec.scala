@@ -179,6 +179,20 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
     assert(p.toLowerCase.contains("dynamicpruning"), p)
   }
 
+  test("winsorize: ~10% of mass clips and the clamped mean moves inward") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nLo, nHi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi) = (r.getDouble(6), r.getDouble(7))
+      assert(lo <= hi)
+      // p05/p95 thresholds clip at most ~5% each side (interpolation can
+      // only shrink the strictly-outside set, never grow it)
+      assert(nLo <= n * 0.05 + 1 && nHi <= n * 0.05 + 1, s"$r")
+      assert(nLo + nHi > 0, s"nothing clipped for ${r.getString(0)}")
+    }
+  }
+
   test("mad_outliers: med/mad are non-negative and outliers are a minority") {
     val rows = SparkEntry.queries("q_mad_outliers")(spark, Sf).collect()
     assert(rows.nonEmpty)
