@@ -185,6 +185,19 @@ object Reference {
         .select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
+    // DSv2 AGGREGATE pushdown: ungrouped count(*)/min/max over the dense
+    // filter-narrowed id range are pure range arithmetic — the connector
+    // answers with ONE row and Spark plans NO aggregation at all
+    // (supportCompletePushDown), the same contract a parquet scan honors
+    // with footer statistics. The oracle regenerates the range and
+    // aggregates it the honest way; Round5OpsSpec pins PushedAggregates
+    // in the plan and that no agg Exec survives.
+    "q_synth_agg" -> ((s, _) =>
+      s.read.format("graft.sources.SynthSource")
+        .option("rows", "100000").option("partitions", "8").load()
+        .where(col("doc_id") >= 1000 && col("doc_id") < 90000)
+        .selectExpr("count(*) AS n", "min(doc_id) AS min_id",
+          "max(doc_id) AS max_id")),
     // Schema evolution: two parquet batches written with DIFFERENT schemas
     // (a later batch gained a `lang` column), read back under mergeSchema
     // — missing columns surface as nulls, the union schema is the read
@@ -327,6 +340,12 @@ object Reference {
          |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
          |FROM g ORDER BY doc_id""".stripMargin
     },
+    // regenerates the id range and aggregates it the honest way — the
+    // engine side answers from range arithmetic without generating rows
+    "q_synth_agg" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 99999)) AS doc_id)
+        |SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM g WHERE doc_id >= 1000 AND doc_id < 90000""".stripMargin,
     // coalesce also on the odd (lang-bearing) branch: a NULL lang in the
     // newer batch must land in '<missing>' on both sides, as the Spark
     // query's coalesce does

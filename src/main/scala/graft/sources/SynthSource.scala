@@ -72,8 +72,10 @@ private class SynthTable(rows: Long, partitions: Int)
 
 private class SynthScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var required: StructType = SynthSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -82,6 +84,8 @@ private class SynthScanBuilder(rows: Long, partitions: Int)
   // residual re-evaluation and pruned partitions are never generated
   private var lo = 0L
   private var hi = Long.MaxValue
+  private var aggRow: Option[Array[Long]] = None
+  private var aggSchema: StructType = _
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -100,10 +104,75 @@ private class SynthScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SynthScan(math.min(rows, math.max(hi, 0)), math.max(lo, 0),
-      partitions, required)
+  // ---- aggregate pushdown: stats a generator KNOWS without generating ----
+  // Ids are dense in the (filter-narrowed) range, so ungrouped COUNT(*) /
+  // MIN(doc_id) / MAX(doc_id) are pure range arithmetic — the same trick a
+  // parquet scan plays with footer statistics. COMPLETE pushdown: Spark
+  // plans no aggregation at all; the scan answers with one row.
+  private def effectiveRange: (Long, Long) =
+    (math.max(lo, 0L), math.min(rows, math.max(hi, 0L)))
+
+  private def answer(agg: Aggregation): Option[(StructType, Array[Long])] = {
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    val (l, h) = effectiveRange
+    if (h <= l) return None // empty range: min/max are NULL — let Spark aggregate
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e.describe == "doc_id"
+    val cols = agg.aggregateExpressions.map {
+      case _: CountStar => Some(StructField("count(*)", LongType, false) -> (h - l))
+      case m: Min if isDocId(m.column) => Some(StructField("min(doc_id)", LongType, false) -> l)
+      case m: Max if isDocId(m.column) => Some(StructField("max(doc_id)", LongType, false) -> (h - 1))
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val (fields, values) = cols.flatten.unzip
+      Some((StructType(fields), values))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answer(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    answer(agg) match {
+      case Some((schema, values)) =>
+        aggSchema = schema; aggRow = Some(values); true
+      case None => false
+    }
+
+  override def build(): Scan = aggRow match {
+    case Some(values) => new SynthAggScan(aggSchema, values)
+    case None =>
+      new SynthScan(math.min(rows, math.max(hi, 0)), math.max(lo, 0),
+        partitions, required)
+  }
 }
+
+/** Single-row scan answering a completely-pushed aggregation. */
+private class SynthAggScan(schema: StructType, values: Array[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val SynthAggPartition(vs) = p: @unchecked
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(vs.map(v => v: Any))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private case class SynthAggPartition(values: Array[Long]) extends InputPartition
 
 private class SynthScan(limit: Long, offset: Long, partitions: Int,
                         required: StructType) extends Scan with Batch {

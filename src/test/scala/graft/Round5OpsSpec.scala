@@ -164,6 +164,26 @@ class Round5OpsSpec extends AnyFunSuite with SparkFixture {
       Set("hot1", "hot2"))
   }
 
+  test("synth_agg: aggregation is COMPLETELY pushed into the DSv2 scan") {
+    val df = SparkEntry.queries("q_synth_agg")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // complete pushdown: the connector answers with one row; no Spark
+    // aggregation exec may survive above the scan
+    assert(p.contains("SynthAggScan") || p.contains("BatchScan"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    // and the answer equals the honest aggregate over the generated rows
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 89000L && row.getLong(1) == 1000L &&
+      row.getLong(2) == 89999L, row)
+    // a query the connector CANNOT answer (grouped) still works — Spark
+    // keeps its own aggregation on the row path
+    val grouped = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "100").option("partitions", "4").load()
+      .groupBy((col("doc_id") % 10).as("b")).count()
+    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 100L)
+  }
+
   test("dpp: fact scan carries a dynamic pruning partition filter") {
     // run once so the partitioned layout exists, then plan the same
     // join shape and assert Catalyst injected the runtime partition filter
