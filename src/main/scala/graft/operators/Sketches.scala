@@ -73,19 +73,26 @@ object Sketches {
           .as("est")): _*)
   }
 
-  /** CMS point estimate for every distinct key: min over hash rows of the
-    * key's cell total — never below the true count. */
-  def cmsEstimates(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+  /** CMS point estimate for every distinct (group ×) key: min over hash
+    * rows of the key's cell total — never below the true count. With
+    * `groupCols`, one INDEPENDENT sketch per group (cells keyed by
+    * (group, j, cell)) — the per-source/per-day profile shape, all groups
+    * in a single pass, mirroring [[hllRegisters]]'s grouped form. */
+  def cmsEstimates(df: DataFrame, keyCol: String, depth: Int, width: Int,
+                   groupCols: Seq[String] = Nil): DataFrame = {
     // Collapse to per-key counts FIRST: the sketch is linear in the count
     // vector, so hashing each DISTINCT key once (depth md5s) replaces
     // depth md5s per occurrence — at 100 TB that is the difference
     // between hash work ∝ corpus and ∝ vocabulary. Cell totals are
     // identical: Σ over keys in the cell of their counts.
-    val wc = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_true"))
+    val keys = groupCols :+ keyCol
+    val wc = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_true"))
     val coords = cmsCoords(wc, keyCol, depth, width)
-    val cells = coords.groupBy("j", "cell").agg(sum(col("n_true")).as("cn"))
-    coords.join(cells, Seq("j", "cell"))
-      .groupBy(col(keyCol))
+    val cellKeys = groupCols ++ Seq("j", "cell")
+    val cells = coords.groupBy(cellKeys.map(col): _*)
+      .agg(sum(col("n_true")).as("cn"))
+    coords.join(cells, cellKeys)
+      .groupBy(keys.map(col): _*)
       .agg(min(col("n_true")).as("n_true"), min(col("cn")).as("n_est"))
   }
 

@@ -1439,6 +1439,21 @@ object LlmOps {
         .cmsEstimates(corpusToks(s, dir).select("word"), "word", CmsDepth, CmsWidth)
         .orderBy("word")),
 
+    // Grouped CMS — one independent sketch PER SOURCE in a single pass
+    // (the per-source/per-day word-frequency profile), mirroring
+    // q_sketch_hll_grouped's shape: the shuffle carries |sources|·d·w
+    // cells no matter the corpus size, and per-group estimates still
+    // never undercount. Words are attributed to a doc's source via the
+    // tokenize join.
+    "q_sketch_cms_grouped" -> ((s, dir) => {
+      val t = toks(s, dir)
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      graft.operators.Sketches
+        .cmsEstimates(t.select("source", "word"), "word", CmsDepth, CmsWidth,
+          Seq("source"))
+        .orderBy("source", "word")
+    }),
+
     // Heavy hitters (φ = 1/64 of corpus tokens) via sketch-then-verify:
     // CMS point estimates never undercount, so thresholding n_est yields
     // a candidate set with NO false negatives; the exact count then
@@ -3136,6 +3151,26 @@ object LlmOps {
          |SELECT word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
          |FROM r JOIN cells USING (j, cell)
          |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_sketch_cms_grouped" ->
+      s"""WITH $ToksSql,
+         |tw AS (
+         |  SELECT d.source, t.word FROM toks t
+         |  JOIN documents d ON t.doc_id = d.doc_id
+         |),
+         |wc AS (SELECT source, word, count(*) AS n FROM tw GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, word, n, j,
+         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || word)", 1)} % $CmsWidth AS cell
+         |  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)
+         |),
+         |cells AS (
+         |  SELECT source, j, cell, CAST(sum(n) AS BIGINT) AS cn
+         |  FROM r GROUP BY 1, 2, 3
+         |)
+         |SELECT source, word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
+         |FROM r JOIN cells USING (source, j, cell)
+         |GROUP BY source, word ORDER BY source, word""".stripMargin,
 
     "q_heavy_hitters" ->
       s"""WITH $ToksSql,

@@ -49,4 +49,21 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       .collect()
     exact.foreach(r => assert(r.getLong(2) == r.getLong(1)))
   }
+
+  test("grouped CMS sketches are independent per group") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(2000)((s"g${rnd.nextInt(3)}", s"k${rnd.nextInt(30)}"))
+    val grouped = Sketches
+      .cmsEstimates(rows.toDF("g", "k"), "k", 4, 32, Seq("g"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // a group's sketch must equal the ungrouped sketch built from ONLY
+    // that group's rows — other groups' mass can't leak into its cells
+    for (g <- Seq("g0", "g1", "g2")) {
+      val alone = Sketches
+        .cmsEstimates(rows.filter(_._1 == g).map(_._2).toDF("k"), "k", 4, 32)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+      alone.foreach { case (k, v) => assert(grouped((g, k)) == v, s"$g/$k") }
+    }
+  }
 }
