@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round multi-source BFS over an edge list — shortest hop
+  * distance from a seed set, the graph primitive behind link-distance
+  * quality priors (docs N hops from a trusted seed site) and blast-radius
+  * queries. Same unrolled-Pregel shape as [[PageRank]] but with integer
+  * min-distance state, so results are exact in both engines with no
+  * floating point anywhere.
+  *
+  * Each round expands ONLY the previous round's frontier, not the whole
+  * settled set: a vertex first reached at round i is reachable from some
+  * vertex first reached at round i-1 (else it would have been reached
+  * earlier), so frontier-only expansion loses nothing while keeping the
+  * per-round join |frontier|×deg instead of |settled|×deg — the difference
+  * between O(E·rounds) and O(E·diameter) total work on a 100 TB graph.
+  *
+  * Fixed round count (not fixpoint-tested): hop-distance consumers want a
+  * bounded neighborhood (≤ k hops from seeds), and the unrolled loop gives
+  * the DuckDB oracle an exact twin — one UNION + min-regroup per round.
+  */
+object Bfs {
+
+  /** @param edges0 (src, dst) BIGINT pairs, already in the direction(s)
+    *   reachability should flow (pass both directions for undirected).
+    * @param seeds  (v) — distance-0 vertices.
+    * @return (v, dist): min hop distance from any seed, for every vertex
+    *   reached within `rounds` hops (unreached vertices are absent). */
+  def run(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    // edges feed every round: truncate lineage once (PageRank discipline)
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    var dist = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (i <- 1 to rounds) {
+      val next = dist.where(col("dist") === (i - 1).toLong)
+        .join(edges, col("v") === col("src"))
+        .select(col("dst").as("v"), lit(i.toLong).as("dist"))
+      // min-regroup keeps the first (smallest) round each vertex was seen
+      dist = dist.unionByName(next)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+}

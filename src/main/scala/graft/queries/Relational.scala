@@ -1162,6 +1162,89 @@ object Relational {
           round(max(col("med")), 4).as("med"),
           round(max(col("mad")), 4).as("mad"))
         .orderBy("event_type")
+    }),
+
+    // Bounded-round multi-source BFS (operators.Bfs) over the same
+    // part-supplier graph as q_pagerank: hop distance from the seed
+    // suppliers (sv ≡ 0 mod 7) — the link-distance quality prior of
+    // web curation ("≤ k hops from a trusted seed"). Integer-only state,
+    // frontier-only expansion; the oracle unrolls the identical rounds
+    // (UNION + min-regroup per round).
+    "q_bfs" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
+        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
+      val seeds = pairs.where(col("sv") % 7 === 0).select(col("sv").as("v"))
+      graft.operators.Bfs.run(edges, seeds, 3).orderBy("v")
+    }),
+
+    // CDC changelog apply: a base snapshot (customer) plus an I/U/D
+    // changelog (events as the change stream; op derived deterministically
+    // from event_id) folded into the current table state — latest change
+    // per key wins by (us, event_id), a 'D' deletes the row, keys with no
+    // changes keep the base value. One max-struct aggregation (map-side
+    // partials; (us, event_id) is a unique total order so the argmax is
+    // deterministic) + one broadcast-size join — no window over the full
+    // log, so the apply scales with |log| not |log|·|keys|.
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = table(s, dir, "customer")
+        .where(col("c_custkey") < 150)
+        .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("base_v"))
+      val log = table(s, dir, "events")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          round(col("value"), 2).as("v"))
+      val latest = log.groupBy("k")
+        .agg(max(struct(col("us"), col("event_id"), col("op"), col("v"))).as("m"),
+          count(lit(1)).as("n_changes"))
+        .select(col("k"), col("m.op").as("op"), col("m.v").as("vlast"),
+          col("n_changes"))
+      base.join(latest, Seq("k"), "left_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("k"),
+          when(col("op").isNull, col("base_v")).otherwise(col("vlast")).as("val"),
+          coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+        .orderBy("k")
+    }),
+
+    // Data-quality audit: per-column null counts, exact distinct counts,
+    // min/max, and rule violations (l_quantity ∈ [1,50], l_discount ∈
+    // [0,0.1], l_tax ∈ [0,0.08]) over lineitem in ONE aggregation pass —
+    // the multi-distinct is planned as a single Expand (×4 rows, one scan),
+    // never one scan per column. The wide 1-row aggregate is then stacked
+    // to the long (col_name, metrics…) audit shape by a Generate over one
+    // row. Min/max/violations are pass-through/compare-only on the stored
+    // doubles — no arithmetic, so both engines agree bit-for-bit.
+    "q_dq_audit" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val a = li.agg(
+        count(lit(1)).as("n_rows"),
+        nulls("l_quantity").as("null_q"), countDistinct(col("l_quantity")).as("nd_q"),
+        min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("viol_q"),
+        nulls("l_discount").as("null_d"), countDistinct(col("l_discount")).as("nd_d"),
+        min(col("l_discount")).as("min_d"), max(col("l_discount")).as("max_d"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("viol_d"),
+        nulls("l_tax").as("null_t"), countDistinct(col("l_tax")).as("nd_t"),
+        min(col("l_tax")).as("min_t"), max(col("l_tax")).as("max_t"),
+        sum(when(col("l_tax") < 0.0 || col("l_tax") > 0.08, 1L)
+          .otherwise(0L)).as("viol_t"))
+      a.select(col("n_rows"), expr(
+        """stack(3,
+          |  'l_discount', null_d, nd_d, min_d, max_d, viol_d,
+          |  'l_quantity', null_q, nd_q, min_q, max_q, viol_q,
+          |  'l_tax',      null_t, nd_t, min_t, max_t, viol_t)
+          |  AS (col_name, n_null, n_distinct, min_v, max_v, n_viol)""".stripMargin))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("n_viol"))
+        .orderBy("col_name")
     })
   )
 
@@ -1991,6 +2074,90 @@ object Relational {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
         |  round(max(dv.med), 4) AS med, round(max(mad.mad), 4) AS mad
         |FROM dv JOIN mad USING (event_type)
-        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin
+        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
+
+    "q_bfs" -> {
+      // unroll the same 3 frontier rounds the Spark loop runs:
+      // per round, expand the previous frontier then min-regroup
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (
+           |  SELECT e.dst AS v, CAST($i AS BIGINT) AS dist
+           |  FROM e JOIN d${i - 1} f ON e.src = f.v
+           |  WHERE f.dist = ${i - 1}
+           |),
+           |d$i AS (
+           |  SELECT v, min(dist) AS dist FROM
+           |    (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM n$i)
+           |  GROUP BY v
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
+         |),
+         |e AS (
+         |  SELECT p AS src, sv AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sv AS src, p AS dst FROM pairs
+         |),
+         |d0 AS (
+         |  SELECT DISTINCT sv AS v, CAST(0 AS BIGINT) AS dist
+         |  FROM pairs WHERE sv % 7 = 0
+         |),
+         |$rounds
+         |SELECT v, dist FROM d3 ORDER BY v""".stripMargin
+    },
+
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, round(c_acctbal, 2) AS base_v
+        |  FROM customer WHERE c_custkey < 150
+        |),
+        |log AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    round(value, 2) AS v
+        |  FROM events
+        |),
+        |latest AS (
+        |  SELECT k, op, v, n_changes FROM (
+        |    SELECT k, op, v,
+        |      count(*) OVER (PARTITION BY k) AS n_changes,
+        |      row_number() OVER (PARTITION BY k
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM log
+        |  ) WHERE rn = 1
+        |)
+        |SELECT b.k,
+        |  CASE WHEN l.op IS NULL THEN b.base_v ELSE l.v END AS val,
+        |  CAST(coalesce(l.n_changes, 0) AS BIGINT) AS n_changes
+        |FROM base b LEFT JOIN latest l ON b.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY b.k""".stripMargin,
+
+    "q_dq_audit" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_q,
+        |    count(DISTINCT l_quantity) AS nd_q,
+        |    min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |    CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS viol_q,
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_d,
+        |    count(DISTINCT l_discount) AS nd_d,
+        |    min(l_discount) AS min_d, max(l_discount) AS max_d,
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS viol_d,
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_t,
+        |    count(DISTINCT l_tax) AS nd_t,
+        |    min(l_tax) AS min_t, max(l_tax) AS max_t,
+        |    CAST(sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS viol_t
+        |  FROM lineitem
+        |)
+        |SELECT 'l_discount' AS col_name, n_rows, null_d AS n_null,
+        |  nd_d AS n_distinct, min_d AS min_v, max_d AS max_v, viol_d AS n_viol
+        |FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', n_rows, null_q, nd_q, min_q, max_q, viol_q FROM a
+        |UNION ALL
+        |SELECT 'l_tax', n_rows, null_t, nd_t, min_t, max_t, viol_t FROM a
+        |ORDER BY col_name""".stripMargin
   )
 }
