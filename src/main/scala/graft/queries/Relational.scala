@@ -23,6 +23,41 @@ object Relational {
     * (453k of 499k possible edges at sf0.1); ≥5 keeps ~10% of them. */
   private val TriangleMinW = 5
 
+  /** q_freq_pairs: min pair support and basket-size cap. The cap bounds the
+    * per-basket pair fan-out at C(cap,2) — a degenerate "basket" holding a
+    * million items (a bot account, a crawler session) would otherwise emit
+    * 10¹² join rows; capped baskets carry no co-purchase signal anyway. */
+  private val PairMinSupport = 2
+  private val BasketCap = 64
+
+  // ---- q_regression: engine-identical terminal expressions over the five
+  // exact integer power sums (n, sx, sy, sxy, sxx). Every sum < 2^53 so
+  // the DOUBLE casts are exact; each IEEE op is correctly rounded from
+  // identical inputs, so both engines produce bit-identical slopes — the
+  // q_corr discipline applied to OLS.
+  private val SlopeExpr =
+    "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
+  private val InterceptExpr =
+    s"(CAST(sy AS DOUBLE) - ($SlopeExpr) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+
+  // ---- q_ewma: 8-lag EWMA kernel with INTEGER weights 2^7..2^0 over the
+  // available lags (shorter history near a series head just drops kernel
+  // terms). Numerator and denominator are exact BIGINTs; the single
+  // terminal division is the only float op. The expression strings are
+  // generated once and fed verbatim to BOTH engines.
+  private val EwmaOver = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+  private def ewmaLag(k: Int): String =
+    if (k == 0) "v" else s"lag(v, $k) $EwmaOver"
+  private val EwmaNum = (0 to 7)
+    .map(k => s"coalesce((${ewmaLag(k)}) * ${1L << (7 - k)}, 0)")
+    .mkString(" + ")
+  private val EwmaDen = (0 to 7)
+    .map(k => s"(CASE WHEN (${ewmaLag(k)}) IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END)")
+    .mkString(" + ")
+  /** value is quantized ×100, so ÷(den·100) lands back in value units. */
+  private val EwmaExpr =
+    s"round(CAST($EwmaNum AS DOUBLE) / CAST(($EwmaDen) * 100 AS DOUBLE), 4)"
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
     // → tiny shuffle regardless of input size (scales linearly to 100 TB).
@@ -1245,6 +1280,120 @@ object Relational {
         .select(col("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_v"), col("max_v"), col("n_viol"))
         .orderBy("col_name")
+    }),
+
+    // TPC-H Q3 (shipping priority): the classic dim-filter → fact-fact
+    // join → grouped revenue → top-10 shape. customer is a broadcast dim
+    // (the segment filter makes it tiny); orders ⋈ lineitem shuffles once
+    // on the order key with both date filters PUSHED to the scans; the
+    // top-10 compiles to TakeOrderedAndProject (k rows per partition cross
+    // the final exchange, no global sort materialization). Revenue is a
+    // decimal-exact sum, and the (revenue desc, orderkey asc) order is
+    // total — the limit boundary cannot flip between engines.
+    "q_tpch_q3" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Per-group mode (most frequent value) with a deterministic tie-break:
+    // two partial-agg'd aggregations — (status, priority) counts, then an
+    // argmax as min(struct(-count, value)) — never a window sort over the
+    // raw rows. The same shape LabelProp uses per vertex: a group with
+    // 10¹⁰ rows contributes |distinct values| rows to the second shuffle.
+    "q_mode" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(min(struct((-col("cnt")).as("nc"),
+            col("o_orderpriority").as("p"))).as("m"),
+          sum(col("cnt")).cast("long").as("n_rows"))
+        .select(col("o_orderstatus"), col("m.p").as("mode_priority"),
+          (-col("m.nc")).cast("long").as("mode_cnt"), col("n_rows"))
+        .orderBy("o_orderstatus")),
+
+    // Grouped simple OLS (y = intercept + slope·x): extendedprice against
+    // quantity per returnflag, from five exact INTEGER power sums (price
+    // quantized ×100, quantity integral) — the q_corr determinism
+    // discipline for regression. One partial-agg'd aggregation carries the
+    // whole fit; the terminal slope/intercept expressions are shared
+    // verbatim with the oracle. Built-in regr_slope accumulates doubles in
+    // partition order and cannot hash-match across engines.
+    "q_regression" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+          expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x*y")).as("sxy"),
+          sum(expr("x*x")).as("sxx"))
+        .withColumn("slope", round(expr(SlopeExpr), 6))
+        .withColumn("intercept", round(expr(InterceptExpr), 6))
+        .select("l_returnflag", "n", "slope", "intercept")
+        .orderBy("l_returnflag")),
+
+    // Wide→long reshaping via the first-class unpivot (melt) operator:
+    // per-returnflag decimal-exact measure sums unpivoted to (group,
+    // measure, val) rows. Unpivot plans as a narrow Expand over the
+    // (already tiny) aggregate — rows × measures, no shuffle of its own;
+    // at 100 TB the cost is the upstream aggregation, never the reshape.
+    "q_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity"), 2).as("qty"),
+          dsum(col("l_extendedprice"), 2).as("price"),
+          dsum(col("l_discount"), 2).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "val")
+        .orderBy("l_returnflag", "measure")),
+
+    // 8-lag integer-kernel EWMA per user over event time — the time-series
+    // smoothing twin of q_resample_ffill. One window shuffle on user_id
+    // (parallel across users, a user's history bounded by its own events);
+    // all 16 lag terms share one window spec so the plan carries a single
+    // Window node. Exact integer numerator/denominator, one terminal
+    // division, expression strings shared verbatim with the oracle.
+    "q_ewma" -> ((s, dir) =>
+      table(s, dir, "events")
+        .selectExpr("user_id", "event_id", "ts",
+          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+        .selectExpr("user_id", "event_id", s"$EwmaExpr AS ewma")
+        .orderBy("user_id", "event_id")),
+
+    // Frequent co-occurring item pairs (the a-priori first pass /
+    // market-basket shape): baskets = orders, items = distinct parts per
+    // order, pairs generated by a self-join WITHIN basket only — Σ C(b,2)
+    // rows, never corpus × corpus — then support-filtered. Baskets larger
+    // than BasketCap are dropped (mirrored in the oracle): a degenerate
+    // million-item basket would emit 10¹² pairs and carries no
+    // co-occurrence signal — the same cap discipline as the LSH band
+    // buckets.
+    "q_freq_pairs" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= BasketCap).select("ok")
+      val bb = b.join(small, "ok")
+      bb.select(col("ok"), col("pk").as("p1"))
+        .join(bb.select(col("ok"), col("pk").as("p2")), "ok")
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .where(col("support") >= PairMinSupport)
+        .orderBy("p1", "p2")
     })
   )
 
@@ -2158,6 +2307,93 @@ object Relational {
         |SELECT 'l_quantity', n_rows, null_q, nd_q, min_q, max_q, viol_q FROM a
         |UNION ALL
         |SELECT 'l_tax', n_rows, null_t, nd_t, min_t, max_t, viol_t FROM a
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_rows,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  cnt AS mode_cnt, n_rows
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_regression" ->
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+         |  FROM lineitem
+         |),
+         |a AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM v GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, n,
+         |  round($SlopeExpr, 6) AS slope,
+         |  round($InterceptExpr, 6) AS intercept
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" -> {
+      val agg = s"""SELECT l_returnflag,
+         |    ${dsumSql("l_quantity", 2)} AS qty,
+         |    ${dsumSql("l_extendedprice", 2)} AS price,
+         |    ${dsumSql("l_discount", 2)} AS disc
+         |  FROM lineitem GROUP BY l_returnflag""".stripMargin
+      s"""WITH a AS (
+         |  $agg
+         |)
+         |SELECT l_returnflag, 'qty' AS measure, qty AS val FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'price', price FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'disc', disc FROM a
+         |ORDER BY l_returnflag, measure""".stripMargin
+    },
+
+    "q_ewma" ->
+      s"""WITH v AS (
+         |  SELECT user_id, event_id, ts,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |  FROM events
+         |)
+         |SELECT user_id, event_id, $EwmaExpr AS ewma
+         |FROM v ORDER BY user_id, event_id""".stripMargin,
+
+    "q_freq_pairs" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |),
+         |small AS (
+         |  SELECT ok FROM b GROUP BY ok HAVING count(*) <= $BasketCap
+         |)
+         |SELECT a.pk AS p1, c.pk AS p2, count(*) AS support
+         |FROM (SELECT * FROM b JOIN small USING (ok)) a
+         |JOIN (SELECT * FROM b JOIN small USING (ok)) c USING (ok)
+         |WHERE a.pk < c.pk
+         |GROUP BY a.pk, c.pk
+         |HAVING count(*) >= $PairMinSupport
+         |ORDER BY p1, p2""".stripMargin
   )
 }
