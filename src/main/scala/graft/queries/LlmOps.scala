@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.Tokenize
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` and `embeddings` —
@@ -236,6 +237,36 @@ object LlmOps {
     * paper's α₆₄ = 0.709 and ~13% standard error. */
   private val HllM = 64
   private val HllAlpha = 0.709
+
+  /** q_sketch_quantile equi-width histogram: bin width in CENTI-value
+    * units (400 = 4.0 value units over the events.value domain [0, ~560]
+    * → ~140 live bins). Quantile error is bounded by one bin width. */
+  private val HistBinW = 400L
+
+  /** q_sketch_quantile interpolation: the (tgt − cumb)-th of the bin's
+    * `cnt` values under a uniform-spread assumption, as ONE exact-integer
+    * fraction with a single terminal IEEE division — engine-identical.
+    * 4·(bin·cnt + tgt − cumb) / cnt lands back in value units because
+    * bins are 400 centi-units wide. */
+  private def histEstExpr(bin: String, cnt: String, tgt: String,
+                          cumb: String): String =
+    s"round(CAST(4*(($bin)*($cnt) + ($tgt) - ($cumb)) AS DOUBLE) / CAST($cnt AS DOUBLE), 4)"
+
+  /** The three q_sketch_quantile percentiles as exact rationals:
+    * (label, numerator, denominator); target rank = ceil(p·n) computed as
+    * (num·n + den − 1) div den — no float at the selection boundary. */
+  private val HistPs: Seq[(String, Long, Long)] =
+    Seq(("q50", 1L, 2L), ("q90", 9L, 10L), ("q99", 99L, 100L))
+
+  /** q_prefix_join similarity threshold t = 4/5 (Jaccard ≥ 0.8). The
+    * verify keep-rule 9·inter ≥ 4·(sz1+sz2) is t spelled in integers;
+    * the prefix length |s| − ceil(t·|s|) + 1 uses ceil(4s/5) =
+    * (4s+4) div 5. */
+  private val PrefixTNum = 4L
+  private val PrefixTDen = 5L
+
+  /** q_ngram_topk: bigrams kept per head word. */
+  private val NgramK = 3
 
   /** q_kmeans shape: k clusters, fixed Lloyd iterations (both unrolled
     * verbatim in the DuckDB oracle). */
@@ -2061,6 +2092,104 @@ object LlmOps {
       graft.operators.Ranks.withinKey(d, "shard", Seq("h", "doc_id"))
         .select(col("doc_id"), col("shard"), col("rk").as("pos"))
         .orderBy("shard", "pos")
+    }),
+
+    // Mergeable equi-width histogram quantile sketch — the quantile member
+    // of the CMS/HLL/Bloom family: per-(event_type, bin) counts merge by
+    // SUM (commutative+associative → map-side partials do the work, the
+    // shuffle carries |types|·|bins| cells at any corpus size), and the
+    // p50/p90/p99 estimates read off the cumulative bins with error
+    // bounded by one bin width. Target ranks are exact-integer ceil(p·n);
+    // the bin pick is a min(struct) over qualifying bins; interpolation is
+    // one terminal division (histEstExpr, shared with the oracle). The
+    // exact-Percentiles operator answers the same question exactly at one
+    // range shuffle of the DATA — this sketch answers it from constant
+    // state, the profile-in-one-pass tradeoff.
+    "q_sketch_quantile" -> ((s, dir) => {
+      val ev = table(s, dir, "events").selectExpr("event_type",
+        s"CAST(floor(value*100 + 0.5) AS BIGINT) div $HistBinW AS bin")
+      val bins = ev.groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("event_type").orderBy("bin")
+      val wt = Window.partitionBy("event_type")
+      val c = bins.withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(wt))
+        .withColumn("cumb", col("cum") - col("cnt"))
+      val aggs = HistPs.map { case (lbl, num, den) =>
+        min(when(col("cum") >= expr(s"($num*n + ${den - 1}) div $den"),
+          struct(col("bin"), col("cnt"), col("cumb"), col("n")))).as(s"m_$lbl")
+      }
+      val sel = c.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      val ests = HistPs.map { case (lbl, num, den) =>
+        expr(histEstExpr(s"m_$lbl.bin", s"m_$lbl.cnt",
+          s"($num*m_$lbl.n + ${den - 1}) div $den", s"m_$lbl.cumb")).as(lbl)
+      }
+      sel.select(col("event_type") +: expr("m_q50.n").as("n") +: ests: _*)
+        .orderBy("event_type")
+    }),
+
+    // Set-similarity self-join via PREFIX FILTERING (AllPairs/PPJoin) —
+    // the LOSSLESS complement of the df-cap heuristic the LSH pipelines
+    // use: order each doc's shingle set by global rarity (df asc, shingle
+    // asc) and join only the first |s| − ceil(t·|s|) + 1 shingles. If
+    // J(x,y) ≥ t then overlap ≥ ceil(t·|x|) (J ≥ t ⟹ |y| ≥ t·|x| ⟹
+    // o ≥ t/(1+t)·(|x|+|y|) ≥ t·|x|), and an overlap that large cannot
+    // avoid both prefixes (pigeonhole) — recall is GUARANTEED, no band
+    // probability. Boilerplate never enters the join: high-df shingles
+    // rank last and fall outside every prefix. Exact-dup collapse first
+    // (reps) keeps true-duplicate clusters from re-creating the n² blowup
+    // the prefix bound cannot prevent. Verify = exact integer Jaccard on
+    // candidates only (9·inter ≥ 4·(sz1+sz2) — no float at the
+    // threshold).
+    "q_prefix_join" -> ((s, dir) => {
+      val sh = shinglesOf(repDocs(s, dir)).distinct()
+      val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "sh")
+      val pref = sh.join(dfq, "sh").join(sz, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <=
+          col("sz") - expr(s"($PrefixTNum*sz + $PrefixTNum) div $PrefixTDen") + 1)
+        .select(col("doc_id"), col("sh"))
+      val cand = pref.select(col("doc_id").as("d1"), col("sh"))
+        .join(pref.select(col("doc_id").as("d2"), col("sh")), "sh")
+        .where(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .where(expr(s"${PrefixTDen + PrefixTNum}*inter >= $PrefixTNum*(sz1+sz2)"))
+        .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+          round(expr("CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE)"), 4)
+            .as("jac"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Top-K bigrams per head word on the NATIVE TopKPerKey operator (the
+    // n-gram language-model seed): adjacent token pairs from the SAME
+    // split array the oracle sees, pair counts partial-agg'd map-side,
+    // then the bounded-heap partial/final prune — ≤ k rows per head word
+    // per map partition cross the one shuffle, never a per-head window
+    // sort. The (cnt desc, w2 asc) ordering is total within a head, so
+    // the native operator's row set equals the oracle's row_number
+    // spelling exactly.
+    "q_ngram_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(split(col("text"), graft.operators.Tokenize.Delim).as("a"))
+        .where(expr("size(a) >= 2"))
+      val pairs = d.select(expr("explode(sequence(1, size(a)-1))").as("i"),
+          col("a"))
+        .select(expr("element_at(a, i)").as("w1"),
+          expr("element_at(a, i+1)").as("w2"))
+        .where(graft.operators.Tokenize.keep(col("w1")) &&
+          graft.operators.Tokenize.keep(col("w2")))
+      val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      graft.operators.TopK.perKey(counts, Seq("w1"),
+        Seq(("cnt", false), ("w2", true)), NgramK)
+        .orderBy("w1", "w2")
     })
   )
 
@@ -3760,6 +3889,102 @@ object LlmOps {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
          |    AS BIGINT) AS pos
-         |FROM d ORDER BY shard, pos""".stripMargin
+         |FROM d ORDER BY shard, pos""".stripMargin,
+
+    "q_sketch_quantile" -> {
+      val sels = HistPs.map { case (lbl, num, den) =>
+        s"min(CASE WHEN cum >= ($num*n + ${den - 1}) // $den THEN bin END) AS b_$lbl"
+      }.mkString(",\n    ")
+      val joins = HistPs.map { case (lbl, _, _) =>
+        s"JOIN d d_$lbl ON d_$lbl.event_type = s.event_type AND d_$lbl.bin = s.b_$lbl"
+      }.mkString("\n")
+      val ests = HistPs.map { case (lbl, num, den) =>
+        histEstExpr(s"d_$lbl.bin", s"d_$lbl.cnt",
+          s"($num*s.n + ${den - 1}) // $den", s"d_$lbl.cumb") + s" AS $lbl"
+      }.mkString(",\n  ")
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) // $HistBinW AS bin
+         |  FROM events
+         |),
+         |b AS (SELECT event_type, bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, bin, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM b
+         |),
+         |d AS (SELECT *, cum - cnt AS cumb FROM c),
+         |sel AS (
+         |  SELECT event_type, max(n) AS n,
+         |    $sels
+         |  FROM d GROUP BY event_type
+         |)
+         |SELECT s.event_type, s.n,
+         |  $ests
+         |FROM sel s
+         |$joins
+         |ORDER BY s.event_type""".stripMargin
+    },
+
+    "q_prefix_join" ->
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+         |),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $K) AS sh
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
+         |        FROM reps WHERE length(text) >= $K)
+         |),
+         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pref AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT s.doc_id, s.sh, z.sz,
+         |      row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+         |    FROM sh s JOIN dfq d USING (sh) JOIN sz z USING (doc_id)
+         |  ) WHERE rn <= sz - ($PrefixTNum*sz + $PrefixTNum) // $PrefixTDen + 1
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM pref a JOIN pref b USING (sh) WHERE a.doc_id < b.doc_id
+         |),
+         |i AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.d1
+         |  JOIN sh y ON y.doc_id = c.d2 AND y.sh = x.sh
+         |  GROUP BY c.d1, c.d2
+         |)
+         |SELECT i.d1, i.d2, i.inter, z1.sz AS sz1, z2.sz AS sz2,
+         |  round(CAST(i.inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.inter AS DOUBLE), 4) AS jac
+         |FROM i
+         |JOIN sz z1 ON z1.doc_id = i.d1
+         |JOIN sz z2 ON z2.doc_id = i.d2
+         |WHERE ${PrefixTDen + PrefixTNum}*i.inter >= $PrefixTNum*(z1.sz + z2.sz)
+         |ORDER BY i.d1, i.d2""".stripMargin,
+
+    "q_ngram_topk" ->
+      s"""WITH t AS (
+         |  SELECT regexp_split_to_array(text, '$DelimSql') AS a FROM documents
+         |),
+         |b AS (
+         |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+         |        FROM t WHERE len(a) >= 2)
+         |),
+         |c AS (
+         |  SELECT w1, w2, count(*) AS cnt FROM b
+         |  WHERE regexp_matches(lower(w1), '${Tokenize.KeepRegex}')
+         |    AND regexp_matches(lower(w2), '${Tokenize.KeepRegex}')
+         |  GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rn
+         |  FROM c
+         |)
+         |SELECT w1, w2, cnt FROM r WHERE rn <= $NgramK
+         |ORDER BY w1, w2""".stripMargin
   )
 }

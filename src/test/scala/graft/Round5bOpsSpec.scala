@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-5 second wave: TPC-H Q3, mode, OLS
+  * regression, unpivot, EWMA, frequent pairs, the histogram-quantile
+  * sketch, the lossless prefix-filter similarity join, and bigram top-K on
+  * the native TopKPerKey operator. Exact value matching is dev/check.py's
+  * job; these pin the properties a refactor could silently break.
+  */
+class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("tpch_q3: ≤10 rows, revenue strictly ordered with orderkey tie-break") {
+    val rows = SparkEntry.queries("q_tpch_q3")(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val rev = rows.map(_.getDouble(3))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      if (a.getDouble(3) == b.getDouble(3)) assert(a.getLong(0) < b.getLong(0))
+    }
+  }
+
+  test("mode: the reported mode really is a maximal-count value") {
+    val modes = SparkEntry.queries("q_mode")(spark, Sf).collect()
+    val counts = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect()
+      .groupBy(_.getString(0))
+    for (r <- modes) {
+      val g = counts(r.getString(0)).map(x => (x.getString(1), x.getLong(2)))
+      val maxCnt = g.map(_._2).max
+      assert(r.getLong(2) == maxCnt, s"mode_cnt != max for ${r.getString(0)}")
+      // deterministic tie-break: smallest value among max-count values
+      val best = g.filter(_._2 == maxCnt).map(_._1).min
+      assert(r.getString(1) == best)
+      assert(r.getLong(3) == g.map(_._2).sum)
+    }
+  }
+
+  test("regression: slope/intercept match an in-memory exact-sum replay") {
+    val rows = SparkEntry.queries("q_regression")(spark, Sf).collect()
+    val data = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)"))
+      .collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val g = data(r.getString(0))
+      val n = g.length.toLong
+      val sx = g.map(_.getLong(1)).sum
+      val sy = g.map(_.getLong(2)).sum
+      val sxy = g.map(x => x.getLong(1) * x.getLong(2)).sum
+      val sxx = g.map(x => x.getLong(1) * x.getLong(1)).sum
+      val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+        (n.toDouble * sxx - sx.toDouble * sx)
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-5)
+      assert(math.abs(r.getDouble(3) - icept) < 1e-5)
+    }
+  }
+
+  test("unpivot: long rows carry exactly the wide aggregate's cells") {
+    val long = SparkEntry.queries("q_unpivot")(spark, Sf).collect()
+    val groups = long.map(_.getString(0)).distinct
+    assert(long.length == groups.length * 3)
+    val byFlag = long.groupBy(_.getString(0))
+    for ((_, rs) <- byFlag)
+      assert(rs.map(_.getString(1)).sorted.toSeq == Seq("disc", "price", "qty"))
+  }
+
+  test("ewma: head of each series equals its own value; result is bounded") {
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "event_id", "ts", "value").collect()
+      .groupBy(_.getLong(0))
+    val got = SparkEntry.queries("q_ewma")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((_, g) <- ev) {
+      val ordered = g.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1)))
+      val head = ordered.head
+      val q = math.floor(head.getDouble(3) * 100 + 0.5) / 100.0
+      assert(math.abs(got((head.getLong(0), head.getLong(1))) - q) < 1e-6)
+      // every EWMA lies within the min/max of the quantized history
+      val vals = ordered.map(r => math.floor(r.getDouble(3) * 100 + 0.5) / 100.0)
+      for ((r, i) <- ordered.zipWithIndex) {
+        val window = vals.slice(math.max(0, i - 7), i + 1)
+        val e = got((r.getLong(0), r.getLong(1)))
+        assert(e >= window.min - 1e-4 && e <= window.max + 1e-4)
+      }
+    }
+  }
+
+  test("freq_pairs: every reported pair recounts to its support") {
+    val rows = SparkEntry.queries("q_freq_pairs")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 2))
+    val baskets = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      .filter(_._2.size <= 64)
+    val sample = rows.take(20)
+    for (r <- sample) {
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      val sup = baskets.valuesIterator.count(s => s(p1) && s(p2))
+      assert(sup == r.getLong(2), s"pair ($p1,$p2)")
+    }
+  }
+
+  test("sketch_quantile: monotone estimates, exact n, one-bin-width accuracy") {
+    val rows = SparkEntry.queries("q_sketch_quantile")(spark, Sf).collect()
+    val vals = spark.read.parquet(s"$Sf/events.parquet")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => math.floor(r.getDouble(1) * 100 + 0.5) / 100.0)
+        .sorted).toMap
+    for (r <- rows) {
+      val (q50, q90, q99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(q50 <= q90 && q90 <= q99)
+      val v = vals(r.getString(0))
+      assert(r.getLong(1) == v.length)
+      // the ceil(p·n) order statistic lives in the estimate's bin, so the
+      // estimate is within one 4.0-wide bin of the true order statistic
+      for ((p, est) <- Seq(0.5 -> q50, 0.9 -> q90, 0.99 -> q99)) {
+        val target = math.ceil(p * v.length).toInt.max(1)
+        val exact = v(target - 1)
+        assert(math.abs(est - exact) <= 4.0 + 1e-9,
+          s"${r.getString(0)} p=$p est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("sketch_quantile: identical under different partitioning") {
+    val a = SparkEntry.queries("q_sketch_quantile")(spark, Sf).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = SparkEntry.queries("q_sketch_quantile")(spark, Sf).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("prefix_join: lossless — equals the brute-force all-pairs result") {
+    // recall guarantee: the prefix-filtered candidate set must surface
+    // EVERY pair with shingle-Jaccard ≥ 0.8, so the join's output equals
+    // the quadratic all-pairs spelling exactly (same verify rule)
+    val got = SparkEntry.queries("q_prefix_join")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text").collect()
+    val sets = docs.filter(_.getString(1).length >= 8).map { r =>
+      val t = r.getString(1)
+      r.getLong(0) -> (1 to (t.length - 7) by 3).map(i => t.substring(i - 1, i + 7)).toSet
+    }
+    val brute = (for {
+      (d1, s1) <- sets; (d2, s2) <- sets if d1 < d2
+      inter = (s1 & s2).size
+      if 9L * inter >= 4L * (s1.size + s2.size)
+    } yield (d1, d2)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("ngram_topk: ≤k per head, counts recount, ordering respected") {
+    val rows = SparkEntry.queries("q_ngram_topk")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byHead = rows.groupBy(_.getString(0))
+    assert(byHead.values.forall(_.length <= 3))
+    // per head: the kept bigrams are the top-(cnt desc, w2 asc) of a full
+    // recount over the same split arrays
+    val delim = graft.operators.Tokenize.Delim
+    val recount = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(split(col("text"), delim).as("a")).collect()
+      .flatMap { r =>
+        val a = r.getSeq[String](0)
+        a.iterator.zip(a.iterator.drop(1)).filter { case (x, y) =>
+          x.toLowerCase.exists(c => c >= '`' && c <= 'z') &&
+            y.toLowerCase.exists(c => c >= '`' && c <= 'z')
+        }.toSeq
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for ((head, rs) <- byHead) {
+      val all = recount.collect { case ((w1, w2), c) if w1 == head => (w2, c) }
+        .toSeq.sortBy { case (w2, c) => (-c, w2) }
+      val expect = all.take(rs.length).toSet
+      assert(rs.map(r => (r.getString(1), r.getLong(2))).toSet == expect,
+        s"head=$head")
+    }
+  }
+}
