@@ -2190,6 +2190,45 @@ object LlmOps {
       graft.operators.TopK.perKey(counts, Seq("w1"),
         Seq(("cnt", false), ("w2", true)), NgramK)
         .orderBy("w1", "w2")
+    }),
+
+    // Grouped Bloom filter — one INDEPENDENT membership filter per
+    // event_type in a single pass (bits keyed by (group, pos)), completing
+    // the grouped-sketch symmetry with q_sketch_hll_grouped /
+    // q_sketch_cms_grouped: the per-segment audience filter a router or
+    // cache layer ships per partition. The distinct set-bit table is the
+    // filter (union-mergeable); a disjoint probe set (key + 10⁶ — user
+    // ids are far smaller) measures the REAL per-group FP rate, so every
+    // probe hit is a measured false positive. Shuffles carry ≤
+    // |groups|·m bits regardless of event volume.
+    "q_sketch_bloom_grouped" -> ((s, dir) => {
+      def posOf(c: String) =
+        s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST($c AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM"
+      val members = table(s, dir, "events")
+        .select(col("event_type"), col("user_id").as("key")).distinct()
+      val bits = members
+        .select(col("event_type"), col("key"),
+          explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
+        .select(col("event_type"), expr(posOf("key")).as("pos")).distinct()
+      val probes = members
+        .select(col("event_type"), (col("key") + 1000000L).as("pkey"))
+      val probePos = probes
+        .select(col("event_type"), col("pkey"),
+          explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
+        .select(col("event_type"), col("pkey"), expr(posOf("pkey")).as("pos"))
+      val fp = probePos.join(bits, Seq("event_type", "pos"))
+        .groupBy("event_type", "pkey").agg(count(lit(1)).as("hits"))
+        .where(col("hits") === BloomK)
+        .groupBy("event_type").agg(count(lit(1)).as("n_fp"))
+      members.groupBy("event_type").agg(count(lit(1)).as("n_members"))
+        .join(bits.groupBy("event_type").agg(count(lit(1)).as("n_bits")),
+          Seq("event_type"))
+        .join(fp, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n_members"), col("n_bits"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          round(coalesce(col("n_fp"), lit(0L)) / col("n_members"), 6)
+            .as("fp_rate"))
+        .orderBy("event_type")
     })
   )
 
@@ -3985,6 +4024,42 @@ object LlmOps {
          |  FROM c
          |)
          |SELECT w1, w2, cnt FROM r WHERE rn <= $NgramK
-         |ORDER BY w1, w2""".stripMargin
+         |ORDER BY w1, w2""".stripMargin,
+
+    "q_sketch_bloom_grouped" -> {
+      def posOf(c: String) =
+        s"${hex2longSql(s"md5(CAST(j AS VARCHAR) || ':' || CAST($c AS VARCHAR))", 1)} % $BloomM"
+      s"""WITH members AS (
+         |  SELECT DISTINCT event_type, user_id AS key FROM events
+         |),
+         |bits AS (
+         |  SELECT DISTINCT event_type, ${posOf("key")} AS pos
+         |  FROM members
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
+         |),
+         |probes AS (
+         |  SELECT event_type, key + 1000000 AS pkey FROM members
+         |),
+         |pp AS (
+         |  SELECT event_type, pkey, ${posOf("pkey")} AS pos
+         |  FROM probes
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
+         |),
+         |fp AS (
+         |  SELECT event_type, count(*) AS n_fp FROM (
+         |    SELECT pp.event_type, pp.pkey
+         |    FROM pp JOIN bits b ON pp.event_type = b.event_type AND pp.pos = b.pos
+         |    GROUP BY pp.event_type, pp.pkey HAVING count(*) = $BloomK
+         |  ) GROUP BY event_type
+         |)
+         |SELECT m.event_type, m.n_members, b.n_bits,
+         |  CAST(coalesce(f.n_fp, 0) AS BIGINT) AS n_fp,
+         |  round(CAST(coalesce(f.n_fp, 0) AS DOUBLE) / m.n_members, 6) AS fp_rate
+         |FROM (SELECT event_type, count(*) AS n_members FROM members GROUP BY 1) m
+         |JOIN (SELECT event_type, count(*) AS n_bits FROM bits GROUP BY 1) b
+         |  ON m.event_type = b.event_type
+         |LEFT JOIN fp f ON m.event_type = f.event_type
+         |ORDER BY m.event_type""".stripMargin
+    }
   )
 }

@@ -58,6 +58,18 @@ object Relational {
   private val EwmaExpr =
     s"round(CAST($EwmaNum AS DOUBLE) / CAST(($EwmaDen) * 100 AS DOUBLE), 4)"
 
+  /** q_concurrency interval length: 30 simulated minutes in micros. */
+  private val ConcIntervalUs = 1800000000L
+
+  // ---- q_ttest: Welch's t-statistic over exact integer sums, as ONE
+  // engine-identical expression (n1,s1,q1,n2,s2,q2 are BIGINT cohort
+  // sums of the ×100-quantized value and its square — every sum < 2^53).
+  private def tMean(i: Int) = s"(CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))"
+  private def tVar(i: Int) =
+    s"((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))/CAST(n$i - 1 AS DOUBLE))"
+  private val WelchTExpr =
+    s"((${tMean(1)} - ${tMean(2)}) / sqrt(${tVar(1)}/CAST(n1 AS DOUBLE) + ${tVar(2)}/CAST(n2 AS DOUBLE)))"
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
     // → tiny shuffle regardless of input size (scales linearly to 100 TB).
@@ -1394,7 +1406,82 @@ object Relational {
         .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
         .where(col("support") >= PairMinSupport)
         .orderBy("p1", "p2")
-    })
+    }),
+
+    // Sweep-line interval concurrency (peak concurrent sessions): each
+    // event opens a 30-minute half-open interval; ±1 deltas ordered by
+    // (t, delta, event_id) — ends sort before starts at the same instant
+    // (the [s,e) convention) and the tie-break makes the running sum's
+    // intermediate values deterministic. One window shuffle per
+    // event_type (parallel across types); peak and its first-attained
+    // time come from a tiny join-back, not a second data pass. Pure
+    // integer arithmetic end to end.
+    "q_concurrency" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + ConcIntervalUs)
+      val pts = ev.select(col("event_type"), col("st").as("t"),
+          lit(1L).as("d"), col("event_id"))
+        .unionByName(ev.select(col("event_type"), col("en").as("t"),
+          lit(-1L).as("d"), col("event_id")))
+      val w = Window.partitionBy("event_type").orderBy("t", "d", "event_id")
+      val run = pts.withColumn("c", sum("d").over(w))
+      val peak = run.groupBy("event_type").agg(max(col("c")).as("peak"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+      run.join(peak, "event_type")
+        .where(col("c") === col("peak"))
+        .groupBy("event_type")
+        .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_at"),
+          max(col("n_intervals")).as("n_intervals"))
+        .orderBy("event_type")
+    }),
+
+    // First-order Markov transitions between event types per user (the
+    // user-journey transition matrix): lead() over each user's event-time
+    // order pairs consecutive events; pair counts partial-aggregate
+    // map-side, and the per-source normalizer is a second tiny aggregate
+    // joined back — never a window over the raw pair rows. The transition
+    // probability is the single terminal division.
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+      val cnt = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("from_type").agg(sum(col("cnt")).as("tot"))
+      cnt.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          round(expr("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Welch's two-sample t-statistic per event_type (even vs odd user
+    // cohorts — the A/B-test read-out): six exact integer sums (n, Σv,
+    // Σv² per cohort, value ×100-quantized, all < 2^53) in ONE
+    // partial-agg'd pass, then the t-statistic as one shared IEEE
+    // expression — the q_corr determinism discipline for inference.
+    // Built-in stddev/var accumulate doubles in partition order and
+    // cannot hash-match.
+    "q_ttest" -> ((s, dir) =>
+      table(s, dir, "events")
+        .selectExpr("event_type", "user_id % 2 = 0 AS grp_a",
+          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+        .groupBy("event_type")
+        .agg(sum(when(col("grp_a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("grp_a"), col("v"))).as("s1"),
+          sum(when(col("grp_a"), expr("v*v"))).as("q1"),
+          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("grp_a"), col("v"))).as("s2"),
+          sum(when(!col("grp_a"), expr("v*v"))).as("q2"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(expr(s"${tMean(1)} / 100"), 4).as("mean1"),
+          round(expr(s"${tMean(2)} / 100"), 4).as("mean2"),
+          round(expr(WelchTExpr), 4).as("t_stat"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -2394,6 +2481,73 @@ object Relational {
          |WHERE a.pk < c.pk
          |GROUP BY a.pk, c.pk
          |HAVING count(*) >= $PairMinSupport
-         |ORDER BY p1, p2""".stripMargin
+         |ORDER BY p1, p2""".stripMargin,
+
+    "q_concurrency" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, epoch_us(ts) AS st,
+         |    epoch_us(ts) + $ConcIntervalUs AS en
+         |  FROM events
+         |),
+         |pts AS (
+         |  SELECT event_type, st AS t, CAST(1 AS BIGINT) AS d, event_id FROM ev
+         |  UNION ALL
+         |  SELECT event_type, en, CAST(-1 AS BIGINT), event_id FROM ev
+         |),
+         |r AS (
+         |  SELECT event_type, t,
+         |    CAST(sum(d) OVER (PARTITION BY event_type
+         |      ORDER BY t, d, event_id) AS BIGINT) AS c
+         |  FROM pts
+         |),
+         |p AS (
+         |  SELECT event_type, max(c) AS peak,
+         |    CAST(count(*) / 2 AS BIGINT) AS n_intervals
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT r.event_type, max(p.peak) AS peak, min(r.t) AS peak_at,
+         |  max(p.n_intervals) AS n_intervals
+         |FROM r JOIN p ON r.event_type = p.event_type AND r.c = p.peak
+         |GROUP BY r.event_type
+         |ORDER BY r.event_type""".stripMargin,
+
+    "q_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |),
+        |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  round(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    "q_ttest" ->
+      s"""WITH v AS (
+         |  SELECT event_type, user_id % 2 = 0 AS grp_a,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |  FROM events
+         |),
+         |a AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN grp_a THEN v END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN grp_a THEN v*v END) AS BIGINT) AS q1,
+         |    CAST(sum(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN NOT grp_a THEN v END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN NOT grp_a THEN v*v END) AS BIGINT) AS q2
+         |  FROM v GROUP BY event_type
+         |)
+         |SELECT event_type, n1, n2,
+         |  round(${tMean(1)} / 100, 4) AS mean1,
+         |  round(${tMean(2)} / 100, 4) AS mean2,
+         |  round($WelchTExpr, 4) AS t_stat
+         |FROM a ORDER BY event_type""".stripMargin
   )
 }

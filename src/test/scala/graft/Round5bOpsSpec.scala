@@ -187,4 +187,91 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
         s"head=$head")
     }
   }
+
+  test("concurrency: peak matches an in-memory sweep-line replay") {
+    val rows = SparkEntry.queries("q_concurrency")(spark, Sf).collect()
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("event_type", "event_id", "ts div 1000 AS us").collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val g = ev(r.getString(0))
+      val pts = g.flatMap { e =>
+        Seq((e.getLong(2), 1L, e.getLong(1)),
+          (e.getLong(2) + 1800000000L, -1L, e.getLong(1)))
+      }.sortBy(p => (p._1, p._2, p._3))
+      var c = 0L; var peak = 0L; var peakAt = 0L
+      for ((t, d, _) <- pts) {
+        c += d
+        if (c > peak) { peak = c; peakAt = t }
+      }
+      assert(r.getLong(1) == peak, s"peak ${r.getString(0)}")
+      assert(r.getLong(2) == peakAt, s"peak_at ${r.getString(0)}")
+      assert(r.getLong(3) == g.length.toLong)
+    }
+  }
+
+  test("transitions: rows per source sum to the normalizer (Σp ≈ 1)") {
+    val rows = SparkEntry.queries("q_transitions")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(0))
+    for ((src, rs) <- bySrc) {
+      val tot = rs.map(_.getLong(2)).sum
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$src Σp=$psum")
+      assert(rs.forall(r => r.getLong(2) > 0 && r.getLong(2) <= tot))
+    }
+    // global pair conservation: Σcnt = Σ_users (events_u − 1)
+    val perUser = spark.read.parquet(s"$Sf/events.parquet")
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(rows.map(_.getLong(2)).sum == perUser.map(_ - 1).sum)
+  }
+
+  test("ttest: cohort sizes partition the group; t matches a replay") {
+    val rows = SparkEntry.queries("q_ttest")(spark, Sf).collect()
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("event_type", "user_id % 2 = 0 AS a",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v").collect()
+      .groupBy(_.getString(0))
+    for (r <- rows) {
+      val g = ev(r.getString(0))
+      val (ga, gb) = g.partition(_.getBoolean(1))
+      assert(r.getLong(1) == ga.length.toLong && r.getLong(2) == gb.length.toLong)
+      def stats(xs: Array[org.apache.spark.sql.Row]) = {
+        val n = xs.length.toDouble
+        val s = xs.map(_.getLong(2)).sum.toDouble
+        val q = xs.map(x => x.getLong(2) * x.getLong(2)).sum.toDouble
+        (n, s / n, (q - s * s / n) / (n - 1))
+      }
+      val (n1, m1, v1) = stats(ga); val (n2, m2, v2) = stats(gb)
+      val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+      assert(math.abs(r.getDouble(5) - t) < 1e-3, s"${r.getString(0)}")
+    }
+  }
+
+  test("bloom_grouped: a group's filter equals the single-group construction") {
+    val rows = SparkEntry.queries("q_sketch_bloom_grouped")(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pos(j: Int, key: Long): Long = {
+      val h = md.digest(s"$j:$key".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 16384
+    }
+    val users = spark.read.parquet(s"$Sf/events.parquet")
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (r <- rows) {
+      val keys = users(r.getString(0))
+      // independent per-group construction: the set-bit count must equal
+      // what this group's members alone produce
+      val bits = keys.flatMap(k => (0 until 3).map(j => pos(j, k)))
+      assert(r.getLong(1) == keys.size.toLong)
+      assert(r.getLong(2) == bits.size.toLong, s"n_bits ${r.getString(0)}")
+      // measured FP: probes are member+10^6, disjoint from members
+      val fps = keys.count { k =>
+        (0 until 3).forall(j => bits(pos(j, k + 1000000L)))
+      }
+      assert(r.getLong(3) == fps.toLong, s"n_fp ${r.getString(0)}")
+    }
+  }
 }
