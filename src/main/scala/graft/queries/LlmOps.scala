@@ -268,6 +268,12 @@ object LlmOps {
   /** q_ngram_topk: bigrams kept per head word. */
   private val NgramK = 3
 
+  /** q_feature_hash: hashing-trick feature space size. */
+  private val FeatHashDim = 64
+
+  /** q_pmi: min bigram count for a reported association. */
+  private val PmiMinCount = 5
+
   /** q_kmeans shape: k clusters, fixed Lloyd iterations (both unrolled
     * verbatim in the DuckDB oracle). */
   private val KmK = 8
@@ -2229,6 +2235,50 @@ object LlmOps {
           round(coalesce(col("n_fp"), lit(0L)) / col("n_members"), 6)
             .as("fp_rate"))
         .orderBy("event_type")
+    }),
+
+    // Hashing-trick featurizer (the bag-of-words → fixed-width sparse
+    // vector ML front door): token → md5 bucket in [0, 64), per-doc
+    // bucket counts in long (doc_id, bucket, cnt) shape — collisions are
+    // the accepted tradeoff (the feature DIMENSION is corpus-independent,
+    // no vocabulary build, no OOV). Narrow token map + one partial-agg'd
+    // (doc, bucket) shuffle; linear at any corpus size.
+    "q_feature_hash" -> ((s, dir) =>
+      toks(s, dir)
+        .select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT) % $FeatHashDim")
+            .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")),
+
+    // Pointwise mutual information over adjacent-token pairs — the word
+    // association score (collocation detection): PMI = ln(N·c12/(c1·c2))
+    // where the marginals c1/c2 and N derive from the SAME pair-count
+    // table (self-consistent, no tokenization drift). All counting is
+    // exact integer partial-agg'd; ln is the one terminal float op
+    // (rounded — same discipline as BM25's idf). Marginals broadcast
+    // back; the min-count filter keeps only supported associations.
+    "q_pmi" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(split(col("text"), Tokenize.Delim).as("a"))
+        .where(expr("size(a) >= 2"))
+      val pairs = d.select(expr("explode(sequence(1, size(a)-1))").as("i"),
+          col("a"))
+        .select(expr("element_at(a, i)").as("w1"),
+          expr("element_at(a, i+1)").as("w2"))
+        .where(Tokenize.keep(col("w1")) && Tokenize.keep(col("w2")))
+      val c = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val lm = c.groupBy("w1").agg(sum(col("cnt")).as("c1"))
+      val rm = c.groupBy("w2").agg(sum(col("cnt")).as("c2"))
+      val nn = c.agg(sum(col("cnt")).as("nb"))
+      c.where(col("cnt") >= PmiMinCount)
+        .join(broadcast(lm), "w1").join(broadcast(rm), "w2")
+        .crossJoin(broadcast(nn))
+        .select(col("w1"), col("w2"), col("cnt"),
+          round(expr(
+            "ln(CAST(nb AS DOUBLE) * CAST(cnt AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))"),
+            6).as("pmi"))
+        .orderBy("w1", "w2")
     })
   )
 
@@ -4060,6 +4110,41 @@ object LlmOps {
          |  ON m.event_type = b.event_type
          |LEFT JOIN fp f ON m.event_type = f.event_type
          |ORDER BY m.event_type""".stripMargin
-    }
+    },
+
+    "q_feature_hash" ->
+      s"""WITH $ToksSql
+         |SELECT doc_id,
+         |  ${hex2longSql("md5(word)", 1)} % $FeatHashDim AS bucket,
+         |  count(*) AS cnt
+         |FROM toks GROUP BY 1, 2
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_pmi" ->
+      s"""WITH t AS (
+         |  SELECT regexp_split_to_array(text, '$DelimSql') AS a FROM documents
+         |),
+         |b AS (
+         |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+         |        FROM t WHERE len(a) >= 2)
+         |),
+         |c AS (
+         |  SELECT w1, w2, count(*) AS cnt FROM b
+         |  WHERE regexp_matches(lower(w1), '${Tokenize.KeepRegex}')
+         |    AND regexp_matches(lower(w2), '${Tokenize.KeepRegex}')
+         |  GROUP BY 1, 2
+         |),
+         |lm AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |rm AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM c GROUP BY 1),
+         |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM c)
+         |SELECT c.w1, c.w2, c.cnt,
+         |  round(ln(CAST(nb AS DOUBLE) * CAST(cnt AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         |FROM c
+         |JOIN lm ON c.w1 = lm.w1
+         |JOIN rm ON c.w2 = rm.w2
+         |CROSS JOIN nn
+         |WHERE c.cnt >= $PmiMinCount
+         |ORDER BY c.w1, c.w2""".stripMargin
   )
 }

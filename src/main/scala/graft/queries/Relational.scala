@@ -70,6 +70,13 @@ object Relational {
   private val WelchTExpr =
     s"((${tMean(1)} - ${tMean(2)}) / sqrt(${tVar(1)}/CAST(n1 AS DOUBLE) + ${tVar(2)}/CAST(n2 AS DOUBLE)))"
 
+  // ---- q_zscore: (v − mean)/std from the same exact-integer sums (s, q,
+  // n per group) — one shared expression; /100 scale factors cancel so
+  // the z-score is already in standard units.
+  private val ZScoreExpr =
+    """round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) /
+      | sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n - 1 AS DOUBLE)), 4)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
     // → tiny shuffle regardless of input size (scales linearly to 100 TB).
@@ -1481,7 +1488,44 @@ object Relational {
           round(expr(s"${tMean(1)} / 100"), 4).as("mean1"),
           round(expr(s"${tMean(2)} / 100"), 4).as("mean2"),
           round(expr(WelchTExpr), 4).as("t_stat"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Z-score feature normalization per event_type — the standard ML
+    // preprocessing pass: group mean/std from the exact integer sums
+    // (q_ttest's state), broadcast back, then one narrow codegen'd map
+    // over the rows. The ×100 quantization scale cancels in
+    // (v − mean)/std, so z is already standard units. At 100 TB: one
+    // tiny agg shuffle + a shuffle-free normalize pass.
+    "q_zscore" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .selectExpr("event_id", "event_type",
+          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+      val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"), sum(expr("v*v")).as("q"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          expr(ZScoreExpr).as("z"))
+        .orderBy("event_id")
+    }),
+
+    // Quantile (percentile-rank) normalization per event_type — the
+    // rank-based scaler robust to outliers: pr = (rk − 1)/(n − 1) over
+    // the UNIQUE (v, event_id) order via `Ranks.withinKey`, so a group
+    // of any size ranks across partitions (no single-task sort) and ties
+    // carry the deterministic event_id break. Integer rank, ONE terminal
+    // division.
+    "q_quantile_normalize" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .selectExpr("event_id", "event_type",
+          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      graft.operators.Ranks.withinKey(ev, "event_type", Seq("v", "event_id"))
+        .join(broadcast(n), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(expr("CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)"), 6)
+            .as("pr"))
+        .orderBy("event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -2548,6 +2592,39 @@ object Relational {
          |  round(${tMean(1)} / 100, 4) AS mean1,
          |  round(${tMean(2)} / 100, 4) AS mean2,
          |  round($WelchTExpr, 4) AS t_stat
-         |FROM a ORDER BY event_type""".stripMargin
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_zscore" ->
+      s"""WITH v AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |  FROM events
+         |),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v*v) AS BIGINT) AS q
+         |  FROM v GROUP BY event_type
+         |)
+         |SELECT v.event_id, v.event_type,
+         |  $ZScoreExpr AS z
+         |FROM v JOIN st ON v.event_type = st.event_type
+         |ORDER BY v.event_id""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_id, event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v
+        |)
+        |SELECT event_id, event_type,
+        |  round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pr
+        |FROM r ORDER BY event_id""".stripMargin
   )
 }

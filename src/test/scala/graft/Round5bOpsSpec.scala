@@ -274,4 +274,67 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(3) == fps.toLong, s"n_fp ${r.getString(0)}")
     }
   }
+
+  test("zscore: per-group z has mean ≈ 0 and sample std ≈ 1") {
+    val rows = SparkEntry.queries("q_zscore")(spark, Sf).collect()
+      .groupBy(_.getString(1))
+    for ((tpe, g) <- rows) {
+      val z = g.map(_.getDouble(2))
+      val n = z.length.toDouble
+      val m = z.sum / n
+      val sd = math.sqrt(z.map(x => (x - m) * (x - m)).sum / (n - 1))
+      assert(math.abs(m) < 1e-3, s"$tpe mean=$m")
+      assert(math.abs(sd - 1.0) < 1e-2, s"$tpe sd=$sd")
+    }
+  }
+
+  test("quantile_normalize: pr spans [0,1] with unique ranks per group") {
+    val rows = SparkEntry.queries("q_quantile_normalize")(spark, Sf).collect()
+      .groupBy(_.getString(1))
+    for ((tpe, g) <- rows) {
+      val pr = g.map(_.getDouble(2)).sorted
+      assert(pr.head == 0.0 && pr.last == 1.0, s"$tpe span")
+      assert(pr.forall(p => p >= 0.0 && p <= 1.0))
+      assert(pr.distinct.length == pr.length, s"$tpe rank ties")
+    }
+  }
+
+  test("feature_hash: bucket counts conserve each doc's token count") {
+    val rows = SparkEntry.queries("q_feature_hash")(spark, Sf).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    val perDoc = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val toks = graft.queries.corpusToks(spark, Sf)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == toks)
+  }
+
+  test("pmi: marginal-consistent and matches an in-memory replay") {
+    val rows = SparkEntry.queries("q_pmi")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 5))
+    // replay: pair counts from the same split arrays
+    val delim = graft.operators.Tokenize.Delim
+    val pairs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(split(col("text"), delim).as("a")).collect()
+      .flatMap { r =>
+        val a = r.getSeq[String](0)
+        a.iterator.zip(a.iterator.drop(1)).filter { case (x, y) =>
+          x.toLowerCase.exists(c => c >= '`' && c <= 'z') &&
+            y.toLowerCase.exists(c => c >= '`' && c <= 'z')
+        }.toSeq
+      }
+    val c = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val l = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val rr = c.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nb = c.values.sum.toDouble
+    for (row <- rows.take(30)) {
+      val (w1, w2) = (row.getString(0), row.getString(1))
+      val cnt = c((w1, w2))
+      assert(row.getLong(2) == cnt)
+      val pmi = math.log(nb * cnt / (l(w1).toDouble * rr(w2).toDouble))
+      assert(math.abs(row.getDouble(3) - pmi) < 1e-5, s"($w1,$w2)")
+    }
+  }
 }
