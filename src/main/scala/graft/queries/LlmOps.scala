@@ -2147,26 +2147,58 @@ object LlmOps {
     // candidates only (9·inter ≥ 4·(sz1+sz2) — no float at the
     // threshold).
     "q_prefix_join" -> ((s, dir) => {
-      val sh = shinglesOf(repDocs(s, dir)).distinct()
+      // ONE eagerly-checkpointed mid-table carries everything every later
+      // stage needs (doc, shingle, set size, rarity rank): candidates
+      // filter it, and both verify sides re-read it. A LAZY persist is
+      // not enough here — the final single action reads the table from
+      // parallel stages that would each race to populate the cache,
+      // duplicating the wide upstream (distinct + two shuffled joins + a
+      // window); eager localCheckpoint (the PageRank/BFS discipline)
+      // materializes once and truncates the lineage (38→~10 s at sf0.1).
+      val sh = shinglesOf(repDocs(s, dir)).distinct().localCheckpoint()
       val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val w = Window.partitionBy("doc_id").orderBy("df", "sh")
-      val pref = sh.join(dfq, "sh").join(sz, "doc_id")
+      val ranked = sh.join(dfq, "sh").join(sz, "doc_id")
         .withColumn("rn", row_number().over(w))
+        .select("doc_id", "sh", "sz", "rn")
+        .localCheckpoint()
+      val pref = ranked
         .where(col("rn") <=
           col("sz") - expr(s"($PrefixTNum*sz + $PrefixTNum) div $PrefixTDen") + 1)
-        .select(col("doc_id"), col("sh"))
-      val cand = pref.select(col("doc_id").as("d1"), col("sh"))
-        .join(pref.select(col("doc_id").as("d2"), col("sh")), "sh")
+        .select(col("doc_id"), col("sh"), col("sz"), col("rn"))
+      // candidate pairs with PPJoin's LOSSLESS prunes folded into the
+      // aggregation (a templated corpus can push raw prefix candidates
+      // to ~n²/12 — 1M pairs at sf0.1): (a) length ratio — J ≥ t needs
+      // t·max ≤ min; (b) positional upper bound — overlap ≤ 1 +
+      // min(sz−rn) at the FIRST shared prefix position, which must reach
+      // α = ceil(t/(1+t)·(sz1+sz2)). Both bounds overestimate the true
+      // overlap, so no qualifying pair is lost (the brute-force equality
+      // spec pins it).
+      val cand = pref.select(col("doc_id").as("d1"), col("sh"),
+          col("sz").as("sz1"), col("rn").as("rn1"))
+        .join(pref.select(col("doc_id").as("d2"), col("sh"),
+          col("sz").as("sz2"), col("rn").as("rn2")), "sh")
         .where(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      val inter = cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .groupBy("d1", "d2").agg(min(col("rn1")).as("r1"),
+          min(col("rn2")).as("r2"),
+          max(col("sz1")).as("sz1"), max(col("sz2")).as("sz2"))
+        .where(expr(s"$PrefixTDen*least(sz1, sz2) >= $PrefixTNum*greatest(sz1, sz2)"))
+        .where(expr(s"1 + least(sz1 - r1, sz2 - r2) >= " +
+          s"($PrefixTNum*(sz1+sz2) + ${PrefixTDen + PrefixTNum - 1}) div ${PrefixTDen + PrefixTNum}"))
+      // verify: exact intersection via array_intersect over the per-doc
+      // sorted set arrays — one row per surviving candidate, never a
+      // |cand|·|set| fan-out shuffle. The arrays table is |docs| rows and
+      // broadcasts at bench scale; when candidates ≪ sets at corpus
+      // scale, flip to the equi-join fan-out shape instead of the
+      // broadcast (SCALE.md).
+      val sets = sh.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("sh"))).as("arr"))
+      cand
+        .join(broadcast(sets.select(col("doc_id").as("d1"), col("arr").as("a1"))), "d1")
+        .join(broadcast(sets.select(col("doc_id").as("d2"), col("arr").as("a2"))), "d2")
+        .withColumn("inter",
+          expr("CAST(size(array_intersect(a1, a2)) AS BIGINT)"))
         .where(expr(s"${PrefixTDen + PrefixTNum}*inter >= $PrefixTNum*(sz1+sz2)"))
         .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
           round(expr("CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE)"), 4)

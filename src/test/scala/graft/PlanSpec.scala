@@ -226,6 +226,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_tpch_q3: broadcast dim, pushed date filters, TakeOrderedAndProject") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p) // customer dim never shuffles
+    assert(p.contains("TakeOrderedAndProject"), p) // top-10, no global sort
+    // both date predicates reach the parquet scans
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate".r
+      .findFirstIn(p).nonEmpty, p)
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r
+      .findFirstIn(p).nonEmpty, p)
+  }
+
+  test("q_zscore: the stats join is broadcast (normalize pass never shuffles)") {
+    val p = plan("q_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ngram_topk: native partial+final TopKPerKeyExec, no Window") {
+    val p = plan("q_ngram_topk")
+    assert("\\(\\d+\\) TopKPerKey".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_ewma: all 16 lag terms collapse into ONE partitioned Window node") {
+    val p = plan("q_ewma")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_transitions: the normalizer joins back broadcast") {
+    val p = plan("q_transitions")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("catalog-wide: no query plans a CartesianProduct") {
     // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
     // are fine; an actual CartesianProduct (both sides big, no key) is
