@@ -57,4 +57,32 @@ object Joins {
       .where(col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop("__bin")
   }
+
+  /** Binned interval-OVERLAP join: match left intervals `[ls, le)` to
+    * right intervals `[rs, re)` with `max(ls, rs) < min(le, re)` (plus
+    * equi `keys`). Each side explodes into the fixed-width bins it
+    * touches and the pair joins on (keys, bin); a pair overlapping
+    * several bins is deduplicated by keeping only the bin holding the
+    * overlap's START (`max(ls, rs) div binWidth`), so every qualifying
+    * pair appears exactly once — no distinct pass needed.
+    *
+    * Scale notes: a hash join with per-side fan-out
+    * `≈ intervalWidth / binWidth + 1` instead of the nested-loop the
+    * non-equi condition would plan; choose `binWidth` on the order of
+    * the typical interval length. Ordinals must be integral. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      ls: String, le: String, rs: String, re: String,
+                      binWidth: Long): DataFrame = {
+    // [s, e) touches bins s div W .. (e−1) div W (e is exclusive)
+    val lb = left.withColumn("__bin",
+      explode(sequence(floor(col(ls) / binWidth),
+        floor((col(le) - 1) / binWidth))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(floor(col(rs) / binWidth),
+        floor((col(re) - 1) / binWidth))))
+    lb.join(rb, keys :+ "__bin")
+      .where(greatest(col(ls), col(rs)) < least(col(le), col(re)))
+      .where(col("__bin") === floor(greatest(col(ls), col(rs)) / binWidth))
+      .drop("__bin")
+  }
 }

@@ -58,8 +58,14 @@ object Relational {
   private val EwmaExpr =
     s"round(CAST($EwmaNum AS DOUBLE) / CAST(($EwmaDen) * 100 AS DOUBLE), 4)"
 
-  /** q_concurrency interval length: 30 simulated minutes in micros. */
+  /** q_concurrency / q_join_interval interval length: 30 simulated
+    * minutes in micros (also the overlap join's bin width — fan-out ≤ 2
+    * bins per interval). */
   private val ConcIntervalUs = 1800000000L
+
+  /** q_kanon: minimum group size a quasi-identifier combination must
+    * reach to be released. */
+  private val KAnonK = 5L
 
   // ---- q_ttest: Welch's t-statistic over exact integer sums, as ONE
   // engine-identical expression (n1,s1,q1,n2,s2,q2 are BIGINT cohort
@@ -1525,7 +1531,71 @@ object Relational {
           round(expr("CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)"), 6)
             .as("pr"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Interval-OVERLAP join (the two-sided sibling of q_join_range's
+    // point-in-interval): every (click, purchase) interval pair of a user
+    // whose 30-minute windows intersect, via `Joins.intervalOverlap` —
+    // both sides explode into ≤2 bins, the pair hash-joins on
+    // (user, bin), and the start-bin ownership rule dedups multi-bin
+    // overlaps without a distinct pass. The oracle is the quadratic
+    // non-equi join — a different algorithm, same pairs. Overlap
+    // durations sum exactly (integer micros).
+    "q_join_interval" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      def iv(tpe: String, p: String) = ev
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(s"${p}_id"),
+          unix_micros(col("ts")).as(s"${p}_s"))
+        .withColumn(s"${p}_e", col(s"${p}_s") + ConcIntervalUs)
+      graft.operators.Joins.intervalOverlap(iv("click", "c"),
+          iv("purchase", "p"), Seq("user_id"),
+          "c_s", "c_e", "p_s", "p_e", ConcIntervalUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("c_e"), col("p_e")) -
+            greatest(col("c_s"), col("p_s"))).as("overlap_us"))
+        .orderBy("user_id")
+    }),
+
+    // Cross-table referential-integrity audit — the FK twin of the
+    // single-table q_dq_audit: orphan counts for all four foreign keys of
+    // the star schema as LeftAnti existence joins (never a row-duplicating
+    // join; dims broadcast). One output row per relationship.
+    "q_ref_integrity" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val ord = table(s, dir, "orders")
+      def check(name: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String) =
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(child.join(parent, child(fk) === parent(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relationship"), col("n_rows"),
+            col("n_orphans"))
+      check("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey")
+        .unionByName(check("lineitem.l_partkey->part", li, "l_partkey",
+          table(s, dir, "part"), "p_partkey"))
+        .unionByName(check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          table(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(check("orders.o_custkey->customer", ord, "o_custkey",
+          table(s, dir, "customer"), "c_custkey"))
+        .orderBy("relationship")
+    }),
+
+    // K-anonymity enforcement over quasi-identifiers (segment ×
+    // generalized nation region): groups smaller than K are SUPPRESSED
+    // from the release — the structural privacy gate that complements
+    // q_scrub_pii's content scrubbing in a training-data pipeline. One
+    // partial-agg'd aggregation + a filter; generalization (nation → 5
+    // regions) is a narrow map.
+    "q_kanon" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          (col("c_nationkey") % 5).cast("long").as("region"))
+        .groupBy("c_mktsegment", "region").agg(count(lit(1)).as("n"))
+        .where(col("n") >= KAnonK)
+        .orderBy("c_mktsegment", "region"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -2625,6 +2695,57 @@ object Relational {
         |)
         |SELECT event_id, event_type,
         |  round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pr
-        |FROM r ORDER BY event_id""".stripMargin
+        |FROM r ORDER BY event_id""".stripMargin,
+
+    "q_join_interval" ->
+      s"""WITH c AS (
+         |  SELECT user_id, epoch_us(ts) AS c_s,
+         |    epoch_us(ts) + $ConcIntervalUs AS c_e
+         |  FROM events WHERE event_type = 'click'
+         |),
+         |p AS (
+         |  SELECT user_id, epoch_us(ts) AS p_s,
+         |    epoch_us(ts) + $ConcIntervalUs AS p_e
+         |  FROM events WHERE event_type = 'purchase'
+         |),
+         |j AS (
+         |  SELECT c.user_id,
+         |    greatest(c_s, p_s) AS s, least(c_e, p_e) AS e
+         |  FROM c JOIN p ON c.user_id = p.user_id
+         |  WHERE greatest(c_s, p_s) < least(c_e, p_e)
+         |)
+         |SELECT user_id, count(*) AS n_overlaps,
+         |  CAST(sum(e - s) AS BIGINT) AS overlap_us
+         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ref_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY relationship""".stripMargin,
+
+    "q_kanon" ->
+      s"""SELECT c_mktsegment, CAST(c_nationkey % 5 AS BIGINT) AS region,
+         |  count(*) AS n
+         |FROM customer
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $KAnonK
+         |ORDER BY c_mktsegment, region""".stripMargin
   )
 }

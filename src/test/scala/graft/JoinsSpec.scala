@@ -6,6 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class JoinsSpec extends AnyFunSuite with SparkFixture {
 
+  test("binned intervalOverlap equals the naive non-equi join (pairs exactly once)") {
+    import spark.implicits._
+    // hand-built intervals including multi-bin overlaps (binWidth 10):
+    // the start-bin ownership rule must emit each qualifying pair ONCE
+    val left = Seq((1L, 1L, 0L, 25L), (2L, 1L, 14L, 16L), (3L, 2L, 5L, 9L))
+      .toDF("l_id", "k", "ls", "le")
+    val right = Seq((10L, 1L, 4L, 40L), (11L, 1L, 24L, 26L), (12L, 2L, 9L, 12L))
+      .toDF("r_id", "k", "rs", "re")
+    val got = Joins.intervalOverlap(left, right, Seq("k"),
+        "ls", "le", "rs", "re", 10L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair emitted more than once")
+    val naive = left.join(right, Seq("k"))
+      .where(greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == naive.toSet && naive.nonEmpty)
+    // interval (1,10) × (11,..): overlap [24,25) crosses no bin boundary;
+    // (1,..) × (10,..): [4,25) spans bins 0..2 — still exactly one row
+    assert(got.toSet.contains((1L, 10L)) && got.toSet.contains((1L, 11L)))
+  }
+
   test("binned pointInInterval equals the naive non-equi join") {
     val e = graft.queries.table(spark, Sf, "events") // converts ns-long ts
     val points = e.select(col("event_id"), col("event_type"),

@@ -337,4 +337,65 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(row.getDouble(3) - pmi) < 1e-5, s"($w1,$w2)")
     }
   }
+
+  test("join_interval: binned overlap join equals the quadratic replay") {
+    val got = SparkEntry.queries("q_join_interval")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us").collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    val expect = byUser.flatMap { case (u, g) =>
+      val cs = g.filter(_.getString(1) == "click").map(_.getLong(2))
+      val ps = g.filter(_.getString(1) == "purchase").map(_.getLong(2))
+      val ov = for {
+        c <- cs; p <- ps
+        s = math.max(c, p); e = math.min(c, p) + 1800000000L
+        if s < e
+      } yield e - s
+      if (ov.isEmpty) None else Some(u -> (ov.length.toLong, ov.sum))
+    }
+    assert(got == expect.toMap)
+  }
+
+  test("ref_integrity: orphan counts match a NOT IN replay") {
+    val rows = SparkEntry.queries("q_ref_integrity")(spark, Sf).collect()
+    assert(rows.length == 4)
+    def keys(t: String, c: String) =
+      spark.read.parquet(s"$Sf/$t.parquet").select(c).collect()
+        .map(_.getLong(0)).toSet
+    def longs(t: String, c: String) =
+      spark.read.parquet(s"$Sf/$t.parquet").selectExpr(s"CAST($c AS BIGINT)")
+        .collect().map(_.getLong(0))
+    val checks = Map(
+      "lineitem.l_orderkey->orders" ->
+        (longs("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+      "lineitem.l_partkey->part" ->
+        (longs("lineitem", "l_partkey"), keys("part", "p_partkey")),
+      "lineitem.l_suppkey->supplier" ->
+        (longs("lineitem", "l_suppkey"), keys("supplier", "s_suppkey")),
+      "orders.o_custkey->customer" ->
+        (longs("orders", "o_custkey"),
+          longs("customer", "c_custkey").toSet))
+    for (r <- rows) {
+      val (child, parents) = checks(r.getString(0))
+      assert(r.getLong(1) == child.length.toLong)
+      assert(r.getLong(2) == child.count(k => !parents(k)).toLong,
+        r.getString(0))
+    }
+  }
+
+  test("kanon: released groups all reach K; suppressed groups are < K") {
+    val rows = SparkEntry.queries("q_kanon")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 5))
+    val all = spark.read.parquet(s"$Sf/customer.parquet")
+      .selectExpr("c_mktsegment", "CAST(c_nationkey % 5 AS BIGINT) AS r")
+      .collect().groupBy(r => (r.getString(0), r.getLong(1))).view
+      .mapValues(_.length.toLong).toMap
+    val released = rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    for (((k, cnt)) <- all) {
+      if (cnt >= 5) assert(released(k), s"group $k size $cnt missing")
+      else assert(!released(k), s"group $k size $cnt should be suppressed")
+    }
+  }
 }
