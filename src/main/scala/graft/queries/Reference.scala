@@ -198,6 +198,27 @@ object Reference {
         .where(col("doc_id") >= 1000 && col("doc_id") < 90000)
         .selectExpr("count(*) AS n", "min(doc_id) AS min_id",
           "max(doc_id) AS max_id")),
+    // DSv2 STREAMING read (MicroBatchStream + admission control +
+    // AvailableNow): the same generator flows as a paced multi-batch
+    // stream (125 ids per micro-batch) into a parquet sink with
+    // exactly-once offsets in the checkpoint; the batch READ-BACK of the
+    // sink must reproduce the corpus the oracle regenerates in SQL —
+    // proving the streaming path delivers exactly the batch rows, across
+    // restarts (rerun resumes at the checkpointed end: no duplicates).
+    "q_stream_synth" -> ((s, _) => {
+      val base = s"$TmpRoot/stream_synth"
+      val stream = s.readStream.format("graft.sources.SynthSource")
+        .option("rows", "500").option("partitions", "4")
+        .option("rowsPerBatch", "125").load()
+      val query = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
     // Schema evolution: two parquet batches written with DIFFERENT schemas
     // (a later batch gained a `lang` column), read back under mergeSchema
     // — missing columns surface as nulls, the union schema is the read
@@ -339,6 +360,21 @@ object Reference {
          |)
          |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
          |FROM g ORDER BY doc_id""".stripMargin
+    },
+    // same corpus regeneration — the stream sink's read-back must carry
+    // exactly the batch-generated rows
+    "q_stream_synth" -> {
+      val cases = "0123456789abcdef".zipWithIndex.map { case (c, i) =>
+        s"WHEN '$c' THEN '${graft.sources.SynthSource.Vocab(i)}'"
+      }.mkString(" ")
+      s"""WITH g AS (
+         |  SELECT i AS doc_id,
+         |    array_to_string(list_transform(
+         |      split(substr(md5(CAST(i AS VARCHAR)), 1, 16), ''),
+         |      c -> CASE c $cases END), ' ') AS text
+         |  FROM generate_series(0, 499) t(i)
+         |)
+         |SELECT doc_id, text FROM g ORDER BY doc_id""".stripMargin
     },
     // regenerates the id range and aggregates it the honest way — the
     // engine side answers from range arithmetic without generating rows

@@ -35,7 +35,8 @@ class SynthSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "250").toLong)
 }
 
 object SynthSource {
@@ -60,17 +61,17 @@ object SynthSource {
       .map(c => Vocab(Character.digit(c, 16))).mkString(" ")
 }
 
-private class SynthTable(rows: Long, partitions: Int)
+private class SynthTable(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"synth($rows, $partitions)"
   override def schema(): StructType = SynthSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions)
+    new SynthScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-private class SynthScanBuilder(rows: Long, partitions: Int)
+private class SynthScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -146,7 +147,7 @@ private class SynthScanBuilder(rows: Long, partitions: Int)
     case Some(values) => new SynthAggScan(aggSchema, values)
     case None =>
       new SynthScan(math.min(rows, math.max(hi, 0)), math.max(lo, 0),
-        partitions, required)
+        partitions, required, rowsPerBatch)
   }
 }
 
@@ -175,16 +176,74 @@ private class SynthAggScan(schema: StructType, values: Array[Long])
 private case class SynthAggPartition(values: Array[Long]) extends InputPartition
 
 private class SynthScan(limit: Long, offset: Long, partitions: Int,
-                        required: StructType) extends Scan with Batch {
+                        required: StructType, rowsPerBatch: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    SynthScan.ranges(offset, limit, partitions)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatch(limit, offset, partitions, required, rowsPerBatch)
+}
+
+private object SynthScan {
+  /** Contiguous id-range partitions for [offset, limit). */
+  def ranges(offset: Long, limit: Long, partitions: Int): Array[InputPartition] = {
     val total = math.max(limit - offset, 0L)
     val per = math.max((total + partitions - 1) / partitions, 1L)
     (0 until partitions).iterator
       .map(i => SynthRange(offset + i * per,
         math.min(offset + (i + 1) * per, limit)))
       .filter(r => r.start < r.end).toArray
+  }
+}
+
+/** Streaming offset: how many ids have been made available. */
+private case class SynthStreamOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** Micro-batch view of the generator: each latestOffset() poll releases
+  * the next `rowsPerBatch` ids (the rate-limited arrival shape of
+  * maxFilesPerTrigger / maxOffsetsPerTrigger), so a bounded corpus flows
+  * as a multi-batch stream with exactly-once offsets in the checkpoint.
+  * Batches split into the SAME contiguous id-range partitions as the
+  * batch scan; generation stays a pure function of doc_id, so restart
+  * and replay are deterministic. Column pruning applies to the streaming
+  * path through the same ScanBuilder. */
+private class SynthMicroBatch(limit: Long, offset: Long, partitions: Int,
+                              required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = SynthStreamOffset(offset)
+  // admission control paces releases from the ENGINE-provided start, so
+  // the stream is stateless across restarts (a checkpointed offset
+  // resumes exactly where it left off)
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset =
+    SynthStreamOffset(math.min(
+      start.asInstanceOf[SynthStreamOffset].id + rowsPerBatch, limit))
+  override def reportLatestOffset(): Offset = SynthStreamOffset(limit)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // AvailableNow: the engine drains batch-by-batch until latestOffset
+  // stops advancing; the generator has no external cap to snapshot
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
+  override def deserializeOffset(json: String): Offset =
+    SynthStreamOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthStreamOffset].id
+    val e = end.asInstanceOf[SynthStreamOffset].id
+    SynthScan.ranges(s, e, partitions)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required.fieldNames)

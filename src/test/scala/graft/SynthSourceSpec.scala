@@ -62,4 +62,32 @@ class SynthSourceSpec extends AnyFunSuite with SparkFixture {
     assert(scanOut.findFirstIn(p).isDefined, p)
     assert(!p.contains("text#"), p)
   }
+
+  test("micro-batch stream delivers the full corpus in paced batches") {
+    val q = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", "1000").option("partitions", "3")
+      .option("rowsPerBatch", "300").load()
+    val chk = s"/root/repo/target/tmp/synth_stream_chk_${System.nanoTime()}"
+    val query = q.writeStream.format("memory").queryName("synth_stream")
+      .option("checkpointLocation", chk).start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("synth_stream").collect()
+      assert(got.length == 1000)
+      val ids = got.map(_.getLong(0)).sorted
+      assert(ids.head == 0L && ids.last == 999L && ids.distinct.length == 1000)
+      // generation identical to the batch path
+      val sample = got.filter(_.getLong(0) % 251 == 0)
+      sample.foreach { r =>
+        assert(r.getString(1) == graft.sources.SynthSource.text(r.getLong(0)))
+      }
+      // rate limit respected: 1000 rows at 300/batch needs ≥ 4 batches
+      val batches = query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length >= 4, batches.mkString(","))
+      assert(batches.forall(_ <= 300), batches.mkString(","))
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS synth_stream")
+    }
+  }
 }
