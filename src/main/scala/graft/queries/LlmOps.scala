@@ -2283,6 +2283,25 @@ object LlmOps {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")),
 
+    // Johnson-Lindenstrauss random projection — 64-dim embeddings mapped
+    // to 8 dims through the SAME md5-seeded integer hyperplane matrix the
+    // LSH bucketing uses (weights inlined as literals into both engines):
+    // the distance-preserving dimensionality reducer feeding downstream
+    // ANN/clustering at 1/8 the vector bytes. Quantized inputs × integer
+    // weights keep every projected coordinate an exact BIGINT — no float
+    // anywhere, partition-invariant. One narrow codegen'd map, zero
+    // shuffles.
+    "q_random_projection" -> ((s, dir) => {
+      val dims = (0 until LshPlanes).map { p =>
+        val arr = LshW(p).mkString("array(", ", ", ")")
+        expr(s"aggregate(zip_with(q, $arr, (x, y) -> x*y), " +
+          s"CAST(0 AS BIGINT), (a, v) -> a + v)").as(s"d$p")
+      }
+      emb(s, dir).select(col("vec_id"), expr(QuantSpark).as("q"))
+        .select(col("vec_id") +: dims: _*)
+        .orderBy("vec_id")
+    }),
+
     // Pointwise mutual information over adjacent-token pairs — the word
     // association score (collocation detection): PMI = ln(N·c12/(c1·c2))
     // where the marginals c1/c2 and N derive from the SAME pair-count
@@ -4151,6 +4170,20 @@ object LlmOps {
          |  count(*) AS cnt
          |FROM toks GROUP BY 1, 2
          |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_random_projection" -> {
+      val sums = (0 until LshPlanes).map { p =>
+        val arr = LshW(p).mkString("[", ", ", "]")
+        s"CAST(sum(q * ($arr)[i]) AS BIGINT) AS d$p"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $sums
+         |FROM (SELECT vec_id, i, ${quantSqlElem("embedding[i]")} AS q
+         |      FROM (SELECT vec_id, embedding,
+         |                   unnest(generate_series(1, len(embedding))) AS i
+         |            FROM embeddings))
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "q_pmi" ->
       s"""WITH t AS (

@@ -1583,6 +1583,38 @@ object Relational {
         .orderBy("relationship")
     }),
 
+    // TPC-H Q5 (local supplier volume): the six-table join exercising the
+    // full star including the previously-light region/nation dims — fact
+    // shuffles once on the order key; customer/supplier/nation/region all
+    // broadcast (each shrinks before its join); the local-supplier
+    // condition (c_nationkey = s_nationkey) rides the supplier join as a
+    // second equi key. Decimal-exact revenue, (revenue desc, name) total
+    // order.
+    "q_tpch_q5" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "supplier")
+            .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")
+            .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
     // K-anonymity enforcement over quasi-identifiers (segment ×
     // generalized nation region): groups smaller than K are SUPPRESSED
     // from the release — the structural privacy gate that complements
@@ -2746,6 +2778,22 @@ object Relational {
          |FROM customer
          |GROUP BY 1, 2
          |HAVING count(*) >= $KAnonK
-         |ORDER BY c_mktsegment, region""".stripMargin
+         |ORDER BY c_mktsegment, region""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -384,6 +384,42 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tpch_q5: broadcasts all four dims; revenue strictly ordered") {
+    val p = SparkEntry.queries("q_tpch_q5")(spark, Sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    val rows = SparkEntry.queries("q_tpch_q5")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val rev = rows.map(_.getDouble(1))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("random_projection: exact BIGINT dots match an md5-weight replay") {
+    val rows = SparkEntry.queries("q_random_projection")(spark, Sf).collect()
+    // rebuild the md5-seeded hyperplane matrix by its public rule
+    val w = (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh:$p:$i".getBytes("UTF-8"))
+        val v = java.lang.Long.parseLong(
+          md.take(4).map("%02x".format(_)).mkString, 16)
+        (v % 2001L) - 1000L
+      }
+    }
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+      .toMap
+    for (r <- rows.take(50)) {
+      val q = vecs(r.getLong(0))
+      for (p <- 0 until 8) {
+        val dot = q.zip(w(p)).map { case (x, y) => x * y }.sum
+        assert(r.getLong(1 + p) == dot, s"vec ${r.getLong(0)} plane $p")
+      }
+    }
+  }
+
   test("kanon: released groups all reach K; suppressed groups are < K") {
     val rows = SparkEntry.queries("q_kanon")(spark, Sf).collect()
     assert(rows.nonEmpty)
