@@ -1615,6 +1615,53 @@ object Relational {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H Q18 (large-volume customers): the "HAVING subquery" shape —
+    // the fact self-aggregates to find big orders (partial agg map-side,
+    // decimal-exact, integral quantities so the > threshold boundary
+    // can't ulp-flip), then joins BACK to orders and a broadcast
+    // customer dim; top-10 via TakeOrderedAndProject on a total
+    // (totalprice desc, orderkey) order.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+        .where(col("sum_qty") > 250.0)
+      big.join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")
+          .select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Nested columnar round-trip: per-doc ordered token arrays of
+    // structs written to parquet and read back — the one sink shape the
+    // flat round-trips don't cover (array<struct<i,word>> column
+    // chunks). collect_list order-nondeterminism is neutralized by
+    // sorting the (i, word) structs; the read-back md5 derives from the
+    // ARRAY itself (no second collect), so the comparison pins both the
+    // write and read paths of nested Parquet. Oracle rebuilds the same
+    // ordered token stream relationally.
+    "q_sink_nested_roundtrip" -> ((s, dir) => {
+      val out = s"$TmpRoot/nested_rt"
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), graft.operators.Tokenize.Delim)))
+        .where(graft.operators.Tokenize.keep(col("col")))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos").cast("long").as("i"),
+          col("col").as("word")))).as("toks"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+          expr("md5(array_join(transform(toks, t -> t.word), ' '))")
+            .as("words_md5"))
+        .orderBy("doc_id")
+    }),
+
     // K-anonymity enforcement over quasi-identifiers (segment ×
     // generalized nation region): groups smaller than K are SUPPRESSED
     // from the release — the structural privacy gate that complements
@@ -2794,6 +2841,35 @@ object Relational {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
-         |ORDER BY revenue DESC, n_name""".stripMargin
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsumSql("l_quantity", 2)} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsumSql("l_quantity", 2)} > 250
+         |)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  sum_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_sink_nested_roundtrip" -> {
+      val keepLambda =
+        s"w -> regexp_matches(lower(w), '${graft.operators.Tokenize.KeepRegex}')"
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '$DelimSql'),
+         |    $keepLambda)) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(
+         |    list_filter(regexp_split_to_array(text, '$DelimSql'),
+         |      $keepLambda), ' ')) AS words_md5
+         |FROM documents
+         |WHERE len(list_filter(regexp_split_to_array(text, '$DelimSql'),
+         |  $keepLambda)) > 0
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

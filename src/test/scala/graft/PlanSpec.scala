@@ -267,6 +267,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // own specs and the verify gate.
     val skip = Set("q_sink_roundtrip", "q_sink_text_roundtrip",
       "q_sink_csv_roundtrip", "q_sink_json_roundtrip", "q_sink_orc_roundtrip",
+      "q_sink_nested_roundtrip", "q_stream_synth",
       "q_csv_corrupt", "q_partitioned_scan", "q_partition_overwrite",
       "q_compact", "q_join_bucketed", "q_upsert",
       "q_cdc_apply", "q_schema_evolution", "q_synth_source", "q_dpp",
