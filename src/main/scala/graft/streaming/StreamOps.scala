@@ -214,4 +214,43 @@ object StreamOps {
           }
       }
   }
+
+  /** Content dedup WITH duplicate accounting on the `transformWithState`
+    * API (Spark 4's arbitrary-state successor to mapGroupsWithState —
+    * typed per-key state handles over the RocksDB store): every
+    * micro-batch emits the key's cumulative occurrence count, so the
+    * first-seen row is the `n = 1` emission and later emissions report
+    * how often content recurs (the re-crawl frequency signal a
+    * drop-silently dedup discards). State is one Long per key. */
+  def dedupCounts(keys: Dataset[String]): Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .transformWithState(new DedupCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** Cumulative occurrence count for a content key after a micro-batch. */
+case class KeyCount(key: String, n: Long)
+
+/** One ValueState[Long] per key; emits the updated cumulative count for
+  * every key touched in the batch. */
+class DedupCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, KeyCount] {
+  @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    seen = getHandle.getValueState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[String],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyCount] = {
+    val prev = if (seen.exists()) seen.get() else 0L
+    val n = prev + rows.size
+    seen.update(n)
+    Iterator.single(KeyCount(key, n))
+  }
 }

@@ -195,4 +195,40 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
         u1.head.end_ms == (base + 5) * 60000L)
     } finally q.stop()
   }
+
+  test("dedupCounts (transformWithState): cumulative duplicate accounting per key") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[String]
+    val q = StreamOps.dedupCounts(in.toDS())
+      .writeStream.format("memory").queryName("dedup_counts")
+      .outputMode("update").start()
+    try {
+      in.addData("a", "a", "b")
+      q.processAllAvailable()
+      in.addData("a", "b", "b")
+      q.processAllAvailable()
+      val got = spark.table("dedup_counts")
+        .as[(String, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.toSeq).toMap
+      // batch 1 emits cumulative (a,2),(b,1); batch 2 emits (a,3),(b,3)
+      assert(got("a") == Seq(2L, 3L), got.toString)
+      assert(got("b") == Seq(1L, 3L), got.toString)
+      // first-seen rows are exactly the n==1 emissions (dedup view)
+      val firstSeen = spark.table("dedup_counts")
+        .as[(String, Long)].collect().filter(_._2 == 1L).map(_._1)
+      assert(firstSeen.toSeq == Seq("b"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.sql("DROP TABLE IF EXISTS dedup_counts")
+    }
+  }
 }
