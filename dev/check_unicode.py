@@ -27,6 +27,10 @@ TEXT_QUERIES = [
     "q_encode_exact", "q_topk_per_reducer", "q_scrub_pii",
     "q_pack_sequences", "q_dedup_components", "q_char_entropy",
     "q_lm_score", "q_contamination",
+    # round-5 second-wave text family: bigram adjacency, PMI marginals,
+    # hashed features, prefix-filter shingles, nested token arrays
+    "q_ngram_topk", "q_pmi", "q_feature_hash", "q_prefix_join",
+    "q_sink_nested_roundtrip",
 ]
 
 DOCS = [
@@ -36,6 +40,14 @@ DOCS = [
     "MIXED Case WÖRDS und ÉTÉ the la le de",
     "tabs\there:and;commas,apostrophe'split 123 456 é ß",
     "café straße naïve °degree split°here the a of and",  # exact dup of doc 0
+    # repeated bigram so PMI has a ≥5-count pair on the tiny corpus
+    "the quick the quick the quick the quick the quick brown",
+    # long near-dup pair (differs only in the final word) so the
+    # prefix-filter join has a Jaccard ≥ 0.8 candidate after rep collapse
+    "das lange gemeinsame präfix über café straße naïve dokument mit "
+    "vielen wörtern und ein paar unterschieden ganz am ende läuft weiter",
+    "das lange gemeinsame präfix über café straße naïve dokument mit "
+    "vielen wörtern und ein paar unterschieden ganz am ende läuft anders",
 ]
 
 
@@ -44,7 +56,7 @@ def main():
     docs = pa.table({
         "doc_id": pa.array(range(len(DOCS)), pa.int64()),
         "text": pa.array(DOCS, pa.string()),
-        "lang": pa.array(["fr", "de", "en", "de", "en", "fr"], pa.string()),
+        "lang": pa.array(["fr", "de", "en", "de", "en", "fr", "en", "de", "de"], pa.string()),
         "source": pa.array(["s0"] * len(DOCS), pa.string()),
         "n_chars": pa.array([len(t) for t in DOCS], pa.int64()),
     })
