@@ -215,6 +215,24 @@ object StreamOps {
       }
   }
 
+  /** Gap sessionization on the `transformWithState` API — the same
+    * semantics as [[sessionize]] (the flatMapGroupsWithState spelling)
+    * re-expressed with typed ValueState + explicit event-time TIMERS:
+    * each batch re-arms one timer at session_end + gap, and
+    * handleExpiredTimer emits + evicts when the watermark passes it.
+    * StreamOpsSpec proves the two implementations emit identical
+    * sessions on the same input — the migration equivalence a team
+    * moving to the new API needs. */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                    watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorTws(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Content dedup WITH duplicate accounting on the `transformWithState`
     * API (Spark 4's arbitrary-state successor to mapGroupsWithState —
     * typed per-key state handles over the RocksDB store): every
@@ -233,6 +251,56 @@ object StreamOps {
 
 /** Cumulative occurrence count for a content key after a micro-batch. */
 case class KeyCount(key: String, n: Long)
+
+/** Timer-driven session processor: ValueState holds the open session;
+  * one event-time timer per key marks its expiry. Merge rules mirror
+  * [[StreamOps.sessionize]] exactly (in-gap events extend EITHER bound;
+  * out-of-gap events close the old session inline). */
+class SessionProcessorTws(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TimeMode, TTLConfig}
+
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessionState]("sess",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[Session] = {
+    var cur = if (st.exists()) Some(st.get()) else None
+    var closed = List.empty[Session]
+    for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t >= s.start_ms - gapMs && t <= s.end_ms + gapMs =>
+          cur = Some(SessionState(math.min(s.start_ms, t),
+            math.max(s.end_ms, t), s.n_events + 1, s.sum_value + e.value))
+        case Some(s) =>
+          closed ::= Session(key, s.start_ms, s.end_ms, s.n_events, s.sum_value)
+          cur = Some(SessionState(t, t, 1L, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1L, e.value))
+      }
+    }
+    cur.foreach { s =>
+      st.update(s)
+      // exactly one live timer per key: re-arm at the new expiry
+      getHandle.listTimers().foreach(ts =>
+        getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(s.end_ms + gapMs)
+    }
+    closed.reverseIterator
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[Session] =
+    if (st.exists()) {
+      val s = st.get()
+      st.clear()
+      Iterator.single(Session(key, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+    } else Iterator.empty
+}
 
 /** One ValueState[Long] per key; emits the updated cumulative count for
   * every key touched in the batch. */

@@ -196,6 +196,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sessionizeTws (timers) emits exactly the sessions of the old API") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = 60
+    val batches = Seq(
+      Seq(Event(1, ts(base), 1, "click", 1.0),
+        Event(2, ts(base + 5), 1, "view", 2.0),
+        Event(10, ts(base + 2), 2, "click", 4.0)),
+      Seq(Event(3, ts(base + 60), 2, "click", 7.0)),
+      Seq(Event(4, ts(base + 120), 3, "click", 1.0)),
+      Seq(Event(5, ts(base + 200), 3, "view", 9.0)))
+    def run(f: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[graft.streaming.Session],
+            name: String): Set[graft.streaming.Session] = {
+      val in = MemoryStream[Event]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name).as[graft.streaming.Session].collect().toSet
+      } finally q.stop()
+    }
+    try {
+      val old = run(StreamOps.sessionize(_, gapMs = 10 * 60000L), "sess_old")
+      val tws = run(StreamOps.sessionizeTws(_, gapMs = 10 * 60000L), "sess_tws")
+      assert(old.nonEmpty, "fixture closed no sessions")
+      assert(tws == old, s"tws=$tws old=$old")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.sql("DROP TABLE IF EXISTS sess_old")
+      spark.sql("DROP TABLE IF EXISTS sess_tws")
+    }
+  }
+
   test("dedupCounts (transformWithState): cumulative duplicate accounting per key") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
