@@ -246,11 +246,13 @@ object LlmOps {
   /** q_sketch_quantile interpolation: the (tgt − cumb)-th of the bin's
     * `cnt` values under a uniform-spread assumption, as ONE exact-integer
     * fraction with a single terminal IEEE division — engine-identical.
-    * 4·(bin·cnt + tgt − cumb) / cnt lands back in value units because
-    * bins are 400 centi-units wide. */
+    * The scale factor HistBinW/100 (bin width in VALUE units, since bins
+    * are centi-unit-wide) is derived, not hardcoded, so retuning the
+    * accuracy/state knob cannot silently skew estimates in both engines
+    * at once. */
   private def histEstExpr(bin: String, cnt: String, tgt: String,
                           cumb: String): String =
-    s"round(CAST(4*(($bin)*($cnt) + ($tgt) - ($cumb)) AS DOUBLE) / CAST($cnt AS DOUBLE), 4)"
+    s"round(CAST(${HistBinW / 100}*(($bin)*($cnt) + ($tgt) - ($cumb)) AS DOUBLE) / CAST($cnt AS DOUBLE), 4)"
 
   /** The three q_sketch_quantile percentiles as exact rationals:
     * (label, numerator, denominator); target rank = ceil(p·n) computed as
@@ -267,6 +269,37 @@ object LlmOps {
 
   /** q_ngram_topk: bigrams kept per head word. */
   private val NgramK = 3
+
+  /** Adjacent-token (w1, w2) pairs from the raw split arrays — the ONE
+    * bigram definition shared by q_ngram_topk and q_pmi (engine side),
+    * mirrored by [[BigramCountsSql]] on the oracle side, so the
+    * tokenization of pairs cannot drift between the two queries. */
+  private def bigramPairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(split(col("text"), Tokenize.Delim).as("a"))
+      .where(expr("size(a) >= 2"))
+      .select(expr("explode(sequence(1, size(a)-1))").as("i"), col("a"))
+      .select(expr("element_at(a, i)").as("w1"),
+        expr("element_at(a, i+1)").as("w2"))
+      .where(Tokenize.keep(col("w1")) && Tokenize.keep(col("w2")))
+
+  /** Oracle twin of [[bigramPairs]] + counts: CTEs `t`, `b`, `c` with
+    * `c(w1, w2, cnt)`. */
+  private lazy val BigramCountsSql: String =
+    s"""t AS (
+       |  SELECT regexp_split_to_array(text, '$DelimSql') AS a FROM documents
+       |),
+       |b AS (
+       |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+       |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+       |        FROM t WHERE len(a) >= 2)
+       |),
+       |c AS (
+       |  SELECT w1, w2, count(*) AS cnt FROM b
+       |  WHERE regexp_matches(lower(w1), '${Tokenize.KeepRegex}')
+       |    AND regexp_matches(lower(w2), '${Tokenize.KeepRegex}')
+       |  GROUP BY 1, 2
+       |)""".stripMargin
 
   /** q_feature_hash: hashing-trick feature space size. */
   private val FeatHashDim = 64
@@ -2215,16 +2248,8 @@ object LlmOps {
     // the native operator's row set equals the oracle's row_number
     // spelling exactly.
     "q_ngram_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(split(col("text"), graft.operators.Tokenize.Delim).as("a"))
-        .where(expr("size(a) >= 2"))
-      val pairs = d.select(expr("explode(sequence(1, size(a)-1))").as("i"),
-          col("a"))
-        .select(expr("element_at(a, i)").as("w1"),
-          expr("element_at(a, i+1)").as("w2"))
-        .where(graft.operators.Tokenize.keep(col("w1")) &&
-          graft.operators.Tokenize.keep(col("w2")))
-      val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val counts = bigramPairs(s, dir)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       graft.operators.TopK.perKey(counts, Seq("w1"),
         Seq(("cnt", false), ("w2", true)), NgramK)
         .orderBy("w1", "w2")
@@ -2310,15 +2335,8 @@ object LlmOps {
     // (rounded — same discipline as BM25's idf). Marginals broadcast
     // back; the min-count filter keeps only supported associations.
     "q_pmi" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(split(col("text"), Tokenize.Delim).as("a"))
-        .where(expr("size(a) >= 2"))
-      val pairs = d.select(expr("explode(sequence(1, size(a)-1))").as("i"),
-          col("a"))
-        .select(expr("element_at(a, i)").as("w1"),
-          expr("element_at(a, i+1)").as("w2"))
-        .where(Tokenize.keep(col("w1")) && Tokenize.keep(col("w2")))
-      val c = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val c = bigramPairs(s, dir)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       val lm = c.groupBy("w1").agg(sum(col("cnt")).as("c1"))
       val rm = c.groupBy("w2").agg(sum(col("cnt")).as("c2"))
       val nn = c.agg(sum(col("cnt")).as("nb"))
@@ -4106,20 +4124,7 @@ object LlmOps {
          |ORDER BY i.d1, i.d2""".stripMargin,
 
     "q_ngram_topk" ->
-      s"""WITH t AS (
-         |  SELECT regexp_split_to_array(text, '$DelimSql') AS a FROM documents
-         |),
-         |b AS (
-         |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
-         |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
-         |        FROM t WHERE len(a) >= 2)
-         |),
-         |c AS (
-         |  SELECT w1, w2, count(*) AS cnt FROM b
-         |  WHERE regexp_matches(lower(w1), '${Tokenize.KeepRegex}')
-         |    AND regexp_matches(lower(w2), '${Tokenize.KeepRegex}')
-         |  GROUP BY 1, 2
-         |),
+      s"""WITH $BigramCountsSql,
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rn
          |  FROM c
@@ -4186,20 +4191,7 @@ object LlmOps {
     },
 
     "q_pmi" ->
-      s"""WITH t AS (
-         |  SELECT regexp_split_to_array(text, '$DelimSql') AS a FROM documents
-         |),
-         |b AS (
-         |  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
-         |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
-         |        FROM t WHERE len(a) >= 2)
-         |),
-         |c AS (
-         |  SELECT w1, w2, count(*) AS cnt FROM b
-         |  WHERE regexp_matches(lower(w1), '${Tokenize.KeepRegex}')
-         |    AND regexp_matches(lower(w2), '${Tokenize.KeepRegex}')
-         |  GROUP BY 1, 2
-         |),
+      s"""WITH $BigramCountsSql,
          |lm AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM c GROUP BY 1),
          |rm AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM c GROUP BY 1),
          |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM c)

@@ -72,7 +72,7 @@ object Relational {
   // sums of the ×100-quantized value and its square — every sum < 2^53).
   private def tMean(i: Int) = s"(CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))"
   private def tVar(i: Int) =
-    s"((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))/CAST(n$i - 1 AS DOUBLE))"
+    s"((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))/CAST(nullif(n$i - 1, 0) AS DOUBLE))"
   private val WelchTExpr =
     s"((${tMean(1)} - ${tMean(2)}) / sqrt(${tVar(1)}/CAST(n1 AS DOUBLE) + ${tVar(2)}/CAST(n2 AS DOUBLE)))"
 
@@ -81,7 +81,7 @@ object Relational {
   // the z-score is already in standard units.
   private val ZScoreExpr =
     """round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) /
-      | sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n - 1 AS DOUBLE)), 4)""".stripMargin
+      | sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/CAST(nullif(n - 1, 0) AS DOUBLE)), 4)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
@@ -1528,7 +1528,7 @@ object Relational {
       graft.operators.Ranks.withinKey(ev, "event_type", Seq("v", "event_id"))
         .join(broadcast(n), "event_type")
         .select(col("event_id"), col("event_type"),
-          round(expr("CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)"), 6)
+          round(expr("CAST(rk - 1 AS DOUBLE) / CAST(nullif(n - 1, 0) AS DOUBLE)"), 6)
             .as("pr"))
         .orderBy("event_id")
     }),
@@ -2773,7 +2773,7 @@ object Relational {
         |  FROM v
         |)
         |SELECT event_id, event_type,
-        |  round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pr
+        |  round(CAST(rk - 1 AS DOUBLE) / CAST(nullif(n - 1, 0) AS DOUBLE), 6) AS pr
         |FROM r ORDER BY event_id""".stripMargin,
 
     "q_join_interval" ->
@@ -2797,26 +2797,30 @@ object Relational {
          |  CAST(sum(e - s) AS BIGINT) AS overlap_us
          |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: the anti-join semantics must match the
+    // engine's LeftAnti on dirty data — a NULL parent key would make
+    // NOT IN return NULL for every genuinely-orphaned child, and a NULL
+    // child FK must count as an orphan in both engines
     "q_ref_integrity" ->
       """SELECT 'lineitem.l_orderkey->orders' AS relationship,
         |  (SELECT count(*) FROM lineitem) AS n_rows,
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
         |UNION ALL
         |SELECT 'lineitem.l_partkey->part',
         |  (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
         |UNION ALL
         |SELECT 'lineitem.l_suppkey->supplier',
         |  (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
         |UNION ALL
         |SELECT 'orders.o_custkey->customer',
         |  (SELECT count(*) FROM orders),
-        |  (SELECT count(*) FROM orders
-        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY relationship""".stripMargin,
 
     "q_kanon" ->

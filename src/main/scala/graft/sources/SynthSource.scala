@@ -225,9 +225,12 @@ private class SynthMicroBatch(limit: Long, offset: Long, partitions: Int,
   // admission control paces releases from the ENGINE-provided start, so
   // the stream is stateless across restarts (a checkpointed offset
   // resumes exactly where it left off)
-  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset =
-    SynthStreamOffset(math.min(
-      start.asInstanceOf[SynthStreamOffset].id + rowsPerBatch, limit))
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthStreamOffset].id
+    // never regress below the engine's start (filters can make
+    // limit < offset): offsets in the checkpoint must stay monotone
+    SynthStreamOffset(math.max(s, math.min(s + rowsPerBatch, limit)))
+  }
   override def reportLatestOffset(): Offset = SynthStreamOffset(limit)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   // AvailableNow: the engine drains batch-by-batch until latestOffset

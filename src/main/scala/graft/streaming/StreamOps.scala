@@ -276,9 +276,13 @@ class SessionProcessorTws(gapMs: Long)
         case Some(s) if t >= s.start_ms - gapMs && t <= s.end_ms + gapMs =>
           cur = Some(SessionState(math.min(s.start_ms, t),
             math.max(s.end_ms, t), s.n_events + 1, s.sum_value + e.value))
-        case Some(s) =>
+        case Some(s) if t > s.end_ms + gapMs =>
           closed ::= Session(key, s.start_ms, s.end_ms, s.n_events, s.sum_value)
           cur = Some(SessionState(t, t, 1L, e.value))
+        case Some(_) =>
+          // straggler predating (start − gap): its own closed singleton,
+          // the open session stays — mirrors sessionize's third branch
+          closed ::= Session(key, t, t, 1L, e.value)
         case None =>
           cur = Some(SessionState(t, t, 1L, e.value))
       }

@@ -203,10 +203,15 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val base = 60
+    // watermarkDelay (30 min) > gap (10 min) makes the STRAGGLER branch
+    // reachable: batch 2's t = base−20 is above the watermark (base−30)
+    // but older than start−gap — both implementations must emit it as a
+    // closed singleton and keep the open session untouched
     val batches = Seq(
       Seq(Event(1, ts(base), 1, "click", 1.0),
         Event(2, ts(base + 5), 1, "view", 2.0),
         Event(10, ts(base + 2), 2, "click", 4.0)),
+      Seq(Event(6, ts(base - 20), 1, "view", 5.0)),
       Seq(Event(3, ts(base + 60), 2, "click", 7.0)),
       Seq(Event(4, ts(base + 120), 3, "click", 1.0)),
       Seq(Event(5, ts(base + 200), 3, "view", 9.0)))
@@ -221,9 +226,14 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
       } finally q.stop()
     }
     try {
-      val old = run(StreamOps.sessionize(_, gapMs = 10 * 60000L), "sess_old")
-      val tws = run(StreamOps.sessionizeTws(_, gapMs = 10 * 60000L), "sess_tws")
+      val old = run(StreamOps.sessionize(_, gapMs = 10 * 60000L,
+        watermarkDelay = "30 minutes"), "sess_old")
+      val tws = run(StreamOps.sessionizeTws(_, gapMs = 10 * 60000L,
+        watermarkDelay = "30 minutes"), "sess_tws")
       assert(old.nonEmpty, "fixture closed no sessions")
+      // the straggler singleton really was exercised
+      assert(old.exists(s => s.user_id == 1 && s.n_events == 1 &&
+        s.start_ms == (base - 20) * 60000L), s"straggler missing: $old")
       assert(tws == old, s"tws=$tws old=$old")
     } finally {
       prev match {
