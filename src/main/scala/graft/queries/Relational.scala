@@ -1615,6 +1615,40 @@ object Relational {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H Q7 (volume shipping): the same-dim-joined-TWICE shape — two
+    // broadcast instances of nation (supplier side, customer side) with
+    // the classic DISJUNCTIVE cross-pair predicate ((A,B) OR (B,A), here
+    // parity groups so every scale factor has rows). Fact shuffles once
+    // on the order key; customer/supplier/nation² broadcast; yearly
+    // revenue decimal-exact.
+    "q_tpch_q7" -> ((s, dir) => {
+      def natLabel(as: String, key: String) = table(s, dir, "nation")
+        .select(col("n_nationkey").as(key),
+          when(col("n_nationkey") % 2 === 0, "even").otherwise("odd").as(as))
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natLabel("supp_nation", "n1_key")),
+          col("s_nationkey") === col("n1_key"))
+        .join(broadcast(natLabel("cust_nation", "n2_key")),
+          col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "even" && col("cust_nation") === "odd") ||
+          (col("supp_nation") === "odd" && col("cust_nation") === "even"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q18 (large-volume customers): the "HAVING subquery" shape —
     // the fact self-aggregates to find big orders (partial agg map-side,
     // decimal-exact, integral quantities so the > threshold boundary
@@ -2846,6 +2880,23 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT
+         |  CASE WHEN n1.n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS supp_nation,
+         |  CASE WHEN n2.n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+         |   OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_tpch_q18" ->
       s"""WITH big AS (

@@ -233,6 +233,20 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Per-user per-event-type running counts on MapState — the third
+    * state primitive of the transformWithState API (ValueState:
+    * dedupCounts; timers: sessionizeTws; MapState: here). Every batch
+    * emits the updated cumulative count for each (user, type) it
+    * touched; state per user is one map entry per DISTINCT type, not
+    * per event. */
+  def typeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Content dedup WITH duplicate accounting on the `transformWithState`
     * API (Spark 4's arbitrary-state successor to mapGroupsWithState —
     * typed per-key state handles over the RocksDB store): every
@@ -251,6 +265,34 @@ object StreamOps {
 
 /** Cumulative occurrence count for a content key after a micro-batch. */
 case class KeyCount(key: String, n: Long)
+
+/** Cumulative per-type event count for a user after a micro-batch. */
+case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** MapState[type → count] per user; emits the updated count for each
+  * type touched in the batch. */
+class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TypeCount] {
+  import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig}
+
+  @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    m = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[TypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (e <- rows) {
+      val prev = if (m.containsKey(e.event_type)) m.getValue(e.event_type) else 0L
+      m.updateValue(e.event_type, prev + 1L)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => TypeCount(key, t, m.getValue(t)))
+  }
+}
 
 /** Timer-driven session processor: ValueState holds the open session;
   * one event-time timer per key marks its expiry. Merge rules mirror

@@ -245,6 +245,41 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("typeCounts (MapState): cumulative per-type counts per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = StreamOps.typeCounts(in.toDS())
+      .writeStream.format("memory").queryName("type_counts")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(1, ts(1), 1, "click", 0.0), Event(2, ts(2), 1, "click", 0.0),
+        Event(3, ts(3), 1, "view", 0.0), Event(4, ts(4), 2, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(5, ts(5), 1, "click", 0.0), Event(6, ts(6), 2, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("type_counts")
+        .as[graft.streaming.TypeCount].collect()
+        .groupBy(t => (t.user_id, t.event_type)).view
+        .mapValues(_.map(_.n).sorted.toSeq).toMap
+      // batch 1: (1,click)=2, (1,view)=1, (2,view)=1; batch 2 updates
+      // (1,click)=3 and (2,view)=2
+      assert(got((1L, "click")) == Seq(2L, 3L), got.toString)
+      assert(got((1L, "view")) == Seq(1L), got.toString)
+      assert(got((2L, "view")) == Seq(1L, 2L), got.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.sql("DROP TABLE IF EXISTS type_counts")
+    }
+  }
+
   test("dedupCounts (transformWithState): cumulative duplicate accounting per key") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
