@@ -1649,6 +1649,27 @@ object Relational {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // TPC-H Q10 (returned-item reporting): lost revenue per customer over
+    // RETURNED lineitems — the returnflag filter is pushed to the fact
+    // scan, the fact shuffles once on the order key, customer broadcasts,
+    // and the top-20 compiles to TakeOrderedAndProject on a total
+    // (revenue desc, custkey) order.
+    "q_tpch_q10" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q18 (large-volume customers): the "HAVING subquery" shape —
     // the fact self-aggregates to find big orders (partial agg map-side,
     // decimal-exact, integral quantities so the > threshold boundary
@@ -2897,6 +2918,17 @@ object Relational {
          |   OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0)
          |GROUP BY 1, 2, 3
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
 
     "q_tpch_q18" ->
       s"""WITH big AS (

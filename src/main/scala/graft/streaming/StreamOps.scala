@@ -247,6 +247,20 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** Recent-K event buffer per user on ListState — completing the
+    * transformWithState primitive tour (ValueState / MapState / timers /
+    * ListState): each batch appends the user's events, truncates the
+    * buffer to the newest `k` by (ts, event_id), and emits the user's
+    * CURRENT window as one row — the "last K actions" feature a ranker
+    * reads. State per user is bounded at k rows by construction. */
+  def recentEvents(events: Dataset[Event], k: Int = 3): Dataset[RecentWindow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Content dedup WITH duplicate accounting on the `transformWithState`
     * API (Spark 4's arbitrary-state successor to mapGroupsWithState —
     * typed per-key state handles over the RocksDB store): every
@@ -268,6 +282,32 @@ case class KeyCount(key: String, n: Long)
 
 /** Cumulative per-type event count for a user after a micro-batch. */
 case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+/** A user's newest-K event ids (ascending by event time) after a batch. */
+case class RecentWindow(user_id: Long, event_ids: Seq[Long])
+
+/** ListState buffer truncated to the newest k events per user. */
+class RecentEventsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RecentWindow] {
+  import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig}
+
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[(Long, Long)]("recent",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               tv: TimerValues): Iterator[RecentWindow] = {
+    val prev = if (buf.exists()) buf.get().toSeq else Seq.empty
+    val merged = (prev ++ rows.map(e => (e.ts.getTime, e.event_id)))
+      .sortBy(identity).takeRight(k)
+    buf.put(merged.toArray)
+    Iterator.single(RecentWindow(key, merged.map(_._2)))
+  }
+}
 
 /** MapState[type → count] per user; emits the updated count for each
   * type touched in the batch. */

@@ -245,6 +245,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("recentEvents (ListState): newest-k buffer per user, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = StreamOps.recentEvents(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("recent_ev")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(1, ts(1), 1, "a", 0.0), Event(2, ts(2), 1, "a", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(3), 1, "a", 0.0), Event(4, ts(4), 1, "a", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("recent_ev")
+        .as[graft.streaming.RecentWindow].collect()
+        .map(w => w.event_ids).toSeq
+      // batch 1 window = [1,2]; batch 2 truncates to the newest 3 = [2,3,4]
+      assert(got.contains(Seq(1L, 2L)) && got.contains(Seq(2L, 3L, 4L)),
+        got.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.sql("DROP TABLE IF EXISTS recent_ev")
+    }
+  }
+
   test("typeCounts (MapState): cumulative per-type counts per user") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
