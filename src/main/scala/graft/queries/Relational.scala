@@ -1717,6 +1717,34 @@ object Relational {
         .orderBy("doc_id")
     }),
 
+    // DISCRETE percentiles (order statistics, no interpolation) — the
+    // convention twin of q_percentile's linear interpolation: the value
+    // AT rank ceil(p·n) in the (v, event_id) total order, selected on
+    // the distributed `Ranks.withinKey` rank (no whole-group buffer,
+    // same machinery as the continuous path). Integer rank targets, so
+    // the selection cannot ulp-flip; the oracle replays the identical
+    // rank rule rather than relying on any built-in's convention.
+    "q_percentile_disc" -> ((s, dir) => {
+      val ev = table(s, dir, "events").selectExpr("event_type", "event_id",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.Ranks
+        .withinKey(ev, "event_type", Seq("v", "event_id"))
+        .join(broadcast(n), "event_type")
+      val sels = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L))
+        .map { case (lbl, nu, de) =>
+          min(when(col("rk") === expr(s"($nu*n + ${de - 1}) div $de"),
+            col("v"))).as(s"v_$lbl")
+        }
+      ranked.groupBy("event_type")
+        .agg(max(col("n")).as("n"), sels: _*)
+        .select(col("event_type"), col("n"),
+          round(expr("CAST(v_p25 AS DOUBLE) / 100"), 2).as("p25"),
+          round(expr("CAST(v_p50 AS DOUBLE) / 100"), 2).as("p50"),
+          round(expr("CAST(v_p75 AS DOUBLE) / 100"), 2).as("p75"))
+        .orderBy("event_type")
+    }),
+
     // K-anonymity enforcement over quasi-identifiers (segment ×
     // generalized nation region): groups smaller than K are SUPPRESSED
     // from the release — the structural privacy gate that complements
@@ -2877,6 +2905,25 @@ object Relational {
         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY relationship""".stripMargin,
+
+    "q_percentile_disc" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v
+        |)
+        |SELECT event_type, max(n) AS n,
+        |  round(CAST(min(CASE WHEN rk = (1*n + 3) // 4 THEN v END) AS DOUBLE) / 100, 2) AS p25,
+        |  round(CAST(min(CASE WHEN rk = (1*n + 1) // 2 THEN v END) AS DOUBLE) / 100, 2) AS p50,
+        |  round(CAST(min(CASE WHEN rk = (3*n + 3) // 4 THEN v END) AS DOUBLE) / 100, 2) AS p75
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_kanon" ->
       s"""SELECT c_mktsegment, CAST(c_nationkey % 5 AS BIGINT) AS region,
