@@ -67,6 +67,14 @@ object Relational {
     * reach to be released. */
   private val KAnonK = 5L
 
+  // ---- q_auc: the terminal Mann-Whitney division. two_sr = 2·ΣR⁺ (sum
+  // of positives' AVERAGE ranks, doubled to stay integral on ties), so
+  // AUC = (2·ΣR⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻); every operand is an exact
+  // BIGINT < 2^53 and the single division is shared verbatim with the
+  // oracle.
+  private val AucExpr =
+    "round(CAST(two_sr - npos*(npos+1) AS DOUBLE) / CAST(2*npos*(n - npos) AS DOUBLE), 6)"
+
   // ---- q_ttest: Welch's t-statistic over exact integer sums, as ONE
   // engine-identical expression (n1,s1,q1,n2,s2,q2 are BIGINT cohort
   // sums of the ×100-quantized value and its square — every sum < 2^53).
@@ -1757,7 +1765,116 @@ object Relational {
           (col("c_nationkey") % 5).cast("long").as("region"))
         .groupBy("c_mktsegment", "region").agg(count(lit(1)).as("n"))
         .where(col("n") >= KAnonK)
-        .orderBy("c_mktsegment", "region"))
+        .orderBy("c_mktsegment", "region")),
+
+    // ROC AUC of "value predicts purchase" via the Mann-Whitney rank-sum
+    // identity: AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks on
+    // ties. Ranks come from the distributed `Ranks.withinKey` (constant
+    // key: the range partitioner spreads the total (v, event_id) order
+    // across tasks — a 10¹¹-row score column never sorts on one task);
+    // tied groups occupy contiguous rank runs, so the per-value
+    // (rmin, rmax, n⁺) aggregate reconstructs average ranks exactly:
+    // 2·ΣR⁺ = Σᵥ n⁺ᵥ·(rminᵥ+rmaxᵥ). Everything is BIGINT until the one
+    // terminal division (shared verbatim with the oracle) — the
+    // classifier-evaluation metric at any corpus size for two shuffles.
+    "q_auc" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .selectExpr("event_id",
+          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v",
+          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
+        .withColumn("k", lit(1))
+      graft.operators.Ranks.withinKey(ev, "k", Seq("v", "event_id"))
+        .groupBy("v")
+        .agg(min("rk").as("rmin"), max("rk").as("rmax"), sum("y").as("np"))
+        .agg(sum(expr("np*(rmin+rmax)")).as("two_sr"),
+          sum(col("np")).as("npos"),
+          sum(expr("rmax - rmin + 1")).as("n"))
+        .select(col("n"), col("npos"), expr("n - npos").as("nneg"),
+          expr(AucExpr).as("auc"))
+    }),
+
+    // TPC-H Q13 (customer order distribution): the outer-join histogram —
+    // every customer counts, including the order-less ones a plain join
+    // would drop. The join and the per-customer count share the custkey
+    // shuffle (ReuseExchange); the histogram aggregation sees ≤ |distinct
+    // counts| rows. Total (custdist, c_count) descending order.
+    "q_tpch_q13" -> ((s, dir) =>
+      table(s, dir, "customer").select("c_custkey")
+        .join(table(s, dir, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
+    // TPC-H Q15 (top supplier): revenue-per-supplier view + "equal to the
+    // max" selection, ties included. Revenue sums are exact decimals, so
+    // the max-equality join cannot ulp-miss a tied supplier; the 1-row
+    // max aggregate broadcasts back. Date predicate pushed to the scan.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max("total_rev").as("max_rev"))))
+        .where(col("total_rev") === col("max_rev"))
+        .join(broadcast(table(s, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated-average
+    // subquery, decorrelated into a per-part aggregate joined back. The
+    // threshold l_quantity < 0.2·avg(l_quantity) is evaluated as the
+    // integer cross-multiplication 5·q·n < sum (quantities are integral)
+    // — no float at the boundary in either engine. Only brand-filtered
+    // parts' lineitems enter the per-part aggregate, and the filter join
+    // broadcasts the tiny part list; one terminal ÷7 division.
+    "q_tpch_q17" -> ((s, dir) => {
+      val pli = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+        .join(broadcast(table(s, dir, "part")
+          .where(col("p_brand") === "Brand#23" && col("p_size") <= 5)
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+      val pq = pli.groupBy("l_partkey")
+        .agg(sum("q").as("sq"), count(lit(1)).as("nq"))
+      pli.join(pq, "l_partkey")
+        .where(expr("5*q*nq < sq"))
+        .agg(count(lit(1)).as("n_li"),
+          round(dsum(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity): above-average-balance
+    // customers with NO orders — LeftAnti against the fact plus a global
+    // average threshold, compared as the integer cross-multiplication
+    // bal·n > sum over ×100-quantized balances (no float boundary). The
+    // 1-row threshold aggregate broadcasts; the anti join is the only
+    // fact shuffle.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_mktsegment").isin("MACHINERY", "BUILDING", "FURNITURE"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("bal_c"))
+      val thr = cust.where(col("bal_c") > 0)
+        .agg(sum("bal_c").as("sb"), count(lit(1)).as("nb"))
+      cust.join(table(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .where(expr("bal_c * nb > sb"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   val oracle: Map[String, String] = Map(
