@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed within-key ranking WITHOUT a per-key window sort: the
@@ -9,13 +8,25 @@ import org.apache.spark.sql.functions._
   * sampler — anywhere a "row_number() over (partition by key order by …)"
   * would put a whole (possibly huge) key on one task.
   *
-  * Shape: range-partition by (key, orderCols) so a big key SPANS
-  * partitions; per-(partition, key) chunk counts (≤ parts × |keys| rows —
-  * metadata) prefix-sum into chunk offsets over that tiny table; global
-  * rank = offset + row_number within the bounded chunk. The range
-  * Exchange feeds both branches and is deduplicated by ReuseExchange, so
-  * the data shuffles once (plus the (pid, key) hash Exchange for the
-  * chunk-local window).
+  * Shape: range-partition + sort by (key, orderCols) so a big key SPANS
+  * partitions, then a GLOBAL contiguous index via `RDD.zipWithIndex`
+  * (its count job reads the one shuffle's output; map stages are skipped
+  * on reuse); within-key rank = global index − min index of the key + 1,
+  * where the per-key min-index table (|keys| rows — metadata) joins back
+  * under the broadcast policy below.
+  *
+  * == Why one RDD lineage, not two DataFrame branches ==
+  * The previous shape derived chunk offsets from `spark_partition_id()`
+  * in a SECOND plan branch over the same `repartitionByRange`. Range
+  * boundaries come from a SAMPLE; when the optimizer does not reuse the
+  * Exchange (observed under the 32-partition AQE session), each branch
+  * re-samples, the two executions assign DIFFERENT partition ids, and
+  * the offsets misalign — q_auc's rank sum inflated nondeterministically
+  * (10000 rows → n of 10267…10285) the moment an oracle pinned it. With
+  * a single RDD, the partitioner and shuffle files are created once and
+  * every downstream job (the zip count, the min-index aggregate, the
+  * final join) reads the same materialized partitions — determinism by
+  * construction, not by optimizer goodwill.
   *
   * == High-cardinality-key guard ==
   * The offsets table is parts × |distinct keys| rows. For the operator's
@@ -48,20 +59,22 @@ object Ranks {
   def withinKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
                 parts: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
-    val ordCols = orderCols.map(col)
-    val parted = df.repartitionByRange(parts, (col(keyCol) +: ordCols): _*)
-      .withColumn("__pid", spark_partition_id())
-    val offs = parted.groupBy("__pid", keyCol).agg(count(lit(1)).as("__c"))
-      .withColumn("__off",
-        sum(col("__c")).over(Window.partitionBy(keyCol).orderBy("__pid"))
-          - col("__c"))
-      .drop("__c")
-    parted
-      .withColumn("__lrk", row_number().over(
-        Window.partitionBy(col("__pid"), col(keyCol)).orderBy(ordCols: _*)))
-      .join(maybeBroadcast(offs), Seq("__pid", keyCol))
-      .withColumn("rk", col("__off") + col("__lrk"))
-      .drop("__pid", "__lrk", "__off")
+    val sortCols = (col(keyCol) +: orderCols.map(col))
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    // one RDD: the range partitioner (sampled boundaries) and the shuffle
+    // are fixed HERE; zipWithIndex's count job and every later job over
+    // `indexed` reuse the same materialized partitions
+    val indexed = df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      sorted.schema.add("__gidx", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val firsts = indexed.groupBy(keyCol).agg(min("__gidx").as("__first"))
+    indexed.join(maybeBroadcast(firsts), Seq(keyCol))
+      .withColumn("rk", col("__gidx") - col("__first") + 1)
+      .drop("__gidx", "__first")
   }
 
   /** Apply the [[OffsetsBroadcastConf]] policy to a small-by-construction

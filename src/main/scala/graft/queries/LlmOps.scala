@@ -1338,9 +1338,8 @@ object LlmOps {
       import s.implicits._
       val base = s"$TmpRoot/stream_join_${new java.io.File(dir).getName}"
       val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = normalizeTs(s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val ev = src.as[graft.streaming.Event]
@@ -1444,14 +1443,10 @@ object LlmOps {
     "q_stream_window_sink" -> ((s, dir) => {
       val base = s"$TmpRoot/stream_window_${new java.io.File(dir).getName}"
       val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val src0 = s.readStream.schema(sch)
+      val src = normalizeTs(s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-      val src = // same nanosecond-parquet handling as queries.table()
-        if (sch("ts").dataType == org.apache.spark.sql.types.LongType)
-          src0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else src0
+        .parquet(dir))
       src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("window.start")).as("ws"),

@@ -25,9 +25,23 @@ package object queries {
     * (DuckDB reads the same file natively as TIMESTAMP_NS). */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize an `events.ts` column to instant TimestampType whatever the
+    * generator wrote: nanosecond INT64 (read as long under
+    * spark.sql.legacy.parquet.nanosAsLong) or microseconds with
+    * isAdjustedToUTC=false (TIMESTAMP_NTZ — the session is pinned UTC, so
+    * the cast is the identity on the underlying micros). Instant functions
+    * (unix_micros, window joins against TIMESTAMP) require this; shared by
+    * [[table]] and the streaming readers so batch and stream agree at
+    * every scale factor. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df
   }
 
   /** Exact decimal-backed sum of a double expression, returned as double.

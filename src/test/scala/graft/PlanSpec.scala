@@ -181,9 +181,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q_percentile")
     // the built-in percentile() is a TypedImperativeAggregate that holds
     // every value of a group in one task's buffer; the selection shape must
-    // plan row_number ranking instead, with the offset/rank sides broadcast
+    // plan the zipWithIndex rank lineage instead (Ranks.withinKey's single
+    // materialized RDD — the determinism-by-construction boundary), with
+    // the rank/neighbor metadata sides broadcast
     assert(!p.contains("percentile("), p)
-    assert(p.contains("row_number"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 

@@ -71,14 +71,14 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("ewma: head of each series equals its own value; result is bounded") {
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select("user_id", "event_id", "ts", "value").collect()
+    val ev = graft.queries.table(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
       .groupBy(_.getLong(0))
     val got = SparkEntry.queries("q_ewma")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     for ((_, g) <- ev) {
-      val ordered = g.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1)))
+      val ordered = g.sortBy(r => (r.getLong(2), r.getLong(1)))
       val head = ordered.head
       val q = math.floor(head.getDouble(3) * 100 + 0.5) / 100.0
       assert(math.abs(got((head.getLong(0), head.getLong(1))) - q) < 1e-6)
@@ -190,8 +190,8 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("concurrency: peak matches an in-memory sweep-line replay") {
     val rows = SparkEntry.queries("q_concurrency")(spark, Sf).collect()
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .selectExpr("event_type", "event_id", "ts div 1000 AS us").collect()
+    val ev = graft.queries.table(spark, Sf, "events")
+      .selectExpr("event_type", "event_id", "unix_micros(ts) AS us").collect()
       .groupBy(_.getString(0))
     for (r <- rows) {
       val g = ev(r.getString(0))
@@ -341,8 +341,8 @@ class Round5bOpsSpec extends AnyFunSuite with SparkFixture {
   test("join_interval: binned overlap join equals the quadratic replay") {
     val got = SparkEntry.queries("q_join_interval")(spark, Sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000 AS us").collect()
+    val ev = graft.queries.table(spark, Sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us").collect()
     val byUser = ev.groupBy(_.getLong(0))
     val expect = byUser.flatMap { case (u, g) =>
       val cs = g.filter(_.getString(1) == "click").map(_.getLong(2))
