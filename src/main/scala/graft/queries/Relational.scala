@@ -2189,6 +2189,68 @@ object Relational {
         .select(col("s_name"), col("numwait"))
         .orderBy(desc("numwait"), asc("s_name"))
         .limit(20)
+    }),
+
+    // Rank-based window functions AT SCALE: ntile / percent_rank /
+    // cume_dist per event_type — computed as ARITHMETIC over the
+    // distributed `Ranks.withinKey` rank instead of a per-key Window
+    // (whose whole-group-on-one-task sort is the operator's 100 TB
+    // anti-pattern; a hot event_type spans range partitions here). With
+    // the unique (v, event_id) tie-break every sort key is distinct, so
+    // percent_rank = (rk−1)/(n−1) and cume_dist = rk/n exactly, and
+    // ntile's uneven-bucket rule is closed-form in (rk, n, k). The
+    // oracle runs DuckDB's NATIVE window functions — semantic parity of
+    // the scale path with the textbook definition is the point.
+    "q_window_dist" -> ((s, dir) => {
+      val k = 4
+      val ev = table(s, dir, "events").selectExpr("event_type", "event_id",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      graft.operators.Ranks.withinKey(ev, "event_type", Seq("v", "event_id"))
+        .join(broadcast(n), "event_type")
+        // first (n mod k) buckets hold ceil(n/k) rows, the rest floor(n/k)
+        .withColumn("qtile", expr(
+          s"""CASE WHEN rk <= (n % $k) * (n div $k + 1)
+             |  THEN (rk - 1) div (n div $k + 1) + 1
+             |  ELSE (n % $k) +
+             |    (rk - 1 - (n % $k) * (n div $k + 1)) div (n div $k) + 1
+             |END""".stripMargin))
+        .select(col("event_type"), col("event_id"), col("qtile"),
+          expr("CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)").as("pr"),
+          expr("CAST(rk AS DOUBLE) / CAST(n AS DOUBLE)").as("cd"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Ordered string aggregation (the GROUP_CONCAT/LISTAGG shape): the
+    // distinct priorities per order status, sorted then joined — Spark's
+    // unordered collect_set becomes deterministic through an explicit
+    // array_sort, the engine-portable way to make a concatenative
+    // aggregate order-free (same discipline as the decimal sums).
+    "q_string_agg" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("prios"))
+        .orderBy("o_orderstatus")),
+
+    // Frequent 3-step user journeys (sequential-pattern mining, the
+    // PrefixSpan seed): two lead()s per user pair consecutive event
+    // triples — the window partitions by user_id (many small groups, the
+    // SAFE window shape), triple counts partial-agg; support filter and
+    // a total (cnt desc, triple) top-25.
+    "q_seq3" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+        .orderBy(desc("cnt"), asc("e1"), asc("e2"), asc("e3"))
+        .limit(25)
     })
   )
 
@@ -3408,6 +3470,40 @@ object Relational {
          |GROUP BY c_custkey, c_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    // NATIVE window functions on the oracle side vs rank arithmetic on
+    // the Spark side — the parity proof for the scale path.
+    "q_window_dist" ->
+      s"""SELECT event_type, event_id,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS qtile,
+         |  percent_rank() OVER w AS pr,
+         |  cume_dist() OVER w AS cd
+         |FROM (SELECT event_type, event_id,
+         |        CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events)
+         |WINDOW w AS (PARTITION BY event_type ORDER BY v, event_id)
+         |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_string_agg" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         |    AS prios
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_seq3" ->
+      s"""WITH t AS (
+         |  SELECT event_type AS e1,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT e1, e2, e3, count(*) AS cnt
+         |FROM t WHERE e3 IS NOT NULL
+         |GROUP BY e1, e2, e3
+         |HAVING count(*) >= 3
+         |ORDER BY cnt DESC, e1, e2, e3
+         |LIMIT 25""".stripMargin,
 
     "q_auc" ->
       s"""WITH r AS (
