@@ -1766,6 +1766,28 @@ object LlmOps {
         .orderBy("comp_id")
     }),
 
+    // Near-dup clusters with a KEEP-BEST policy: per component, retain
+    // the LONGEST member (n_chars, smallest doc_id on ties) — the
+    // C4/RefinedWeb-style "keep the richest near-dup" curation rule, vs
+    // the min-id policy of q_dedup_apply. Same components machinery; the
+    // argmax is one max-struct aggregate (map-side partials — never a
+    // per-component sort), doc length joins from the broadcast-size
+    // documents dim at sf but shuffles on doc_id at corpus scale.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val vp = verifiedPairs(s, dir)
+      val (labels, _) = graft.operators.ConnectedComponents.labels(
+        vp.select(col("d1").as("a"), col("d2").as("b")))
+      labels.join(docs(s, dir).select(col("doc_id").as("v"), col("n_chars")),
+          Seq("v"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("v")).as("nid"))).as("mx"))
+        .select(col("l").as("comp_id"), col("n_members"),
+          (-col("mx.nid")).as("keep_id"),
+          col("mx.n_chars").cast("long").as("keep_chars"))
+        .orderBy("comp_id")
+    }),
+
     // Pearson correlation between embedding dimensions, per label —
     // computed from the five INTEGER power sums (n, Σx, Σy, Σxy, Σx², Σy²)
     // over the quantized vectors: every sum is exact (< 2^53) hence
@@ -2745,6 +2767,48 @@ object LlmOps {
          |comp AS (SELECT v, min(l) AS comp_id FROM reach GROUP BY v)
          |SELECT comp_id, count(*) AS n_members, max(v) AS max_id
          |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin,
+
+    // Same recursive-CTE components, + the keep-best argmax: longest
+    // member, smallest doc_id on equal length.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $MinhashSigSql,
+         |$BandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM cbands x JOIN cbands y
+         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+         |),
+         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+         |vp AS (
+         |  SELECT p.d1, p.d2
+         |  FROM pairs p
+         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
+         |        FROM pairs p2
+         |        JOIN sets a ON a.doc_id = p2.d1
+         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
+         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
+         |  JOIN sz sa ON sa.doc_id = p.d1
+         |  JOIN sz sb ON sb.doc_id = p.d2
+         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
+         |),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM vp
+         |          UNION ALL SELECT d2 AS a, d1 AS b FROM vp),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach AS (
+         |  SELECT v, v AS l FROM verts
+         |  UNION
+         |  SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v
+         |),
+         |comp AS (SELECT v, min(l) AS comp_id FROM reach GROUP BY v),
+         |m AS (SELECT c.comp_id, c.v, d.n_chars
+         |      FROM comp c JOIN documents d ON d.doc_id = c.v),
+         |mc AS (SELECT comp_id, max(n_chars) AS mx FROM m GROUP BY comp_id)
+         |SELECT m.comp_id, count(*) AS n_members,
+         |  min(CASE WHEN m.n_chars = mc.mx THEN m.v END) AS keep_id,
+         |  CAST(max(mc.mx) AS BIGINT) AS keep_chars
+         |FROM m JOIN mc ON mc.comp_id = m.comp_id
+         |GROUP BY m.comp_id ORDER BY m.comp_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       val sums = (0 until 16).map(j =>

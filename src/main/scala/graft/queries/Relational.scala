@@ -2251,6 +2251,22 @@ object Relational {
         .where(col("cnt") >= 3)
         .orderBy(desc("cnt"), asc("e1"), asc("e2"), asc("e3"))
         .limit(25)
+    }),
+
+    // Per-group PAGINATION (the "page 2" slice — ranks 11..20 by value
+    // desc per event_type): a rank-range filter on the distributed
+    // `Ranks.withinKey` rank, never a per-key window sort and never a
+    // global TopK that can't express an OFFSET. Descending order rides
+    // the ascending rank machinery via the negated sort key.
+    "q_page_per_key" -> ((s, dir) => {
+      val ev = table(s, dir, "events").selectExpr("event_type", "event_id",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+        .withColumn("nv", -col("v"))
+      graft.operators.Ranks.withinKey(ev, "event_type", Seq("nv", "event_id"))
+        .where(col("rk").between(11, 20))
+        .select(col("event_type"), col("rk"), col("event_id"),
+          round(expr("CAST(v AS DOUBLE) / 100"), 2).as("value"))
+        .orderBy("event_type", "rk")
     })
   )
 
@@ -3470,6 +3486,17 @@ object Relational {
          |GROUP BY c_custkey, c_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "q_page_per_key" ->
+      s"""SELECT event_type, rk, event_id,
+         |  round(CAST(v AS DOUBLE) / 100, 2) AS value
+         |FROM (SELECT event_type, event_id,
+         |        CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+         |        row_number() OVER (PARTITION BY event_type
+         |          ORDER BY v DESC, event_id) AS rk
+         |      FROM events)
+         |WHERE rk BETWEEN 11 AND 20
+         |ORDER BY event_type, rk""".stripMargin,
 
     // NATIVE window functions on the oracle side vs rank arithmetic on
     // the Spark side — the parity proof for the scale path.
