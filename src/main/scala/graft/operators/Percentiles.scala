@@ -67,4 +67,81 @@ object Percentiles {
           .otherwise((lit(1.0) - col("__frac")) * col("__vlo") +
             col("__frac") * col("__vhi")).as("q"))
   }
+
+  /** Exact WEIGHTED per-key percentiles: the smallest value whose
+    * cumulative weight reaches ⌈p·W⌉ (the lower weighted-quantile
+    * convention — collapses to the order statistic at weight ≡ 1).
+    * Quantity-weighted median price, token-weighted median doc length —
+    * the corpus statistic where every row does not count equally.
+    *
+    * Scale shape (same discipline as [[Ranks.withinKey]] — ONE RDD
+    * lineage, so the sampled range boundaries can never diverge between
+    * plan branches): range-partition + sort by (key, value), one
+    * mapPartitions pass embeds the partition id and the within-partition
+    * per-key running weight sum (keys are contiguous in sorted
+    * partitions); per-(pid, key) totals (parts × |keys| rows — metadata)
+    * prefix-sum into offsets; global cumulative weight = offset + local
+    * running sum. Thresholds ⌈p·W⌉ are computed in DECIMAL (exact for
+    * the rational ps in practice; the one ceil cannot ulp-flip), and the
+    * selection min (cw, v) over cw ≥ t is a partial-agg'd argmin — no
+    * whole-group buffer anywhere, a huge key spans partitions.
+    *
+    * @param wCol positive integral weights (cast to long; rows with null
+    *   value/weight are dropped, weights ≤ 0 rejected at runtime)
+    * @return one row per (key, p): (keyCol, p, q) with q the selected
+    *   value as double */
+  def weighted(df: DataFrame, keyCol: String, valCol: String, wCol: String,
+               ps: Seq[Double], parts: Int = 32): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad ps: $ps")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val data = df.where(col(valCol).isNotNull && col(wCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valCol).cast("double").as("__v"),
+        col(wCol).cast("long").as("__w"))
+    val sorted = data.repartitionByRange(parts, col("__k"), col("__v"))
+      .sortWithinPartitions(col("__k"), col("__v"))
+    val withCum = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var curKey: Any = null
+        var started = false
+        var cum = 0L
+        it.map { r =>
+          val k = r.get(0)
+          if (!started || k != curKey) { curKey = k; started = true; cum = 0L }
+          val w = r.getLong(2)
+          require(w > 0, s"non-positive weight $w")
+          cum += w
+          Row(k, r.getDouble(1), cum, pid)
+        }
+      },
+      StructType(Seq(
+        sorted.schema("__k").copy(name = "__k"),
+        StructField("__v", DoubleType, nullable = false),
+        StructField("__cuml", LongType, nullable = false),
+        StructField("__pid", IntegerType, nullable = false))))
+    // per-(pid, key) totals = the final running sum of the chunk; prefix
+    // over pid within key turns them into global offsets (metadata-sized
+    // window, never over data rows)
+    val chunk = withCum.groupBy("__pid", "__k").agg(max("__cuml").as("__pw"))
+    val offs = chunk.withColumn("__off",
+        sum(col("__pw")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__k").orderBy("__pid")) - col("__pw"))
+      .select("__pid", "__k", "__off")
+    val tw = chunk.groupBy("__k").agg(sum("__pw").as("__tw"))
+    val thresholds = tw.select(col("__k"), col("__tw"),
+        explode(array(ps.distinct.map(lit): _*)).as("__p"))
+      // ⌈p·W⌉ in exact decimal; max(t, 1) so p=0 selects the minimum
+      .withColumn("__t", greatest(lit(1L),
+        ceil(col("__p").cast(DecimalType(38, 18)) * col("__tw")).cast("long")))
+      .select("__k", "__p", "__t")
+    withCum.join(Ranks.maybeBroadcast(offs), Seq("__pid", "__k"))
+      .withColumn("__cw", col("__off") + col("__cuml"))
+      .join(Ranks.maybeBroadcast(thresholds), Seq("__k"))
+      .where(col("__cw") >= col("__t"))
+      .groupBy("__k", "__p")
+      .agg(min(struct(col("__cw"), col("__v"))).as("__m"))
+      .select(col("__k").as(keyCol), col("__p").as("p"),
+        col("__m.__v").as("q"))
+  }
 }

@@ -2253,6 +2253,24 @@ object Relational {
         .limit(25)
     }),
 
+    // Exact WEIGHTED percentiles (quantity-weighted price quartiles per
+    // return flag): the smallest value whose cumulative weight reaches
+    // ⌈p·W⌉ — every unit sold counts, not every line item. Rides
+    // `Percentiles.weighted` (single-lineage cumulative weights, decimal
+    // thresholds, argmin selection — no whole-group buffer); the oracle
+    // replays the identical convention with a window cumsum and INTEGER
+    // ceil thresholds, so the boundary cannot ulp-flip.
+    "q_percentile_weighted" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").selectExpr("l_returnflag",
+        "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc",
+        "CAST(l_quantity AS BIGINT) AS w")
+      graft.operators.Percentiles
+        .weighted(li, "l_returnflag", "pc", "w", Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"), col("p"),
+          round(expr("q / 100"), 2).as("wq"))
+        .orderBy("l_returnflag", "p")
+    }),
+
     // Per-group PAGINATION (the "page 2" slice — ranks 11..20 by value
     // desc per event_type): a rank-range filter on the distributed
     // `Ranks.withinKey` rank, never a per-key window sort and never a
@@ -3486,6 +3504,27 @@ object Relational {
          |GROUP BY c_custkey, c_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "q_percentile_weighted" ->
+      s"""WITH r AS (
+         |  SELECT l_returnflag AS k,
+         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v,
+         |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |o AS (SELECT k, v, cw FROM (
+         |  SELECT k, v, sum(w) OVER (PARTITION BY k
+         |    ORDER BY v, l_orderkey, l_linenumber) AS cw FROM r)),
+         |t AS (SELECT k, CAST(sum(w) AS BIGINT) AS tw FROM r GROUP BY k),
+         |th AS (SELECT k, CAST(p AS DOUBLE) AS p,
+         |    greatest(1, (num*tw + den - 1) // den) AS thr
+         |  FROM t, (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4))
+         |    AS ps(p, num, den))
+         |SELECT o.k AS l_returnflag, th.p,
+         |  round(CAST(min(CASE WHEN o.cw >= th.thr THEN o.v END) AS DOUBLE)
+         |    / 100, 2) AS wq
+         |FROM o JOIN th ON th.k = o.k
+         |GROUP BY o.k, th.p
+         |ORDER BY l_returnflag, p""".stripMargin,
 
     "q_page_per_key" ->
       s"""SELECT event_type, rk, event_id,

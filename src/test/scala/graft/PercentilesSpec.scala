@@ -55,4 +55,53 @@ class PercentilesSpec extends AnyFunSuite with SparkFixture {
     assert(got.keySet.map(_._1) == Set("a"))
     assert(got(("a", 0.5)) == 1.5)
   }
+
+  // ---- weighted ----
+
+  private def weightedReplay(rows: Seq[(String, Double, Long)])
+      : Map[(String, Double), Double] =
+    rows.groupBy(_._1).flatMap { case (k, g) =>
+      val sorted = g.map(t => (t._2, t._3)).sortBy(_._1)
+      val tw = sorted.map(_._2).sum
+      Ps.map { p =>
+        val t = math.max(1L, math.ceil(
+          (BigDecimal(p) * tw).toDouble).toLong)
+        var cum = 0L
+        var q = sorted.last._1
+        val it = sorted.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (v, w) = it.next(); cum += w
+          if (cum >= t) { q = v; found = true }
+        }
+        (k, p) -> q
+      }
+    }
+
+  test("weighted: matches an in-memory replay, invariant across partitionings") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { _ =>
+      (s"g${rnd.nextInt(5)}", math.floor(rnd.nextDouble() * 200) / 2.0,
+        (rnd.nextInt(9) + 1).toLong)
+    } :+ (("solo", 7.0, 3L))
+    val df = rows.toDF("k", "v", "w")
+    val want = weightedReplay(rows)
+    for (parts <- Seq(3, 16)) {
+      val got = Percentiles.weighted(df, "k", "v", "w", Ps, parts)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("weighted with w ≡ 1 equals the lower order statistic at ⌈p·n⌉") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 999).map(i => ("k", rnd.nextInt(100).toDouble, 1L))
+    val df = rows.toDF("k", "v", "w")
+    val sorted = rows.map(_._2).sorted
+    val got = Percentiles.weighted(df, "k", "v", "w", Ps, 8)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    for (p <- Ps)
+      assert(got(p) == sorted(math.ceil(p * rows.size).toInt - 1))
+  }
 }
