@@ -46,6 +46,26 @@ class TpchSuiteSpec extends AnyFunSuite with SparkFixture {
       .findFirstIn(p).nonEmpty, p)
   }
 
+  test("q2/q8/q21 plan shapes: dims broadcast, facts shuffle at most once per join tree") {
+    // Q2: the part filter, the EUROPE supplier chain, and the per-part
+    // min table all broadcast — the only wide work on lineitem is the
+    // distinct (part, supplier) shuffle
+    val p2 = plan("q_tpch_q2")
+    assert("BroadcastHashJoin".r.findAllIn(p2).length >= 3, p2)
+    // Q8: all five dims broadcast; the single SortMergeJoin (if any) is
+    // the fact-fact orders join
+    val p8 = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p8).length >= 4, p8)
+    // Q21: status semi-join + per-order aggregate + supplier lookup —
+    // the supplier dim must broadcast, the order-status filter reaches
+    // the orders scan
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("BroadcastHashJoin"), p21)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(o_orderstatus,F\\)".r
+      .findFirstIn(p21).nonEmpty, p21)
+  }
+
   test("q2: every output row carries its part's minimum EUROPE balance") {
     val rows = SparkEntry.queries("q_tpch_q2")(spark, Sf).collect()
     assert(rows.nonEmpty)
