@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 wave-3 additions: weighted graph analytics (SSSP, k-core,
+  * deterministic random walks) and Spark-4 SQL-surface coverage
+  * (recursive CTEs, VARIANT semi-structured extraction) — each with a
+  * DuckDB oracle twin built on exact integer/string arithmetic so the
+  * cross-engine compare is bit-exact.
+  *
+  * Graph inputs derive from the harness tables the way the existing graph
+  * family does (reference has no graph surface; SURVEY §2c extensions):
+  * the part↔supplier bipartite projection of lineitem (q_pagerank/q_bfs's
+  * graph, here weighted by min shipped quantity) and the co-purchase part
+  * graph (q_freq_pairs' basket-capped, support-thresholded edges).
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_kcore: peeling threshold. k=3 exercises a real multi-round cascade
+    * at sf0.01 (1243 → 1078 → 1019 surviving vertices) while k=4 would
+    * empty the sparser sf0.1 projection in one round. */
+  private val KCoreK = 3
+
+  /** part↔supplier bipartite edges weighted by the minimum shipped
+    * quantity of the pair — supplier ids offset into a shared vertex
+    * space (the q_pagerank convention). Weights are integral (quantities
+    * are whole numbers stored as doubles), so path costs stay BIGINT. */
+  private def weightedBipartite(s: SparkSession, dir: String): DataFrame = {
+    val pairs = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p"),
+        (col("l_suppkey") + 1000000L).as("sv"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    pairs.select(col("p").as("src"), col("sv").as("dst"), col("w"))
+      .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst"),
+        col("w")))
+  }
+
+  private val PairsSql =
+    """pairs AS (
+      |  SELECT l_partkey AS p, l_suppkey + 1000000 AS sv,
+      |    CAST(min(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // Weighted shortest paths (3 Bellman-Ford sweeps) from the seed
+    // suppliers over the min-quantity-weighted part↔supplier graph — the
+    // weighted upgrade of q_bfs's hop distance ("cheapest ≤3-leg routing
+    // to a vetted supplier"). Integer path costs; the oracle unrolls the
+    // identical rounds as full relaxations, which the operator's
+    // frontier-only expansion provably equals (see operators.Sssp).
+    "q_sssp" -> ((s, dir) => {
+      val edges = weightedBipartite(s, dir)
+      val seeds = edges.where(col("src") % 7 === 0 && col("src") >= 1000000L)
+        .select(col("src").as("v")).distinct()
+      graft.operators.Sssp.run(edges, seeds, 3).orderBy("v")
+    }),
+
+    // k-core peeling (3 sweeps, k=3) over the co-purchase part graph
+    // (q_freq_pairs' edges: basket-capped, support ≥ 2) — the density
+    // filter that keeps the co-occurrence core and drops the sparse
+    // fringe. The oracle unrolls the identical degree-count + two-semi-
+    // join rounds.
+    "q_kcore" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= 64).select("ok")
+      val bb = b.join(small, "ok")
+      val und = bb.select(col("ok"), col("pk").as("u"))
+        .join(bb.select(col("ok"), col("pk").as("v")), "ok")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+      graft.operators.KCore
+        .run(und.select(col("u").as("src"), col("v").as("dst")), KCoreK, 3)
+        .orderBy("v")
+    }),
+
+    // Deterministic "random" walks (3 steps) from the seed suppliers:
+    // next vertex = argmin over out-neighbors of md5("cur|step|nbr") — a
+    // keyed PRF both engines spell identically, giving reproducible
+    // node2vec-style walk corpora with no RNG state. The oracle unrolls
+    // the steps with the same hash strings.
+    "q_random_walks" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv")).distinct()
+      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
+        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
+      val seeds = pairs.where(col("sv") % 13 === 0)
+        .select(col("sv").as("v")).distinct()
+      graft.operators.RandomWalk.run(edges, seeds, 3)
+        .orderBy("seed", "step")
+    }),
+
+    // Recursive CTE through Spark's SQL frontend (Spark 4 WITH RECURSIVE,
+    // executed as an iterative union loop — the same unrolled-iteration
+    // execution shape the graph operators hand-build): halving ancestor
+    // chains from every 97th customer key, depth + path sum per start.
+    // The oracle runs genuinely recursive SQL in DuckDB — both engines
+    // recurse, nothing is unrolled by hand.
+    "q_sql_recursive" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer_rec_v")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT c_custkey AS orig, c_custkey AS cur,
+          |    CAST(0 AS BIGINT) AS d
+          |  FROM customer_rec_v WHERE c_custkey % 97 = 0
+          |  UNION ALL
+          |  SELECT orig, cur DIV 2, d + 1 FROM chain WHERE cur > 0
+          |)
+          |SELECT orig, max(d) AS depth, sum(cur) AS path_sum
+          |FROM chain GROUP BY orig ORDER BY orig""".stripMargin)
+    }),
+
+    // VARIANT semi-structured extraction (Spark 4 parse_json /
+    // variant_get): JSON built deterministically from orders (integers
+    // and JSON-safe strings only), shredded back out with typed paths —
+    // including an array index and a missing-path null — then aggregated.
+    // The oracle extracts the same paths with DuckDB's JSON functions, so
+    // the gate checks the whole variant encode→extract round trip.
+    "q_variant_extract" -> ((s, dir) => {
+      val j = table(s, dir, "orders").select(concat(
+        lit("{\"k\":"), col("o_orderkey").cast("string"),
+        lit(",\"pri\":\""), col("o_orderpriority"),
+        lit("\",\"amt\":"),
+        expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").cast("string"),
+        lit(",\"tags\":["), (col("o_orderkey") % 3).cast("string"),
+        lit(","), (col("o_orderkey") % 5).cast("string"),
+        lit("]}")).as("js"))
+      j.selectExpr(
+          "variant_get(parse_json(js), '$.pri', 'string') AS pri",
+          "variant_get(parse_json(js), '$.amt', 'bigint') AS amt",
+          "variant_get(parse_json(js), '$.tags[1]', 'bigint') AS t1",
+          "try_variant_get(parse_json(js), '$.nope', 'bigint') AS missing")
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum("amt").as("amt_total"),
+          sum("t1").as("t1_sum"), count(col("missing")).as("n_missing"))
+        .orderBy("pri")
+    }))
+
+  private def kcoreRoundsSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS v FROM e${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.v JOIN k$r b2 ON e.dst = b2.v
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  private def walkStepSql(i: Int): String =
+    s"""s$i AS (
+       |  SELECT w.seed, e.dst,
+       |    md5(CAST(w.v AS VARCHAR) || '|$i|' || CAST(e.dst AS VARCHAR)) AS h
+       |  FROM w${i - 1} w JOIN e ON w.v = e.src
+       |),
+       |m$i AS (SELECT seed, min(h) AS h FROM s$i GROUP BY seed),
+       |w$i AS (
+       |  SELECT s.seed, s.dst AS v
+       |  FROM s$i s JOIN m$i m ON s.seed = m.seed AND s.h = m.h
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "q_sssp" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (
+           |  SELECT v, min(dist) AS dist FROM (
+           |    SELECT * FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS v, f.dist + e.w AS dist
+           |    FROM e JOIN r${i - 1} f ON e.src = f.v
+           |  ) GROUP BY v
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $PairsSql,
+         |e AS (
+         |  SELECT p AS src, sv AS dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT sv AS src, p AS dst, w FROM pairs
+         |),
+         |r0 AS (
+         |  SELECT DISTINCT sv AS v, CAST(0 AS BIGINT) AS dist
+         |  FROM pairs WHERE sv % 7 = 0
+         |),
+         |$rounds
+         |SELECT v, dist FROM r3 ORDER BY v""".stripMargin
+    },
+
+    "q_kcore" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |),
+         |small AS (SELECT ok FROM b GROUP BY ok HAVING count(*) <= 64),
+         |und AS (
+         |  SELECT a.pk AS u, c.pk AS v
+         |  FROM (SELECT * FROM b JOIN small USING (ok)) a
+         |  JOIN (SELECT * FROM b JOIN small USING (ok)) c USING (ok)
+         |  WHERE a.pk < c.pk GROUP BY a.pk, c.pk HAVING count(*) >= 2
+         |),
+         |e0 AS (SELECT u AS src, v AS dst FROM und
+         |       UNION ALL SELECT v, u FROM und),
+         |${kcoreRoundsSql(KCoreK, 3)}
+         |SELECT src AS v, count(*) AS deg FROM e3 GROUP BY src ORDER BY v""".stripMargin,
+
+    "q_random_walks" ->
+      s"""WITH p0 AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv
+         |  FROM lineitem
+         |),
+         |e AS (
+         |  SELECT p AS src, sv AS dst FROM p0
+         |  UNION ALL
+         |  SELECT sv AS src, p AS dst FROM p0
+         |),
+         |w0 AS (
+         |  SELECT sv AS seed, sv AS v FROM (SELECT DISTINCT sv FROM p0)
+         |  WHERE sv % 13 = 0
+         |),
+         |${(1 to 3).map(walkStepSql).mkString(",\n")}
+         |SELECT seed, CAST(0 AS BIGINT) AS step, v FROM w0
+         |UNION ALL SELECT seed, 1, v FROM w1
+         |UNION ALL SELECT seed, 2, v FROM w2
+         |UNION ALL SELECT seed, 3, v FROM w3
+         |ORDER BY seed, step""".stripMargin,
+
+    "q_sql_recursive" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS orig, c_custkey AS cur, CAST(0 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey % 97 = 0
+        |  UNION ALL
+        |  SELECT orig, cur // 2, d + 1 FROM chain WHERE cur > 0
+        |)
+        |SELECT orig, max(d) AS depth, CAST(sum(cur) AS BIGINT) AS path_sum
+        |FROM chain GROUP BY orig ORDER BY orig""".stripMargin,
+
+    "q_variant_extract" ->
+      """WITH j AS (
+        |  SELECT '{"k":' || CAST(o_orderkey AS VARCHAR)
+        |    || ',"pri":"' || o_orderpriority
+        |    || '","amt":'
+        |    || CAST(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS VARCHAR)
+        |    || ',"tags":[' || CAST(o_orderkey % 3 AS VARCHAR)
+        |    || ',' || CAST(o_orderkey % 5 AS VARCHAR) || ']}' AS js
+        |  FROM orders
+        |),
+        |x AS (
+        |  SELECT json_extract_string(js, '$.pri') AS pri,
+        |    CAST(json_extract(js, '$.amt') AS BIGINT) AS amt,
+        |    CAST(json_extract(js, '$.tags[1]') AS BIGINT) AS t1,
+        |    CAST(json_extract(js, '$.nope') AS BIGINT) AS missing
+        |  FROM j
+        |)
+        |SELECT pri, count(*) AS n, CAST(sum(amt) AS BIGINT) AS amt_total,
+        |  CAST(sum(t1) AS BIGINT) AS t1_sum, count(missing) AS n_missing
+        |FROM x GROUP BY pri ORDER BY pri""".stripMargin)
+}
