@@ -307,6 +307,9 @@ object LlmOps {
   /** q_pmi: min bigram count for a reported association. */
   private val PmiMinCount = 5
 
+  /** q_inverted_index: min document frequency for an emitted term row. */
+  private val InvIdxMinDf = 50
+
   /** q_kmeans shape: k clusters, fixed Lloyd iterations (both unrolled
     * verbatim in the DuckDB oracle). */
   private val KmK = 8
@@ -851,6 +854,63 @@ object LlmOps {
         .select(col("q_id"), col("rank"), col("cand_id"),
           round(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Hard-negative mining for contrastive training: for each query
+    // vector, the top-5 most-similar candidates with a DIFFERENT label —
+    // the "looks alike, isn't" pairs a retrieval/embedding trainer feeds
+    // as negatives. Same exact-integer cosine machinery as q_ann_topk
+    // (small query side broadcasts against the corpus; the label
+    // inequality rides the join), per-query top-5 via a window over the
+    // bounded query set.
+    "q_hard_negatives" -> ((s, dir) => {
+      val all = quantized(s, dir)
+      val qs = all.where(col("vec_id") % 20 === 0 && col("nq") > 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("q").as("qq"), col("nq").as("na"))
+      val scored = qs
+        .join(all.where(col("nq") > 0),
+          col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+        .select(col("q_id"), col("vec_id").as("cand_id"),
+          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .as("dot"),
+          col("na"), col("nq").as("nb"))
+        .withColumn("cos", expr(CosExpr))
+      scored
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("cand_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Inverted-index build with impact-ordered posting heads: per term,
+    // document frequency plus the top-5 (tf desc, doc asc) postings
+    // rendered "doc:tf,..." — the retrieval-index construction step
+    // (impact-sorted posting lists truncated at the head). The head is
+    // selected by the NATIVE TopKPerKey operator (bounded heap per map
+    // partition, one shuffle — never a per-term window sort over full
+    // posting lists), so per-term state is O(5) at any corpus size; the
+    // collect_list that renders the string is over ≤5 rows by
+    // construction.
+    "q_inverted_index" -> ((s, dir) => {
+      val tf = toks(s, dir).groupBy("word", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val head = graft.operators.TopK
+        .perKey(tf, Seq("word"), Seq(("tf", false), ("doc_id", true)), 5)
+      val postings = head
+        .select(col("word"),
+          struct((-col("tf")).as("ntf"), col("doc_id"), col("tf")).as("e"))
+        .groupBy("word").agg(array_sort(collect_list(col("e"))).as("es"))
+        .select(col("word"), expr(
+          "concat_ws(',', transform(es, e -> concat(CAST(e.doc_id AS STRING), ':', CAST(e.tf AS STRING))))")
+          .as("postings"))
+      dfreq.where(col("df") >= InvIdxMinDf)
+        .join(postings, "word")
+        .select("word", "df", "postings").orderBy("word")
     }),
 
     // TF-IDF over the corpus: tf per (doc, word), document frequency per
@@ -2997,6 +3057,52 @@ object LlmOps {
          |)
          |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH $QuantizedNormSql,
+         |qs AS (SELECT e.vec_id AS q_id, e.label AS q_label,
+         |              e.embedding AS eq, qn.nq AS na
+         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |       WHERE e.vec_id % 20 = 0 AND qn.nq > 0),
+         |cand AS (SELECT e.vec_id AS cand_id, e.label, e.embedding AS ec,
+         |                qn.nq AS nb
+         |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |         WHERE qn.nq > 0),
+         |p AS (SELECT q_id, cand_id, na, nb, eq, ec
+         |      FROM qs JOIN cand ON q_id <> cand_id AND q_label <> label),
+         |d AS (
+         |  SELECT q_id, cand_id, na, nb,
+         |    CAST(sum(${quantSqlElem("eq[i]")} * ${quantSqlElem("ec[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(eq))) AS i FROM p)
+         |  GROUP BY q_id, cand_id, na, nb
+         |),
+         |c AS (SELECT q_id, cand_id, $CosExpr AS cos FROM d),
+         |r AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+         |  FROM c
+         |)
+         |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""WITH $ToksSql,
+         |tf AS (SELECT word, doc_id, count(*) AS tf FROM toks
+         |       GROUP BY word, doc_id),
+         |d AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |h AS (
+         |  SELECT word, doc_id, tf,
+         |    row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) AS rn
+         |  FROM tf
+         |),
+         |p AS (
+         |  SELECT word,
+         |    string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+         |               ',' ORDER BY tf DESC, doc_id) AS postings
+         |  FROM h WHERE rn <= 5 GROUP BY word
+         |)
+         |SELECT d.word, d.df, p.postings FROM d JOIN p USING (word)
+         |WHERE d.df >= $InvIdxMinDf ORDER BY word""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH $ToksSql,
