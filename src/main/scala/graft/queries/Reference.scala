@@ -120,6 +120,15 @@ object Reference {
       s.read.schema("word STRING, cnt BIGINT").json(out)
         .orderBy(desc("cnt"), asc("word"))
     }),
+    // XML source/sink round-trip (Spark 4's built-in XML data source):
+    // schema-on-read with an explicit schema so cnt comes back BIGINT.
+    "q_sink_xml_roundtrip" -> ((s, dir) => {
+      val out = s"$TmpRoot/q_sink_xml"
+      wordcount(s, dir).write.mode("overwrite")
+        .option("rowTag", "row").format("xml").save(out)
+      s.read.schema("word STRING, cnt BIGINT").option("rowTag", "row")
+        .format("xml").load(out).orderBy(desc("cnt"), asc("word"))
+    }),
     // ORC source/sink round-trip (the second columnar format Spark ships).
     "q_sink_orc_roundtrip" -> ((s, dir) => {
       val out = s"$TmpRoot/q_sink_orc"
@@ -333,6 +342,7 @@ object Reference {
       s"WITH $ToksSql SELECT DISTINCT word FROM toks ORDER BY word",
     "q_sink_roundtrip" -> WordcountSql,
     "q_sink_csv_roundtrip" -> WordcountSql,
+    "q_sink_xml_roundtrip" -> WordcountSql,
     "q_sink_json_roundtrip" -> WordcountSql,
     "q_sink_orc_roundtrip" -> WordcountSql,
     "q_sink_text_roundtrip" ->
