@@ -93,7 +93,7 @@ object Analytics {
           (col("l_suppkey") + 1000000L).as("sv")).distinct()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
-      val seeds = pairs.where(col("sv") % 13 === 0)
+      val seeds = pairs.where(col("sv") % 3 === 0)
         .select(col("sv").as("v")).distinct()
       graft.operators.RandomWalk.run(edges, seeds, 3)
         .orderBy("seed", "step")
@@ -117,6 +117,59 @@ object Analytics {
           |)
           |SELECT orig, max(d) AS depth, sum(cur) AS path_sum
           |FROM chain GROUP BY orig ORDER BY orig""".stripMargin)
+    }),
+
+    // Correlated LATERAL subquery through the SQL frontend: per sampled
+    // customer, an aggregate over their orders. Catalyst decorrelates the
+    // lateral into an outer aggregate join (no per-row re-execution —
+    // the planner turns the correlated spelling into the same join/agg
+    // the DataFrame catalog writes by hand), which is the point of the
+    // row: the SQL surface reaches the scale-safe plan.
+    "q_join_lateral" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer_lat_v")
+      table(s, dir, "orders").createOrReplaceTempView("orders_lat_v")
+      s.sql(
+        """SELECT c.c_custkey, l.n_orders, l.max_price
+          |FROM customer_lat_v c,
+          |LATERAL (
+          |  SELECT count(*) AS n_orders,
+          |    round(max(o_totalprice), 2) AS max_price
+          |  FROM orders_lat_v o WHERE o.o_custkey = c.c_custkey
+          |) l
+          |WHERE c.c_custkey % 50 = 0
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    // Cleaning-funnel attrition report: the cumulative survivor counts of
+    // a 5-stage document filter chain (non-empty → known language →
+    // length floor → type-token-ratio gate → exact dedup) — the per-rule
+    // accounting every curation pipeline publishes next to its output
+    // (what did each rule cost?). One corpus pass for the cheap gates,
+    // one (doc, word) aggregation for the TTR gate (constant state per
+    // doc), one distinct for the dedup stage. Every gate is
+    // integer/string-exact (TTR as the cross-multiplication 2·uniq ≥
+    // total — no float boundary), so both engines agree per doc.
+    "q_filter_funnel" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val tt = base
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nw"), countDistinct(col("w")).as("uw"))
+      val d = base.join(tt, Seq("doc_id"), "left")
+        .withColumn("b1", length(trim(col("text"))) > 0)
+        .withColumn("b2", col("b1") && col("lang").isin("en", "fr", "de", "es"))
+        .withColumn("b3", col("b2") && col("n_chars") >= 100)
+        .withColumn("b4",
+          col("b3") && coalesce(col("uw") * 2 >= col("nw"), lit(false)))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("b1"), 1L).otherwise(0L)).as("s1_nonempty"),
+        sum(when(col("b2"), 1L).otherwise(0L)).as("s2_lang"),
+        sum(when(col("b3"), 1L).otherwise(0L)).as("s3_length"),
+        sum(when(col("b4"), 1L).otherwise(0L)).as("s4_ttr"),
+        countDistinct(when(col("b4"), col("text"))).as("s5_dedup"))
     }),
 
     // VARIANT semi-structured extraction (Spark 4 parse_json /
@@ -221,7 +274,7 @@ object Analytics {
          |),
          |w0 AS (
          |  SELECT sv AS seed, sv AS v FROM (SELECT DISTINCT sv FROM p0)
-         |  WHERE sv % 13 = 0
+         |  WHERE sv % 3 = 0
          |),
          |${(1 to 3).map(walkStepSql).mkString(",\n")}
          |SELECT seed, CAST(0 AS BIGINT) AS step, v FROM w0
@@ -229,6 +282,46 @@ object Analytics {
          |UNION ALL SELECT seed, 2, v FROM w2
          |UNION ALL SELECT seed, 3, v FROM w3
          |ORDER BY seed, step""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, l.n_orders, l.max_price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT count(*) AS n_orders,
+        |    round(max(o_totalprice), 2) AS max_price
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |) l
+        |WHERE c.c_custkey % 50 = 0
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH tt AS (
+        |  SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS uw
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id
+        |),
+        |d AS (
+        |  SELECT doc_id, text,
+        |    length(trim(text)) > 0 AS b1,
+        |    length(trim(text)) > 0
+        |      AND lang IN ('en', 'fr', 'de', 'es') AS b2,
+        |    length(trim(text)) > 0
+        |      AND lang IN ('en', 'fr', 'de', 'es')
+        |      AND n_chars >= 100 AS b3,
+        |    length(trim(text)) > 0
+        |      AND lang IN ('en', 'fr', 'de', 'es')
+        |      AND n_chars >= 100
+        |      AND coalesce(tt.uw * 2 >= tt.nw, FALSE) AS b4
+        |  FROM documents LEFT JOIN tt USING (doc_id)
+        |)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_nonempty,
+        |  CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS s2_lang,
+        |  CAST(sum(CASE WHEN b3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_length,
+        |  CAST(sum(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_ttr,
+        |  count(DISTINCT CASE WHEN b4 THEN text END) AS s5_dedup
+        |FROM d""".stripMargin,
 
     "q_sql_recursive" ->
       """WITH RECURSIVE chain AS (
