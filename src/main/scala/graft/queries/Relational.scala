@@ -1793,6 +1793,43 @@ object Relational {
           expr(AucExpr).as("auc"))
     }),
 
+    // Confusion matrix + threshold metrics ("value ≥ 100 predicts
+    // purchase"): TP/FP/FN/TN as one conditional-count pass (map-side
+    // partials, BIGINT), precision/recall/F1 as terminal divisions over
+    // exact integers — each IEEE op correctly rounded from identical
+    // inputs, the q_auc discipline. The classifier-eval staple next to
+    // AUC: one scan, constant state, any corpus size.
+    "q_confusion" -> ((s, dir) => {
+      table(s, dir, "events")
+        .selectExpr(
+          "CAST(CASE WHEN floor(value*100 + 0.5) >= 10000 THEN 1 ELSE 0 END AS BIGINT) AS p",
+          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
+        .agg(sum(expr("p*y")).as("tp"), sum(expr("p*(1-y)")).as("fp"),
+          sum(expr("(1-p)*y")).as("fn"), sum(expr("(1-p)*(1-y)")).as("tn"))
+        .selectExpr("tp", "fp", "fn", "tn",
+          "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision",
+          "round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall",
+          "round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 6) AS f1")
+    }),
+
+    // Calibration (reliability) bins: score deciles (5 000-cent buckets,
+    // clamped) vs empirical purchase rate — the reliability-diagram table
+    // a classifier evaluation publishes beside AUC. Means are terminal
+    // divisions of exact BIGINT sums; one partial-agg'd shuffle of ≤10
+    // groups.
+    "q_calibration" -> ((s, dir) => {
+      table(s, dir, "events")
+        .selectExpr("CAST(floor(value*100 + 0.5) AS BIGINT) AS v",
+          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
+        .selectExpr("least(CAST(9 AS BIGINT), v DIV 5000) AS bin", "v", "y")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("v").as("sv"))
+        .selectExpr("bin", "n", "n_pos",
+          "round(CAST(sv AS DOUBLE) / n / 100, 6) AS mean_score",
+          "round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos")
+        .orderBy("bin")
+    }),
+
     // TPC-H Q13 (customer order distribution): the outer-join histogram —
     // every customer counts, including the order-less ones a plain join
     // would drop. The join and the per-customer count share the custkey
@@ -3587,6 +3624,43 @@ object Relational {
          |  CAST(sum(rmax - rmin + 1) AS BIGINT) AS n FROM g)
          |SELECT n, npos, n - npos AS nneg, $AucExpr AS auc
          |FROM t""".stripMargin,
+
+    "q_confusion" ->
+      """WITH b AS (
+        |  SELECT CAST(CASE WHEN floor(value*100 + 0.5) >= 10000
+        |              THEN 1 ELSE 0 END AS BIGINT) AS p,
+        |    CAST(CASE WHEN event_type = 'purchase'
+        |         THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM events
+        |),
+        |m AS (
+        |  SELECT CAST(sum(p*y) AS BIGINT) AS tp,
+        |    CAST(sum(p*(1-y)) AS BIGINT) AS fp,
+        |    CAST(sum((1-p)*y) AS BIGINT) AS fn,
+        |    CAST(sum((1-p)*(1-y)) AS BIGINT) AS tn
+        |  FROM b
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+        |  round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 6) AS f1
+        |FROM m""".stripMargin,
+
+    "q_calibration" ->
+      """WITH b AS (
+        |  SELECT least(CAST(9 AS BIGINT),
+        |               CAST(floor(value*100 + 0.5) AS BIGINT) // 5000) AS bin,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+        |    CAST(CASE WHEN event_type = 'purchase'
+        |         THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM events
+        |)
+        |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*) / 100, 6)
+        |    AS mean_score,
+        |  round(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / count(*), 6)
+        |    AS frac_pos
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_tpch_q13" ->
       s"""WITH cc AS (
