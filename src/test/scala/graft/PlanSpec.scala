@@ -261,6 +261,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_inverted_index: posting heads via native TopKPerKeyExec, no per-term window") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext, p)
+  }
+
+  test("q_join_lateral: the correlated lateral decorrelates to an aggregate join") {
+    val p = plan("q_join_lateral")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("catalog-wide: no query plans a CartesianProduct") {
     // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
     // are fine; an actual CartesianProduct (both sides big, no key) is
@@ -269,6 +281,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // own specs and the verify gate.
     val skip = Set("q_sink_roundtrip", "q_sink_text_roundtrip",
       "q_sink_csv_roundtrip", "q_sink_json_roundtrip", "q_sink_orc_roundtrip",
+      "q_sink_xml_roundtrip",
       "q_sink_nested_roundtrip", "q_stream_synth",
       "q_csv_corrupt", "q_partitioned_scan", "q_partition_overwrite",
       "q_compact", "q_join_bucketed", "q_upsert",
