@@ -172,6 +172,55 @@ object Analytics {
         countDistinct(when(col("b4"), col("text"))).as("s5_dedup"))
     }),
 
+    // Deterministic stratified k-fold assignment (cross-validation prep):
+    // fold = stable md5 bucket of the doc key, reported per (lang, fold)
+    // with counts and char mass — the balance table an ML pipeline
+    // publishes to prove folds are exchangeable. Reproducible across
+    // runs/cluster sizes (the HashBucketSpark discipline); one
+    // partial-agg'd shuffle of |langs|×k groups.
+    "q_kfold" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("fold", expr(s"($HashBucketSpark) % 5"))
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang", "fold")),
+
+    // Nested scaling-law subsets: hash-threshold samples at 10/20/50% that
+    // are SUBSETS of each other by construction (bucket < 10 ⊂ < 20 ⊂
+    // < 50) — the "same data, more of it" property scaling-law training
+    // runs require, impossible with independent random samples. One
+    // conditional-aggregation pass; the output row proves the nesting
+    // (counts and char masses are monotone).
+    "q_nested_samples" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("b", expr(HashBucketSpark))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("b") < 10, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("b") < 20, 1L).otherwise(0L)).as("n20"),
+          sum(when(col("b") < 50, 1L).otherwise(0L)).as("n50"),
+          sum(when(col("b") < 10, col("n_chars"))).as("chars10"),
+          sum(when(col("b") < 20, col("n_chars"))).as("chars20"),
+          sum(when(col("b") < 50, col("n_chars"))).as("chars50"))),
+
+    // Last-touch attribution: for each purchase, the immediately-preceding
+    // event of the same user (lag over (user, time, id) — per-user groups
+    // are small, the safe window shape) becomes the credited channel;
+    // purchases with no prior event credit "(none)". The event-analytics
+    // staple joining q_funnel/q_retention; deterministic via the total
+    // (us, event_id) order.
+    "q_attribution" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev_type",
+          lag(col("event_type"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("us", "event_id")))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("prev_type"), lit("(none)")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("channel")),
+
     // VARIANT semi-structured extraction (Spark 4 parse_json /
     // variant_get): JSON built deterministically from orders (integers
     // and JSON-safe strings only), shredded back out with typed paths —
@@ -322,6 +371,35 @@ object Analytics {
         |  CAST(sum(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_ttr,
         |  count(DISTINCT CASE WHEN b4 THEN text END) AS s5_dedup
         |FROM d""".stripMargin,
+
+    "q_kfold" ->
+      s"""SELECT lang, ($hashBucketSql) % 5 AS fold, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin,
+
+    "q_nested_samples" ->
+      s"""WITH d AS (SELECT $hashBucketSql AS b, n_chars FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN b < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(sum(CASE WHEN b < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n20,
+         |  CAST(sum(CASE WHEN b < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n50,
+         |  CAST(sum(CASE WHEN b < 10 THEN n_chars END) AS BIGINT) AS chars10,
+         |  CAST(sum(CASE WHEN b < 20 THEN n_chars END) AS BIGINT) AS chars20,
+         |  CAST(sum(CASE WHEN b < 50 THEN n_chars END) AS BIGINT) AS chars50
+         |FROM d""".stripMargin,
+
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |                             ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events
+        |)
+        |SELECT coalesce(prev_type, '(none)') AS channel,
+        |  count(*) AS n_purchases
+        |FROM ev WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q_sql_recursive" ->
       """WITH RECURSIVE chain AS (
