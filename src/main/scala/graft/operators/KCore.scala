@@ -44,7 +44,9 @@ object KCore {
       e = e
         .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-      if (r % 2 == 0 || r == rounds) e = e.localCheckpoint()
+      // alternating-round lineage truncation; the final round flows
+      // straight into the consumer's degree aggregation unmaterialized
+      if (r % 2 == 0 && r != rounds) e = e.localCheckpoint()
     }
     e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
   }

@@ -55,9 +55,12 @@ object Sssp {
       dist = dist.unionByName(improved)
         .groupBy("v").agg(min(col("dist")).as("dist"))
       frontier = improved
-      if (i % 2 == 0 || i == rounds) {
+      // truncate lineage on alternating rounds; the FINAL round skips the
+      // checkpoint — its consumer evaluates the last regroup directly, so
+      // a materialization pass over |V| rows is saved
+      if (i % 2 == 0 && i != rounds) {
         dist = dist.localCheckpoint()
-        if (i != rounds) frontier = frontier.localCheckpoint()
+        frontier = frontier.localCheckpoint()
       }
     }
     dist

@@ -172,6 +172,51 @@ object Analytics {
         countDistinct(when(col("b4"), col("text"))).as("s5_dedup"))
     }),
 
+    // Leave-one-out target encoding (the ML-feature-prep staple that
+    // leaks without the LOO exclusion): per event, the mean target of its
+    // category EXCLUDING itself — (S_k − v_i)/(n_k − 1) over exact cent
+    // sums, category stats broadcast back, one terminal division. n=1
+    // groups encode to NULL (no peers), same CASE both engines.
+    "q_target_encode" -> ((s, dir) => {
+      val ev = table(s, dir, "events").selectExpr("event_id", "event_type",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+      val st = ev.groupBy("event_type")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      ev.join(broadcast(st), "event_type")
+        .selectExpr("event_id", "event_type",
+          "CASE WHEN n > 1 THEN round(CAST(sv - v AS DOUBLE) / (n - 1) / 100, 6) END AS te")
+        .orderBy("event_id")
+    }),
+
+    // GCN-style symmetric adjacency normalization: per undirected
+    // co-purchase edge, w = 1/√(du·dv) — the D^{-1/2} A D^{-1/2} weights
+    // graph neural nets consume. Degrees are exact BIGINTs; √ and ÷ are
+    // single correctly-rounded IEEE ops from identical inputs, so both
+    // engines emit bit-equal weights. One degree aggregation + two
+    // broadcast-size joins back onto the edge list.
+    "q_gcn_norm" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= 64).select("ok")
+      val bb = b.join(small, "ok")
+      val und = bb.select(col("ok"), col("pk").as("u"))
+        .join(bb.select(col("ok"), col("pk").as("v")), "ok")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2).select("u", "v")
+      val deg = und.select(col("u").as("x"))
+        .unionByName(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .selectExpr("u", "v", "du", "dv",
+          "round(1.0 / sqrt(CAST(du * dv AS DOUBLE)), 6) AS w")
+        .orderBy("u", "v")
+    }),
+
     // Deterministic stratified k-fold assignment (cross-validation prep):
     // fold = stable md5 bucket of the doc key, reported per (lang, fold)
     // with counts and char mass — the balance table an ML pipeline
@@ -371,6 +416,44 @@ object Analytics {
         |  CAST(sum(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_ttr,
         |  count(DISTINCT CASE WHEN b4 THEN text END) AS s5_dedup
         |FROM d""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        |  FROM events
+        |),
+        |st AS (
+        |  SELECT event_type, CAST(sum(v) AS BIGINT) AS sv,
+        |    count(*) AS n
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT event_id, event_type,
+        |  CASE WHEN n > 1
+        |       THEN round(CAST(sv - v AS DOUBLE) / (n - 1) / 100, 6) END AS te
+        |FROM ev JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_gcn_norm" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |),
+        |small AS (SELECT ok FROM b GROUP BY ok HAVING count(*) <= 64),
+        |und AS (
+        |  SELECT a.pk AS u, c.pk AS v
+        |  FROM (SELECT * FROM b JOIN small USING (ok)) a
+        |  JOIN (SELECT * FROM b JOIN small USING (ok)) c USING (ok)
+        |  WHERE a.pk < c.pk GROUP BY a.pk, c.pk HAVING count(*) >= 2
+        |),
+        |deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+        |  ) GROUP BY x
+        |)
+        |SELECT u, v, d1.d AS du, d2.d AS dv,
+        |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
+        |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
+        |ORDER BY u, v""".stripMargin,
 
     "q_kfold" ->
       s"""SELECT lang, ($hashBucketSql) % 5 AS fold, count(*) AS n,
