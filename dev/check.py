@@ -82,8 +82,12 @@ def main():
     out_dir = args[1] if len(args) > 1 else "/root/repo/target/verify_out"
     only = set(args[2:])
     if "--skip-verify" not in sys.argv:
+        # named queries propagate to Verify so the dev loop dumps only
+        # those (the driver names none and dumps the full catalog)
+        names = " ".join(sorted(only))
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch",
+             f'runMain graft.Verify {sf_dir} {out_dir} {names}'.strip()],
             cwd="/root/repo", capture_output=True, text=True)
         sys.stdout.write("\n".join(r.stdout.splitlines()[-15:]) + "\n")
         if r.returncode != 0:

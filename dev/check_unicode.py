@@ -31,6 +31,8 @@ TEXT_QUERIES = [
     # hashed features, prefix-filter shingles, nested token arrays
     "q_ngram_topk", "q_pmi", "q_feature_hash", "q_prefix_join",
     "q_sink_nested_roundtrip",
+    # wave-3: codepoint length + space-split TTR gates on multi-byte text
+    "q_filter_funnel",
 ]
 
 DOCS = [
