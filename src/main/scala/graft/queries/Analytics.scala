@@ -172,6 +172,30 @@ object Analytics {
         countDistinct(when(col("b4"), col("text"))).as("s5_dedup"))
     }),
 
+    // Journey-shape similarity: each user's first-5-event initial string
+    // vs the canonical "signup→view→click→view→purchase" pattern, as an
+    // edit-distance histogram — sequence mining × edit distance (the
+    // funnel-conformance question "how close is each user's journey to
+    // the designed flow?"). The per-user prefix is selected by the NATIVE
+    // TopKPerKey operator (bounded heap — a 10⁶-event user contributes 5
+    // rows to the shuffle, the whole-journey string is never built), the
+    // ≤5-row ordered concat is a plain collect+sort, and levenshtein is
+    // the classic DP both engines implement identically on codepoints.
+    "q_seq_distance" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+      val first5 = graft.operators.TopK.perKey(ev, Seq("user_id"),
+        Seq(("us", true), ("event_id", true)), 5)
+      first5.groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(us, event_id, c))), x -> x.c), '')")
+          .as("journey"))
+        .select(levenshtein(col("journey"), lit("svcvp")).cast("long").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_users"))
+        .orderBy("d")
+    }),
+
     // Leave-one-out target encoding (the ML-feature-prep staple that
     // leaks without the LOO exclusion): per event, the mean target of its
     // category EXCLUDING itself — (S_k − v_i)/(n_k − 1) over exact cent
@@ -416,6 +440,23 @@ object Analytics {
         |  CAST(sum(CASE WHEN b4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_ttr,
         |  count(DISTINCT CASE WHEN b4 THEN text END) AS s5_dedup
         |FROM d""".stripMargin,
+
+    "q_seq_distance" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    substr(event_type, 1, 1) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |),
+        |j AS (
+        |  SELECT user_id,
+        |    string_agg(c, '' ORDER BY us, event_id) AS journey
+        |  FROM e WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT CAST(levenshtein(journey, 'svcvp') AS BIGINT) AS d,
+        |  count(*) AS n_users
+        |FROM j GROUP BY d ORDER BY d""".stripMargin,
 
     "q_target_encode" ->
       """WITH ev AS (
