@@ -241,6 +241,58 @@ object Analytics {
         .orderBy("u", "v")
     }),
 
+    // Benford first-digit audit (the fraud/data-quality screen): observed
+    // first-digit distribution of order totals vs Benford's log10(1+1/d)
+    // expectation, with the chi-square statistic as the one terminal
+    // float chain (identical expression both engines — the q_corr
+    // discipline). First digits are extracted from the ×100-cent BIGINT
+    // by repeated integer division, so there is no string/float parsing
+    // at the boundary; one partial-agg'd 9-group shuffle.
+    "q_benford" -> ((s, dir) => {
+      val cents = table(s, dir, "orders")
+        .selectExpr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c")
+        .where(col("c") > 0)
+      val digit = cents.selectExpr(
+        """CASE WHEN c >= 1000000000 THEN c DIV 1000000000
+          |     WHEN c >= 100000000 THEN c DIV 100000000
+          |     WHEN c >= 10000000 THEN c DIV 10000000
+          |     WHEN c >= 1000000 THEN c DIV 1000000
+          |     WHEN c >= 100000 THEN c DIV 100000
+          |     WHEN c >= 10000 THEN c DIV 10000
+          |     WHEN c >= 1000 THEN c DIV 1000
+          |     WHEN c >= 100 THEN c DIV 100
+          |     WHEN c >= 10 THEN c DIV 10
+          |     ELSE c END AS d""".stripMargin)
+      digit.groupBy("d").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(digit.agg(count(lit(1)).as("total"))))
+        .selectExpr("d", "n",
+          "round(CAST(n AS DOUBLE) / total, 6) AS observed",
+          "round(log10(1.0 + 1.0/CAST(d AS DOUBLE)), 6) AS expected",
+          // chi-square contribution (n - e·N)²/(e·N), e pre-rounded so
+          // both engines chain from identical doubles
+          "round(pow(CAST(n AS DOUBLE) - round(log10(1.0 + 1.0/CAST(d AS DOUBLE)), 6) * total, 2) / (round(log10(1.0 + 1.0/CAST(d AS DOUBLE)), 6) * total), 6) AS chi2_term")
+        .orderBy("d")
+    }),
+
+    // Period-over-period trending: per-user activity in the first vs
+    // second half of the time range (split at the midpoint micro,
+    // integer-exact), top-20 risers by (delta desc, user_id) — the
+    // "what's moving" report. Two conditional counts in ONE pass sharing
+    // the user shuffle; the global midpoint is a broadcast 1-row agg;
+    // top-20 is TakeOrderedAndProject.
+    "q_trending" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
+      ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n2"))
+        .withColumn("delta", col("n2") - col("n1"))
+        .orderBy(desc("delta"), asc("user_id"))
+        .limit(20)
+    }),
+
     // Deterministic stratified k-fold assignment (cross-validation prep):
     // fold = stable md5 bucket of the doc key, reported per (lang, fold)
     // with counts and char mass — the balance table an ML pipeline
@@ -495,6 +547,49 @@ object Analytics {
         |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
         |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
         |ORDER BY u, v""".stripMargin,
+
+    "q_benford" ->
+      """WITH c0 AS (
+        |  SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+        |  FROM orders
+        |),
+        |dg AS (
+        |  SELECT CASE WHEN c >= 1000000000 THEN c // 1000000000
+        |              WHEN c >= 100000000 THEN c // 100000000
+        |              WHEN c >= 10000000 THEN c // 10000000
+        |              WHEN c >= 1000000 THEN c // 1000000
+        |              WHEN c >= 100000 THEN c // 100000
+        |              WHEN c >= 10000 THEN c // 10000
+        |              WHEN c >= 1000 THEN c // 1000
+        |              WHEN c >= 100 THEN c // 100
+        |              WHEN c >= 10 THEN c // 10
+        |              ELSE c END AS d
+        |  FROM c0 WHERE c > 0
+        |),
+        |g AS (SELECT d, count(*) AS n FROM dg GROUP BY d),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT d, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS observed,
+        |  round(log10(1.0 + 1.0/CAST(d AS DOUBLE)), 6) AS expected,
+        |  round(pow(CAST(n AS DOUBLE)
+        |            - round(log10(1.0 + 1.0/CAST(d AS DOUBLE)), 6) * total, 2)
+        |        / (round(log10(1.0 + 1.0/CAST(d AS DOUBLE)), 6) * total), 6)
+        |    AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY d""".stripMargin,
+
+    "q_trending" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)
+        |       - sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS delta
+        |FROM ev CROSS JOIN m
+        |GROUP BY user_id
+        |ORDER BY delta DESC, user_id LIMIT 20""".stripMargin,
 
     "q_kfold" ->
       s"""SELECT lang, ($hashBucketSql) % 5 AS fold, count(*) AS n,
