@@ -45,7 +45,44 @@ object Analytics {
       |  FROM lineitem GROUP BY 1, 2
       |)""".stripMargin
 
+  /** q_bootstrap: Poisson(1) bootstrap weights as a pure hash function —
+    * u = first-8-hex md5("bs-rep-id") ∈ [0, 2³²), w = the Poisson(1)
+    * inverse CDF as fixed INTEGER thresholds ⌊cum·2³²⌋ (no float compare
+    * at any boundary). Deterministic resampling with replacement, no RNG
+    * state — both engines derive identical weights. */
+  private val BootstrapReps = 32
+  private val PoissonThresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L)
+
+  private def poissonCaseSql(u: String): String =
+    PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonThresholds.size} END")
+
   val queries: Map[String, Q] = Map(
+
+    // Poisson-bootstrap replicate means (the scale-out bootstrap: weights
+    // are i.i.d.-ish Poisson(1) counts derived from a keyed PRF, so a
+    // resample-with-replacement NEVER materializes — each row just
+    // carries an integer weight per replicate, the streaming-friendly
+    // bootstrap used on corpora too big to resample). 32 replicates of
+    // the mean order-value in ONE pass: explode ×32, hash → weight via
+    // integer thresholds, per-rep exact sums, terminal division. The
+    // replicate spread IS the confidence interval.
+    "q_bootstrap" -> ((s, dir) => {
+      val ev = table(s, dir, "events").selectExpr("event_id",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+      val u = "CAST(conv(substring(md5(concat('bs-', CAST(rep AS STRING), " +
+        "'-', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      ev.select(col("event_id"), col("v"),
+          explode(expr(s"sequence(1, $BootstrapReps)")).as("rep"))
+        .selectExpr("rep", "v", s"${poissonCaseSql(u)} AS w")
+        .groupBy("rep")
+        .agg(sum("w").as("n_eff"), sum(expr("w * v")).as("sv"))
+        .selectExpr("CAST(rep AS BIGINT) AS rep", "n_eff",
+          "round(CAST(sv AS DOUBLE) / n_eff / 100, 6) AS mu")
+        .orderBy("rep")
+    }),
 
     // Weighted shortest paths (3 Bellman-Ford sweeps) from the seed
     // suppliers over the min-quantity-weighted part↔supplier graph — the
@@ -390,6 +427,25 @@ object Analytics {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q_bootstrap" -> {
+      val u = hex2longSql(
+        "md5('bs-' || CAST(rep AS VARCHAR) || '-' || CAST(event_id AS VARCHAR))", 1)
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |  FROM events
+         |),
+         |x AS (
+         |  SELECT event_id, v, unnest(generate_series(1, $BootstrapReps)) AS rep
+         |  FROM ev
+         |),
+         |w AS (SELECT rep, v, ${poissonCaseSql(s"($u)")} AS w FROM x)
+         |SELECT CAST(rep AS BIGINT) AS rep,
+         |  CAST(sum(w) AS BIGINT) AS n_eff,
+         |  round(CAST(CAST(sum(w * v) AS BIGINT) AS DOUBLE)
+         |        / CAST(sum(w) AS BIGINT) / 100, 6) AS mu
+         |FROM w GROUP BY rep ORDER BY rep""".stripMargin
+    },
 
     "q_sssp" -> {
       val rounds = (1 to 3).map { i =>
