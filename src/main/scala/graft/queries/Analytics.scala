@@ -278,6 +278,30 @@ object Analytics {
         .orderBy("u", "v")
     }),
 
+    // CUSUM changepoint scan over the daily event-count series: the
+    // classic level-shift detector, made integer-exact by scaling through
+    // the day count — s_k = D·Σ_{i≤k}n_i − k·T needs no mean division,
+    // so both engines agree bit-for-bit and the peak |s_k| day is the
+    // changepoint candidate. The global window runs over PER-DAY
+    // aggregates (|rows| = days, bounded by the calendar, not the
+    // corpus), so the single-partition sort is structurally tiny.
+    "q_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum("n").as("t"), count(lit(1)).as("dd"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sk = daily.crossJoin(broadcast(tot))
+        .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("cum", sum("n").over(w))
+        .selectExpr("day", "n", "dd * cum - k * t AS sk")
+      sk.crossJoin(broadcast(sk.agg(max(abs(col("sk"))).as("ma"))))
+        .selectExpr("day", "n", "sk", "abs(sk) = ma AS is_peak")
+        .orderBy("day")
+    }),
+
     // Benford first-digit audit (the fraud/data-quality screen): observed
     // first-digit distribution of order totals vs Benford's log10(1+1/d)
     // expectation, with the chi-square statistic as the one terminal
@@ -603,6 +627,23 @@ object Analytics {
         |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
         |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
         |ORDER BY u, v""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1
+        |),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+        |             count(*) AS dd FROM daily),
+        |s AS (
+        |  SELECT day, n,
+        |    CAST(dd * sum(n) OVER (ORDER BY day)
+        |         - row_number() OVER (ORDER BY day) * t AS BIGINT) AS sk
+        |  FROM daily CROSS JOIN t
+        |),
+        |m AS (SELECT max(abs(sk)) AS ma FROM s)
+        |SELECT day, n, sk, abs(sk) = ma AS is_peak
+        |FROM s CROSS JOIN m ORDER BY day""".stripMargin,
 
     "q_benford" ->
       """WITH c0 AS (

@@ -51,6 +51,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       spark.read.parquet(s"$Sf/orders.parquet").count())
   }
 
+  test("q_bootstrap replicates: weights average ~1 and means bracket the truth") {
+    val rows = SparkEntry.queries("q_bootstrap")(spark, Sf).collect()
+    assert(rows.length == 32)
+    val n = spark.read.parquet(s"$Sf/events.parquet").count().toDouble
+    val mean = spark.read.parquet(s"$Sf/events.parquet")
+      .selectExpr("avg(CAST(floor(value*100 + 0.5) AS DOUBLE) / 100)")
+      .collect().head.getDouble(0)
+    for (r <- rows) {
+      // Poisson(1) effective sample size concentrates around n
+      assert(math.abs(r.getLong(1) - n) < 5 * math.sqrt(n),
+        s"rep ${r.getLong(0)}: n_eff=${r.getLong(1)} far from n=$n")
+    }
+    val mus = rows.map(_.getDouble(2))
+    assert(mus.min <= mean && mean <= mus.max,
+      s"replicate means [${mus.min}, ${mus.max}] do not bracket $mean")
+  }
+
   test("q_sssp distances are bounded by hop-count × max weight and ≥ BFS-reachability") {
     val sssp = SparkEntry.queries("q_sssp")(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
