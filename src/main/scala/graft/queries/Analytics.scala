@@ -278,6 +278,37 @@ object Analytics {
         .orderBy("u", "v")
     }),
 
+    // Funnel latency: minutes from each user's FIRST signup to their
+    // FIRST subsequent purchase, summarized as discrete quartiles — the
+    // "how long does conversion take" report. Per-user endpoints are two
+    // conditional min aggregates (one user shuffle, constant state);
+    // quartiles ride the distributed Ranks selection with the
+    // q_percentile_disc order-statistic convention (rank ⌈p·n⌉ on the
+    // total (gap, user) order — a 10⁹-user gap table never sorts on one
+    // task, and integer rank targets cannot ulp-flip).
+    "q_funnel_time" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val gaps = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("us"))).as("ts0"),
+          min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+        .where(col("ts0").isNotNull && col("tp").isNotNull &&
+          col("tp") >= col("ts0"))
+        .selectExpr("user_id", "(tp - ts0) DIV 60000000 AS gap_min")
+      val n = gaps.agg(count(lit(1)).as("n"))
+      val ranked = graft.operators.Ranks
+        .withinKey(gaps.withColumn("k", lit(1)), "k", Seq("gap_min", "user_id"))
+        .crossJoin(broadcast(n))
+      val sels = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L))
+        .map { case (lbl, nu, de) =>
+          min(when(col("rk") === expr(s"($nu*n + ${de - 1}) div $de"),
+            col("gap_min"))).as(lbl)
+        }
+      ranked.agg(max(col("n")).as("n_users"), sels: _*)
+        .select(col("n_users"), col("p25"), col("p50"), col("p75"))
+    }),
+
     // CUSUM changepoint scan over the daily event-count series: the
     // classic level-shift detector, made integer-exact by scaling through
     // the day count — s_k = D·Σ_{i≤k}n_i − k·T needs no mean division,
@@ -627,6 +658,29 @@ object Analytics {
         |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
         |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
         |ORDER BY u, v""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS ts0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        |  FROM events GROUP BY user_id
+        |),
+        |gaps AS (
+        |  SELECT user_id, (tp - ts0) // 60000000 AS gap_min
+        |  FROM g WHERE ts0 IS NOT NULL AND tp IS NOT NULL AND tp >= ts0
+        |),
+        |r AS (
+        |  SELECT gap_min,
+        |    row_number() OVER (ORDER BY gap_min, user_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM gaps
+        |)
+        |SELECT CAST(max(n) AS BIGINT) AS n_users,
+        |  min(CASE WHEN rk = (1*n + 3) // 4 THEN gap_min END) AS p25,
+        |  min(CASE WHEN rk = (1*n + 1) // 2 THEN gap_min END) AS p50,
+        |  min(CASE WHEN rk = (3*n + 3) // 4 THEN gap_min END) AS p75
+        |FROM r""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (
