@@ -278,6 +278,64 @@ object Analytics {
         .orderBy("u", "v")
     }),
 
+    // Gini coefficient of user activity (the inequality/concentration
+    // statistic behind "are 1% of accounts generating 90% of events?"):
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-user counts.
+    // The rank comes from the distributed Ranks selection; ties on x are
+    // harmless (equal values swap ranks without changing Σ i·xᵢ, so the
+    // statistic is partition-invariant even where the tie-break isn't
+    // observable). All sums are exact BIGINTs; one terminal float chain
+    // identical in both engines.
+    "q_gini" -> ((s, dir) => {
+      val counts = table(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+        .withColumn("k", lit(1))
+      graft.operators.Ranks.withinKey(counts, "k", Seq("x", "user_id"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("rk * x")).as("six"))
+        .selectExpr("n", "sx AS total_events",
+          "round(2.0 * six / (CAST(n AS DOUBLE) * sx) - (n + 1.0) / n, 6) AS gini")
+    }),
+
+    // Per-document keyword extraction: top-3 TF-IDF terms per doc on the
+    // NATIVE TopKPerKey operator — the retrieval/labeling staple. The
+    // tfidf value follows q_tfidf's determinism discipline (idf
+    // pre-rounded to 8 decimals, product rounded to 4) so the (tfidf
+    // desc, word) ordering is total and identical in both engines; the
+    // bounded heap means a million-term document contributes 3 rows to
+    // the shuffle.
+    "q_keywords" -> ((s, dir) => {
+      val tf = corpusToks(s, dir).groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .selectExpr("doc_id", "word",
+          "round(tf * round(ln((n_docs + 1.0) / (df + 1.0)), 8), 4) AS tfidf")
+      graft.operators.TopK.perKey(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("word", true)), 3)
+        .orderBy(col("doc_id"), desc("tfidf"), asc("word"))
+    }),
+
+    // Vocabulary coverage curve (the tokenizer-vocab sizing question):
+    // what fraction of the corpus token mass do the top-100 / top-1000
+    // most frequent words cover? Word ranks ride the distributed Ranks
+    // selection on (count desc, word); coverage = two conditional BIGINT
+    // sums + terminal divisions. A 10⁹-type vocabulary never sorts on
+    // one task.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val wc = corpusToks(s, dir).groupBy("word")
+        .agg(count(lit(1)).as("c"))
+        .selectExpr("word", "c", "-c AS nc").withColumn("k", lit(1))
+      graft.operators.Ranks.withinKey(wc, "k", Seq("nc", "word"))
+        .agg(count(lit(1)).as("vocab_size"), sum("c").as("total_tokens"),
+          sum(when(col("rk") <= 100, col("c")).otherwise(0L)).as("c100"),
+          sum(when(col("rk") <= 1000, col("c")).otherwise(0L)).as("c1000"))
+        .selectExpr("vocab_size", "total_tokens",
+          "round(CAST(c100 AS DOUBLE) / total_tokens, 6) AS cov100",
+          "round(CAST(c1000 AS DOUBLE) / total_tokens, 6) AS cov1000")
+    }),
+
     // Funnel latency: minutes from each user's FIRST signup to their
     // FIRST subsequent purchase, summarized as discrete quartiles — the
     // "how long does conversion take" report. Per-user endpoints are two
@@ -658,6 +716,56 @@ object Analytics {
         |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
         |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
         |ORDER BY u, v""".stripMargin,
+
+    "q_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+        |),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM c
+        |)
+        |SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total_events,
+        |  round(2.0 * CAST(sum(rk * x) AS BIGINT)
+        |          / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS BIGINT))
+        |        - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+
+    "q_keywords" -> {
+      val toks = graft.queries.Reference.ToksSql
+      s"""WITH $toks,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |scored AS (
+         |  SELECT doc_id, word,
+         |    round(tf * round(ln((n_docs + 1.0) / (df + 1.0)), 8), 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         |),
+         |r AS (
+         |  SELECT doc_id, word, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY tfidf DESC, word) AS rn
+         |  FROM scored
+         |)
+         |SELECT doc_id, word, tfidf FROM r WHERE rn <= 3
+         |ORDER BY doc_id, tfidf DESC, word""".stripMargin
+    },
+
+    "q_vocab_coverage" -> {
+      val toks = graft.queries.Reference.ToksSql
+      s"""WITH $toks,
+         |wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+         |r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk FROM wc
+         |)
+         |SELECT count(*) AS vocab_size, CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  round(CAST(CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS BIGINT)
+         |             AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS cov100,
+         |  round(CAST(CAST(sum(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS BIGINT)
+         |             AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) AS cov1000
+         |FROM r""".stripMargin
+    },
 
     "q_funnel_time" ->
       """WITH g AS (
