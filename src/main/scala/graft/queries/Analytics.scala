@@ -278,6 +278,44 @@ object Analytics {
         .orderBy("u", "v")
     }),
 
+    // Bounce rate: share of 30-minute-gap sessions containing exactly one
+    // event, plus session-length mix — the engagement headline on top of
+    // q_sessionize's session table (same gap rule, same per-user windows;
+    // the summary adds one tiny aggregation). Terminal division only.
+    "q_bounce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 30L * 60 * 1000000
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          sum(when(col("n") >= 10, 1L).otherwise(0L)).as("n_long"),
+          sum("n").as("n_events"))
+        .selectExpr("n_sessions", "n_bounce", "n_long", "n_events",
+          "round(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate")
+    }),
+
+    // Activity heatmap: event counts by (day-of-week, hour) — the usage
+    // calendar behind capacity planning. BOTH coordinates derive from
+    // epoch micros by integer arithmetic ((days+4) mod 7 pins Thursday
+    // 1970-01-01 = 4, hours = us DIV 3.6e9 mod 24), so no engine
+    // dow/locale convention can disagree; ≤168 groups, one partial-agg'd
+    // shuffle.
+    "q_heatmap" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"))
+        .selectExpr("(us DIV 86400000000 + 4) % 7 AS dow",
+          "(us DIV 3600000000) % 24 AS hour")
+        .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+        .orderBy("dow", "hour")),
+
     // Gini coefficient of user activity (the inequality/concentration
     // statistic behind "are 1% of accounts generating 90% of events?"):
     // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-user counts.
@@ -716,6 +754,41 @@ object Analytics {
         |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
         |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
         |ORDER BY u, v""".stripMargin,
+
+    "q_bounce" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |),
+        |f AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id
+        |                                    ORDER BY us, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id,
+        |    us FROM f
+        |),
+        |g AS (
+        |  SELECT user_id, session_id, count(*) AS n
+        |  FROM sess GROUP BY user_id, session_id
+        |)
+        |SELECT count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS bounce_rate
+        |FROM g""".stripMargin,
+
+    "q_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
 
     "q_gini" ->
       """WITH c AS (

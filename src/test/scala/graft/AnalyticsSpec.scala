@@ -51,6 +51,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       spark.read.parquet(s"$Sf/orders.parquet").count())
   }
 
+  test("gini in [0,1); coverage monotone; keywords exactly ≤3/doc; bounce consistent") {
+    val g = SparkEntry.queries("q_gini")(spark, Sf).collect().head
+    assert(g.getDouble(2) >= 0.0 && g.getDouble(2) < 1.0)
+    val v = SparkEntry.queries("q_vocab_coverage")(spark, Sf).collect().head
+    assert(v.getDouble(2) <= v.getDouble(3) && v.getDouble(3) <= 1.0,
+      s"coverage not monotone: $v")
+    val kw = SparkEntry.queries("q_keywords")(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+    assert(kw.values.forall(_.length <= 3))
+    val b = SparkEntry.queries("q_bounce")(spark, Sf).collect().head
+    assert(b.getLong(1) + b.getLong(2) <= b.getLong(0), "bounce+long ≤ sessions")
+    assert(b.getLong(3) >= b.getLong(0), "events ≥ sessions")
+  }
+
   test("q_bootstrap replicates: weights average ~1 and means bracket the truth") {
     val rows = SparkEntry.queries("q_bootstrap")(spark, Sf).collect()
     assert(rows.length == 32)
