@@ -278,6 +278,32 @@ object Analytics {
         .orderBy("u", "v")
     }),
 
+    // Per-document n-gram novelty: the fraction of a doc's DISTINCT token
+    // trigrams that appear nowhere else in the corpus (global df = 1) —
+    // high novelty ⇒ original text, low ⇒ boilerplate/template — the
+    // positive-signal twin of the dedup family's df-capped shingles.
+    // One trigram incidence shuffle + one df aggregation joined back;
+    // integer ratio with a terminal division. Same tokenizer and trigram
+    // spelling as q_dedup_ngram, so the signal is consistent with dedup.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Tokenize.tokenArray(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+      val tri = ws.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
+          .as("sh"))
+        .distinct()
+      val dfreq = tri.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+      tri.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .selectExpr("doc_id", "n_tri", "n_unique",
+          "round(CAST(n_unique AS DOUBLE) / n_tri, 6) AS novelty")
+        .orderBy("doc_id")
+    }),
+
     // Bounce rate: share of 30-minute-gap sessions containing exactly one
     // event, plus session-length mix — the engagement headline on top of
     // q_sessionize's session table (same gap rule, same per-user windows;
@@ -754,6 +780,28 @@ object Analytics {
         |  round(1.0 / sqrt(CAST(d1.d * d2.d AS DOUBLE)), 6) AS w
         |FROM und JOIN deg d1 ON und.u = d1.x JOIN deg d2 ON und.v = d2.x
         |ORDER BY u, v""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
+         |  FROM documents
+         |),
+         |tt AS (SELECT * FROM t WHERE len(ws) >= 3),
+         |tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         |  FROM (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws)-2)) AS i FROM tt)
+         |),
+         |tdf AS (SELECT sh, count(*) AS dfreq FROM tri GROUP BY sh)
+         |SELECT doc_id, count(*) AS n_tri,
+         |  CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  round(CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS novelty
+         |FROM tri JOIN tdf USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bounce" ->
       """WITH ev AS (
