@@ -342,6 +342,23 @@ object Analytics {
         .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
         .orderBy("dow", "hour")),
 
+    // Empirical-Bayes smoothed purchase rates per cohort (Beta(2,8)
+    // prior): rate = (x+2)/(n+10) — the shrinkage estimator that keeps
+    // small-sample cohorts from dominating a ranking (the smoothed-CTR
+    // staple). Integer counts, one terminal division; ordered by the
+    // smoothed rate with a total tie-break so the ranking itself is
+    // deterministic cross-engine.
+    "q_smoothed_rate" -> ((s, dir) =>
+      table(s, dir, "events")
+        .selectExpr("user_id % 20 AS cohort",
+          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n"), sum("y").as("x"))
+        .selectExpr("cohort", "n", "x",
+          "round(CAST(x AS DOUBLE) / n, 6) AS raw_rate",
+          "round((x + 2.0) / (n + 10.0), 6) AS smoothed_rate")
+        .orderBy(desc("smoothed_rate"), asc("cohort"))),
+
     // Gini coefficient of user activity (the inequality/concentration
     // statistic behind "are 1% of accounts generating 90% of events?"):
     // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-user counts.
@@ -837,6 +854,20 @@ object Analytics {
         |  (epoch_us(ts) // 3600000000) % 24 AS hour,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+
+    "q_smoothed_rate" ->
+      """WITH c AS (
+        |  SELECT user_id % 20 AS cohort,
+        |    CAST(CASE WHEN event_type = 'purchase'
+        |         THEN 1 ELSE 0 END AS BIGINT) AS y
+        |  FROM events
+        |),
+        |g AS (SELECT cohort, count(*) AS n, CAST(sum(y) AS BIGINT) AS x
+        |      FROM c GROUP BY cohort)
+        |SELECT cohort, n, x,
+        |  round(CAST(x AS DOUBLE) / n, 6) AS raw_rate,
+        |  round((x + 2.0) / (n + 10.0), 6) AS smoothed_rate
+        |FROM g ORDER BY smoothed_rate DESC, cohort""".stripMargin,
 
     "q_gini" ->
       """WITH c AS (
