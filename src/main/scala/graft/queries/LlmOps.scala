@@ -106,7 +106,7 @@ object LlmOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
     "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "que"))
 
-  private def inList(words: Seq[String]): String =
+  private[queries] def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Language-characteristic character bigrams (same length per
@@ -130,12 +130,12 @@ object LlmOps {
   // ---- embedding quantization (shared semantics) ----
   // q_i = floor(x_i * 1000 + 0.5) as BIGINT; |q| ≤ ~10^4 so dot products over
   // 64 dims stay < 2^53 → exact in double → order-free.
-  private val QuantSpark =
+  private[queries] val QuantSpark =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
-  private def quantSqlElem(e: String) =
+  private[queries] def quantSqlElem(e: String) =
     s"CAST(floor(CAST($e AS DOUBLE)*1000 + 0.5) AS BIGINT)"
 
-  private val CosExpr = // over exact-integer dot & norms, identical both engines
+  private[queries] val CosExpr = // over exact-integer dot & norms, identical both engines
     "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
 
   // ---- random-hyperplane LSH (deterministic, engine-independent) ----
@@ -594,12 +594,12 @@ object LlmOps {
   }
 
   /** Quantized embeddings + exact integer self-norm. */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[queries] def quantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("label"), expr(QuantSpark).as("q"))
       .withColumn("nq",
         expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)"))
 
-  private val QuantizedNormSql = // norms CTE: per-vector exact integer norm
+  private[queries] val QuantizedNormSql = // norms CTE: per-vector exact integer norm
     s"""qn AS (
        |  SELECT vec_id, label, CAST(sum(q*q) AS BIGINT) AS nq
        |  FROM (SELECT vec_id, label, ${quantSqlElem("unnest(embedding)")} AS q
@@ -2442,7 +2442,7 @@ object LlmOps {
 
   /** BM25 query terms: three common + one rare ("dup", df≈5% of docs) so
     * scores discriminate. */
-  private val BmTerms = Seq("spark", "query", "vector", "dup")
+  private[queries] val BmTerms = Seq("spark", "query", "vector", "dup")
 
   /** Shared BPE training chain (q_bpe_merges / q_bpe_apply): word counts →
     * char-split symbol sequences → 3 rounds of (weighted pair count →
@@ -2481,7 +2481,7 @@ object LlmOps {
     * rounded (q_tfidf note); every other op is exact-input +,-,*,/ —
     * correctly rounded, so bit-identical cross-engine. The final 6-decimal
     * round makes the contribution decimal-summable (order-free). */
-  private val BmContribExpr: String =
+  private[queries] val BmContribExpr: String =
     "round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)" +
       " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75" +
       " * (dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)"

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the retrieval-evaluation tier (queries.Retrieval) the
+  * oracle gate can't express: metric range laws, partitioning invariance
+  * of the exact-integer scores, the RRF formula recomputed row-by-row, and
+  * the bounded-heap plan shape of the per-query selections. */
+class RetrievalSpec extends AnyFunSuite with SparkFixture {
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, Sf).collect()
+
+  test("q_ndcg: 0 < ndcg <= 1, dcg <= idcg, all querysets present") {
+    val r = rows("q_ndcg")
+    assert(r.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    r.foreach { row =>
+      val (dcg, idcg, ndcg) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(dcg > 0 && idcg >= dcg, row)
+      assert(ndcg > 0.0 && ndcg <= 1.0, row)
+    }
+  }
+
+  test("q_mrr: rr_micro = 10^6 div first_pos, pos within top-50") {
+    val r = rows("q_mrr")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (pos, rr) = (row.getLong(1), row.getLong(2))
+      assert(pos >= 1 && pos <= 50, row)
+      assert(rr == 1000000L / pos, row)
+    }
+  }
+
+  test("q_rrf_fusion: rrf recomputes from the emitted ranks; both-list docs exist") {
+    val r = rows("q_rrf_fusion")
+    assert(r.length > 0)
+    def contrib(rank: Long) = if (rank > 0) 1000000000L / (60L + rank) else 0L
+    r.foreach { row =>
+      val (lex, sem, rrf) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(lex > 0 || sem > 0, row)
+      assert(rrf == contrib(lex) + contrib(sem), row)
+    }
+    // the fused head must actually fuse: at least one doc from both lists
+    assert(r.exists(row => row.getLong(1) > 0 && row.getLong(2) > 0), r.mkString("\n"))
+  }
+
+  test("q_ndcg is partition-count invariant (exact integer metrics)") {
+    val base = rows("q_ndcg").map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(rows("q_ndcg").map(_.toString).toSeq == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("per-query rankings plan as the native bounded-heap TopKPerKeyExec") {
+    val p = SparkEntry.queries("q_ndcg")(spark, Sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TopKPerKey"), p)
+  }
+}
