@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial tier: grid-bucketed spatial analytics over deterministic
+  * integer coordinates — the partitioning discipline that makes spatial
+  * joins scale (candidates from an equi-join on grid cells, exact
+  * arithmetic only on candidates; never a point×point cross join).
+  *
+  * Coordinates are derived, not stored: the harness tables carry no
+  * lat/lon, so both engines place each entity at
+  * `(md5("px-"+key) mod 2²⁰, md5("py-"+key) mod 2²⁰)` — a keyed PRF, the
+  * same technique as the sampling family's [[HashBucketSpark]]. Every
+  * distance is an exact BIGINT (dx²+dy² < 2⁴² — no haversine floats, no
+  * cross-engine trig), so results are partition- and engine-invariant.
+  *
+  * The cell width EQUALS the query radius, which is what makes the 3×3
+  * neighbor probe complete: any point within r of a station lies in one
+  * of the 9 cells around the station's cell. At 100 TB the same plan
+  * holds — points shuffle once on cell id (or arrive bucketed by a
+  * z-ordered layout, `q_zorder`), the station side explodes ×9 and
+  * broadcasts.
+  */
+object Geo {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Coordinate space [0, 2²⁰) and cell/radius width 2¹⁷ (an 8×8 grid). */
+  private val Space = 1048576L
+  private val CellW = 131072L
+  private val R2 = CellW * CellW // radius = one cell width
+
+  /** Spark integer coordinate from a keyed PRF (first 8 md5 hex chars). */
+  private def coordSpark(prefix: String, key: String): String =
+    s"CAST(conv(substring(md5(concat('$prefix-', CAST($key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $Space"
+
+  /** DuckDB twin of [[coordSpark]]. */
+  private def coordSql(prefix: String, key: String): String =
+    s"(${hex2longSql(s"md5('$prefix-' || CAST($key AS VARCHAR))", 1)}) % $Space"
+
+  /** 3-bit × 3-bit Morton interleave of (cx, cy) ∈ [0,8)² — the locality
+    * key a z-ordered layout would sort on; pure integer arithmetic, one
+    * spelling both engines (columns cx, cy). */
+  private val ZCellExpr: String = (0 until 3).map { b =>
+    val p = 1L << b
+    s"((cx div $p) % 2) * ${1L << (2 * b + 1)} + ((cy div $p) % 2) * ${1L << (2 * b)}"
+  }.mkString("(", " + ", ")")
+
+  private def zcellSql: String = ZCellExpr.replace(" div ", " // ")
+
+  /** Points: one row per distinct user, PRF-placed. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select("user_id").distinct()
+      .withColumn("px", expr(coordSpark("px", "user_id")))
+      .withColumn("py", expr(coordSpark("py", "user_id")))
+
+  /** Stations: the 25 nations, PRF-placed in the same space. */
+  private def stations(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "nation").select(col("n_nationkey").cast("long").as("station"))
+      .withColumn("sx", expr(coordSpark("sx", "station")))
+      .withColumn("sy", expr(coordSpark("sy", "station")))
+
+  private val PointsSql: String =
+    s"""pts AS (
+       |  SELECT user_id, ${coordSql("px", "user_id")} AS px,
+       |         ${coordSql("py", "user_id")} AS py
+       |  FROM (SELECT DISTINCT user_id FROM events)
+       |)""".stripMargin
+
+  private val StationsSql: String =
+    s"""st AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS station,
+       |         ${coordSql("sx", "CAST(n_nationkey AS BIGINT)")} AS sx,
+       |         ${coordSql("sy", "CAST(n_nationkey AS BIGINT)")} AS sy
+       |  FROM nation
+       |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // Grid density + Morton locality key: points bucket into 8×8 cells,
+    // one partial-agg'd shuffle on the cell, and each cell carries the
+    // z-order key a layout pass (q_zorder) would cluster files by —
+    // integer bit interleave, no UDF. The per-cell profile a spatial
+    // workload consults before choosing probe order.
+    "q_geo_cell" -> ((s, dir) => {
+      points(s, dir)
+        .withColumn("cx", expr(s"px div $CellW"))
+        .withColumn("cy", expr(s"py div $CellW"))
+        .groupBy("cx", "cy")
+        .agg(count(lit(1)).as("n_points"), min("user_id").as("min_uid"))
+        .withColumn("zcell", expr(ZCellExpr))
+        .select("zcell", "cx", "cy", "n_points", "min_uid")
+        .orderBy("zcell")
+    }),
+
+    // Radius join: stations × points within r — candidates from a cell
+    // equi-join against the broadcast 9-cell station neighborhood (the
+    // 3×3 probe is COMPLETE because cell width = r), exact BIGINT
+    // distance only on candidates. One narrow pass over points; no
+    // point×station cross join at any scale.
+    "q_geo_radius_join" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .withColumn("cx", expr(s"px div $CellW"))
+        .withColumn("cy", expr(s"py div $CellW"))
+      val sc = stations(s, dir)
+        .select(col("station"), col("sx"), col("sy"),
+          explode(expr("sequence(-1, 1)")).as("dx"))
+        .select(col("station"), col("sx"), col("sy"), col("dx"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("station"), col("sx"), col("sy"),
+          (expr(s"sx div $CellW") + col("dx")).as("cx"),
+          (expr(s"sy div $CellW") + col("dy")).as("cy"))
+      pts.join(broadcast(sc), Seq("cx", "cy"))
+        .withColumn("d2", expr("(px - sx)*(px - sx) + (py - sy)*(py - sy)"))
+        .where(col("d2") <= R2)
+        .groupBy("station")
+        .agg(count(lit(1)).as("n_within"),
+          min(struct(col("d2"), col("user_id"))).as("m"))
+        .select(col("station"), col("n_within"),
+          col("m.user_id").as("closest_uid"), col("m.d2").as("closest_d2"))
+        .orderBy("station")
+    }),
+
+    // k-nearest (k=3) per station within the 9-cell probe window — the
+    // grid-bounded kNN an IVF-style spatial index answers (exact kNN
+    // would ring-expand; the bounded probe is the documented contract,
+    // same as q_ann_ivf's probe-1 approximation). Selection rides the
+    // native bounded-heap TopKPerKey, never a per-station window sort.
+    "q_geo_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = points(s, dir)
+        .withColumn("cx", expr(s"px div $CellW"))
+        .withColumn("cy", expr(s"py div $CellW"))
+      val sc = stations(s, dir)
+        .select(col("station"), col("sx"), col("sy"),
+          explode(expr("sequence(-1, 1)")).as("dx"))
+        .select(col("station"), col("sx"), col("sy"), col("dx"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("station"), col("sx"), col("sy"),
+          (expr(s"sx div $CellW") + col("dx")).as("cx"),
+          (expr(s"sy div $CellW") + col("dy")).as("cy"))
+      val cand = pts.join(broadcast(sc), Seq("cx", "cy"))
+        .withColumn("d2", expr("(px - sx)*(px - sx) + (py - sy)*(py - sy)"))
+        .select("station", "user_id", "d2")
+      graft.operators.TopK.perKey(cand, Seq("station"),
+          Seq(("d2", true), ("user_id", true)), 3)
+        .withColumn("rank", row_number().over(Window.partitionBy("station")
+          .orderBy(asc("d2"), asc("user_id"))).cast("long"))
+        .select(col("station"), col("rank"), col("user_id").as("uid"),
+          col("d2"))
+        .orderBy("station", "rank")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q_geo_cell" ->
+      s"""WITH $PointsSql,
+         |cells AS (
+         |  SELECT px // $CellW AS cx, py // $CellW AS cy,
+         |    count(*) AS n_points, min(user_id) AS min_uid
+         |  FROM pts GROUP BY 1, 2
+         |)
+         |SELECT $zcellSql AS zcell, cx, cy, n_points, min_uid
+         |FROM cells ORDER BY zcell""".stripMargin,
+
+    "q_geo_radius_join" ->
+      s"""WITH $PointsSql,
+         |$StationsSql,
+         |sc AS (
+         |  SELECT station, sx, sy,
+         |    sx // $CellW + dx.x AS cx, sy // $CellW + dy.y AS cy
+         |  FROM st,
+         |    (VALUES (-1), (0), (1)) AS dx(x),
+         |    (VALUES (-1), (0), (1)) AS dy(y)
+         |),
+         |cand AS (
+         |  SELECT station, user_id,
+         |    (px - sx)*(px - sx) + (py - sy)*(py - sy) AS d2
+         |  FROM pts JOIN sc ON pts.px // $CellW = sc.cx
+         |                  AND pts.py // $CellW = sc.cy
+         |  WHERE (px - sx)*(px - sx) + (py - sy)*(py - sy) <= $R2
+         |),
+         |agg AS (SELECT station, count(*) AS n_within FROM cand
+         |        GROUP BY station),
+         |best AS (
+         |  SELECT station, user_id AS closest_uid, d2 AS closest_d2
+         |  FROM (SELECT station, user_id, d2,
+         |          row_number() OVER (PARTITION BY station
+         |            ORDER BY d2, user_id) AS rn
+         |        FROM cand)
+         |  WHERE rn = 1
+         |)
+         |SELECT station, n_within, closest_uid,
+         |  CAST(closest_d2 AS BIGINT) AS closest_d2
+         |FROM agg JOIN best USING (station) ORDER BY station""".stripMargin,
+
+    "q_geo_knn" ->
+      s"""WITH $PointsSql,
+         |$StationsSql,
+         |sc AS (
+         |  SELECT station, sx, sy,
+         |    sx // $CellW + dx.x AS cx, sy // $CellW + dy.y AS cy
+         |  FROM st,
+         |    (VALUES (-1), (0), (1)) AS dx(x),
+         |    (VALUES (-1), (0), (1)) AS dy(y)
+         |),
+         |cand AS (
+         |  SELECT station, user_id,
+         |    (px - sx)*(px - sx) + (py - sy)*(py - sy) AS d2
+         |  FROM pts JOIN sc ON pts.px // $CellW = sc.cx
+         |                  AND pts.py // $CellW = sc.cy
+         |)
+         |SELECT station, CAST(rank AS BIGINT) AS rank, user_id AS uid, d2
+         |FROM (SELECT station, user_id, d2,
+         |        row_number() OVER (PARTITION BY station
+         |          ORDER BY d2, user_id) AS rank
+         |      FROM cand)
+         |WHERE rank <= 3 ORDER BY station, rank""".stripMargin)
+}
