@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Tokenize
-import graft.queries.{Analytics, Geo, Graphs, LlmOps, Reference, Relational, Retrieval}
+import graft.queries.{Analytics, Geo, Graphs, LlmOps, Metrics, Reference, Relational, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,10 +27,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7 additions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Reference.queries ++ Relational.queries ++ LlmOps.queries ++
-      Analytics.queries ++ Retrieval.queries ++ Geo.queries ++ Graphs.queries
+      Analytics.queries ++ Retrieval.queries ++ Geo.queries ++ Graphs.queries ++
+      Metrics.queries
 
   /** DuckDB-runnable oracle twin for every query (same column names). */
   def oracleSql: Map[String, String] =
     Reference.oracle ++ Relational.oracle ++ LlmOps.oracle ++
-      Analytics.oracle ++ Retrieval.oracle ++ Geo.oracle ++ Graphs.oracle
+      Analytics.oracle ++ Retrieval.oracle ++ Geo.oracle ++ Graphs.oracle ++
+      Metrics.oracle
 }

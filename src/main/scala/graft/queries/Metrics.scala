@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic statistics / evaluation additions: time-series
+  * autocorrelation and seasonal-naive error on the daily event series,
+  * probabilistic-forecast scoring (Brier, log-loss) beside q_auc /
+  * q_confusion / q_calibration, l-diversity beside q_kanon, and the
+  * modularity score of the q_communities partition.
+  *
+  * Float discipline is the house standard: integer/rational identities
+  * wherever algebra allows (ACF and Brier numerators are pure BIGINT after
+  * multiplying out the rational mean), the round(ln(x), 8) pre-round where
+  * a log is irreducible, 6-decimal contribution rounding + decimal sums,
+  * and one terminal division shared verbatim with the oracle.
+  */
+object Metrics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Micros per day (the q_heatmap day-arithmetic convention). */
+  private val DayUs = 86400000000L
+
+  /** l-diversity threshold (sensitive attribute must take ≥ 3 distinct
+    * values inside every quasi-identifier group). */
+  private val LDiv = 3L
+
+  /** round(ln(10000), 8) — the log-loss probability denominator, a
+    * literal so neither engine computes it at runtime. */
+  private val Ln1e4 = "9.21034037"
+
+  /** Per-event log-loss contribution (columns y ∈ {0,1}, vl ∈ [1,9999]):
+    * ln(p) = ln(vl) − ln(10⁴) with both logs 8-decimal pre-rounded, then
+    * the 6-decimal round that makes contributions decimal-summable. */
+  private val LoglossContribExpr =
+    s"round(-(y * (round(ln(CAST(vl AS DOUBLE)), 8) - $Ln1e4)" +
+      s" + (1 - y) * (round(ln(CAST(10000 - vl AS DOUBLE)), 8) - $Ln1e4)), 6)"
+
+  /** Daily event counts as (day, x). */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select((expr("unix_micros(ts)") / DayUs).cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+
+  private val DailySql =
+    s"""daily AS (
+       |  SELECT epoch_us(ts) // $DayUs AS day, count(*) AS x
+       |  FROM events GROUP BY 1
+       |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // Sample autocorrelation of the daily event-count series at lags
+    // 1..7 — the seasonality detector a forecasting pipeline runs first.
+    // The mean is rational (S/n), so both sums multiply out to pure
+    // BIGINT: r_k = Σ(n·x_t−S)(n·x_{t−k}−S) / Σ(n·x_t−S)² with ONE
+    // terminal division. Lagged pairs come from an equi-join on
+    // (day − lag) — at 10⁴ days the aggregated series is broadcast-tiny;
+    // the heavy lifting is the one partial-agg'd daily count shuffle.
+    "q_autocorr" -> ((s, dir) => {
+      val d = daily(s, dir)
+      val st = d.agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      val c = d.crossJoin(broadcast(st))
+        .select(col("day"), (col("n") * col("x") - col("sx")).as("cx"))
+      val den = c.agg(sum(expr("cx * cx")).as("den"))
+      val lags = c.select(col("day"), col("cx"),
+        explode(expr("sequence(1, 7)")).as("lag"))
+      lags.join(c.select((col("day")).as("pday"), col("cx").as("pcx")),
+          lags("day") - lags("lag") === col("pday"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"), sum(expr("cx * pcx")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          expr("round(CAST(num AS DOUBLE) / den, 6)").as("acf"))
+        .orderBy("lag")
+    }),
+
+    // Seasonal-naive forecast error: forecast_t = x_{t−7} (weekly
+    // season), MAE vs the lag-1 naive baseline, MASE as their ratio —
+    // all integer sums, three terminal divisions. The backtest a
+    // capacity-planning pipeline runs before trusting a model.
+    "q_seasonal_error" -> ((s, dir) => {
+      val d = daily(s, dir)
+      def maeAt(k: Int, tag: String) = d.alias("a")
+        .join(d.alias("b"), col("a.day") - k === col("b.day"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(expr("abs(a.x - b.x)")).as(s"ae_$tag"))
+      maeAt(7, "season").crossJoin(maeAt(1, "naive"))
+        .select(col("n_season"), col("n_naive"),
+          expr("round(CAST(ae_season AS DOUBLE) / n_season, 6)").as("mae_season"),
+          expr("round(CAST(ae_naive AS DOUBLE) / n_naive, 6)").as("mae_naive"),
+          expr("round((CAST(ae_season AS DOUBLE) / n_season)" +
+            " / (CAST(ae_naive AS DOUBLE) / n_naive), 6)").as("mase"))
+    }),
+
+    // Probabilistic-forecast scoring for "value predicts purchase":
+    // p = min(cents, 10⁴)/10⁴. Brier = Σ(v − 10⁴y)²/(n·10⁸) is exact
+    // rational (BIGINT numerator); log-loss clamps p into (0,1) and uses
+    // the pre-rounded-ln contribution. One conditional-sum pass,
+    // constant state — the q_confusion profile.
+    "q_brier" -> ((s, dir) => {
+      table(s, dir, "events")
+        .selectExpr(
+          "CAST(least(floor(value*100 + 0.5), 10000) AS BIGINT) AS vb",
+          "CAST(least(greatest(floor(value*100 + 0.5), 1), 9999) AS BIGINT) AS vl",
+          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
+        .withColumn("ll", expr(LoglossContribExpr))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(vb - 10000*y) * (vb - 10000*y)")).as("bnum"),
+          dsum(col("ll"), 6).as("lsum"))
+        .select(col("n"),
+          expr("round(CAST(bnum AS DOUBLE) / n / 100000000, 6)").as("brier"),
+          expr("round(lsum / n, 6)").as("logloss"))
+    }),
+
+    // l-diversity audit beside q_kanon: same quasi-identifier groups
+    // (segment × coarse region), sensitive attribute = account-balance
+    // band; a group is safe only if the sensitive value takes ≥ 3
+    // distinct values (k-anonymity alone lets a homogeneous group leak).
+    // One grouped pass, integer state.
+    "q_ldiversity" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          (col("c_nationkey") % 5).cast("long").as("region"),
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("band"))
+        .groupBy("c_mktsegment", "region")
+        .agg(count(lit(1)).as("n"), count_distinct(col("band")).as("ldiv"))
+        .withColumn("safe",
+          expr(s"CAST(CASE WHEN ldiv >= $LDiv THEN 1 ELSE 0 END AS BIGINT)"))
+        .orderBy("c_mktsegment", "region")
+    }),
+
+    // Modularity of the q_communities partition: Q = Σ_c [m_c/m −
+    // (D_c/2m)²], computed from the SAME LabelProp assignment (shared
+    // operator) with the exact identity Q·4m² = Σ_c (4m·m_c − D_c²) —
+    // pure BIGINT until one terminal division. Two label joins onto the
+    // edge list + two grouped aggs; BIGINT holds to m ≈ 1.5·10⁹ edges
+    // (past that the numerator flips to DECIMAL(38,0) — same partials).
+    "q_modularity" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      val labels = graft.operators.LabelProp
+        .run(pairs.select(col("p").as("src"), col("sv").as("dst")), 3)
+      val mdf = pairs.agg(count(lit(1)).as("m"))
+      val withC = pairs
+        .join(labels.select(col("v").as("p"), col("lbl").as("cp")), "p")
+        .join(labels.select(col("v").as("sv"), col("lbl").as("cs")), "sv")
+      val mc = withC.where(col("cp") === col("cs"))
+        .groupBy(col("cp").as("c")).agg(count(lit(1)).as("m_c"))
+      val deg = withC.select(col("p").as("v"), col("cp").as("c"))
+        .unionAll(withC.select(col("sv").as("v"), col("cs").as("c")))
+        .groupBy("v", "c").agg(count(lit(1)).as("d"))
+        .groupBy("c").agg(sum("d").as("d_c"))
+      deg.join(mc, Seq("c"), "left")
+        .select(col("c"), coalesce(col("m_c"), lit(0L)).as("m_c"), col("d_c"))
+        .crossJoin(broadcast(mdf))
+        .agg(count(lit(1)).as("n_comm"), max(col("m")).as("m_edges"),
+          sum(expr("4 * m * m_c - d_c * d_c")).as("qnum"))
+        .select(col("n_comm"), col("m_edges"),
+          expr("round(CAST(qnum AS DOUBLE) / (4.0 * m_edges * m_edges), 6)")
+            .as("modularity"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q_autocorr" ->
+      s"""WITH $DailySql,
+         |st AS (SELECT CAST(sum(x) AS BIGINT) AS sx, count(*) AS n FROM daily),
+         |c AS (SELECT day, n * x - sx AS cx FROM daily CROSS JOIN st),
+         |den AS (SELECT CAST(sum(cx * cx) AS BIGINT) AS den FROM c),
+         |pairs AS (
+         |  SELECT lag, a.cx AS cx, b.cx AS pcx
+         |  FROM (SELECT day, cx, unnest(generate_series(1, 7)) AS lag
+         |        FROM c) a
+         |  JOIN c b ON a.day - a.lag = b.day
+         |)
+         |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+         |  round(CAST(CAST(sum(cx * pcx) AS BIGINT) AS DOUBLE) / den, 6)
+         |    AS acf
+         |FROM pairs CROSS JOIN den
+         |GROUP BY lag, den ORDER BY lag""".stripMargin,
+
+    "q_seasonal_error" ->
+      s"""WITH $DailySql,
+         |se AS (
+         |  SELECT count(*) AS n_season,
+         |    CAST(sum(abs(a.x - b.x)) AS BIGINT) AS ae_season
+         |  FROM daily a JOIN daily b ON a.day - 7 = b.day
+         |),
+         |nv AS (
+         |  SELECT count(*) AS n_naive,
+         |    CAST(sum(abs(a.x - b.x)) AS BIGINT) AS ae_naive
+         |  FROM daily a JOIN daily b ON a.day - 1 = b.day
+         |)
+         |SELECT n_season, n_naive,
+         |  round(CAST(ae_season AS DOUBLE) / n_season, 6) AS mae_season,
+         |  round(CAST(ae_naive AS DOUBLE) / n_naive, 6) AS mae_naive,
+         |  round((CAST(ae_season AS DOUBLE) / n_season)
+         |    / (CAST(ae_naive AS DOUBLE) / n_naive), 6) AS mase
+         |FROM se CROSS JOIN nv""".stripMargin,
+
+    "q_brier" ->
+      s"""WITH t AS (
+         |  SELECT
+         |    CAST(least(floor(value*100 + 0.5), 10000) AS BIGINT) AS vb,
+         |    CAST(least(greatest(floor(value*100 + 0.5), 1), 9999) AS BIGINT) AS vl,
+         |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM events
+         |),
+         |c AS (SELECT vb, y, $LoglossContribExpr AS ll FROM t)
+         |SELECT count(*) AS n,
+         |  round(CAST(CAST(sum((vb - 10000*y) * (vb - 10000*y)) AS BIGINT)
+         |    AS DOUBLE) / count(*) / 100000000, 6) AS brier,
+         |  round(${dsumSql("ll", 6)} / count(*), 6) AS logloss
+         |FROM c""".stripMargin,
+
+    "q_ldiversity" ->
+      s"""SELECT c_mktsegment, CAST(c_nationkey % 5 AS BIGINT) AS region,
+         |  count(*) AS n,
+         |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+         |    AS BIGINT) AS ldiv,
+         |  CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+         |    >= $LDiv THEN 1 ELSE 0 END AS BIGINT) AS safe
+         |FROM customer
+         |GROUP BY 1, 2
+         |ORDER BY c_mktsegment, region""".stripMargin,
+
+    "q_modularity" ->
+      s"""WITH ${Relational.LpaOracleChain},
+         |m AS (SELECT count(*) AS m FROM pairs),
+         |wc AS (
+         |  SELECT pairs.p, pairs.sv, lp.lbl AS cp, ls.lbl AS cs
+         |  FROM pairs JOIN l3 lp ON lp.v = pairs.p
+         |             JOIN l3 ls ON ls.v = pairs.sv
+         |),
+         |mc AS (SELECT cp AS c, count(*) AS m_c FROM wc
+         |       WHERE cp = cs GROUP BY cp),
+         |deg AS (
+         |  SELECT c, CAST(sum(d) AS BIGINT) AS d_c FROM (
+         |    SELECT v, c, count(*) AS d FROM (
+         |      SELECT p AS v, cp AS c FROM wc
+         |      UNION ALL SELECT sv, cs FROM wc
+         |    ) GROUP BY v, c
+         |  ) GROUP BY c
+         |)
+         |SELECT count(*) AS n_comm,
+         |  (SELECT CAST(m AS BIGINT) FROM m) AS m_edges,
+         |  round(CAST(CAST(sum(4 * m.m * coalesce(m_c, 0) - d_c * d_c)
+         |      AS BIGINT) AS DOUBLE)
+         |    / (4.0 * m.m * m.m), 6) AS modularity
+         |FROM deg LEFT JOIN mc USING (c) CROSS JOIN m
+         |GROUP BY m.m""".stripMargin)
+}

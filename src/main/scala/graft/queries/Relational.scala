@@ -23,6 +23,36 @@ object Relational {
     * (453k of 499k possible edges at sf0.1); ≥5 keeps ~10% of them. */
   private val TriangleMinW = 5
 
+  /** DuckDB replay of [[graft.operators.LabelProp.run]] (3 rounds) on the
+    * part↔supplier bipartite graph — CTE fragment ending in
+    * `l3` (v, lbl) plus `pairs`/`e`. ONE definition shared by
+    * q_communities and the modularity metric (queries.Metrics) so the
+    * partition and any score over it cannot drift. */
+  private[queries] val LpaOracleChain: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""n$i AS (
+         |  SELECT e.src, l.lbl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2
+         |),
+         |l$i AS (
+         |  SELECT src AS v, lbl FROM (
+         |    SELECT src, lbl,
+         |           row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |    FROM n$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
+       |),
+       |e AS (
+       |  SELECT p AS src, sv AS dst FROM pairs
+       |  UNION
+       |  SELECT sv AS src, p AS dst FROM pairs
+       |),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+       |$rounds""".stripMargin
+  }
+
   /** q_freq_pairs: min pair support and basket-size cap. The cap bounds the
     * per-basket pair fan-out at C(cap,2) — a degenerate "basket" holding a
     * million items (a bot account, a crawler session) would otherwise emit
@@ -2938,33 +2968,11 @@ object Relational {
         |FROM ev JOIN thr USING (event_type)
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
-    "q_communities" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""n$i AS (
-           |  SELECT e.src, l.lbl, count(*) AS c
-           |  FROM e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2
-           |),
-           |l$i AS (
-           |  SELECT src AS v, lbl FROM (
-           |    SELECT src, lbl,
-           |           row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
-           |    FROM n$i) WHERE rn = 1
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
-         |),
-         |e AS (
-         |  SELECT p AS src, sv AS dst FROM pairs
-         |  UNION
-         |  SELECT sv AS src, p AS dst FROM pairs
-         |),
-         |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
-         |$rounds
+    "q_communities" ->
+      s"""WITH $LpaOracleChain
          |SELECT lbl AS community, count(*) AS n_members,
          |       min(v) AS min_v, max(v) AS max_v
-         |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
-    },
+         |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin,
 
     "q_json_extract" ->
       """WITH t AS (

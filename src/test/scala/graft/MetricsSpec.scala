@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Range/consistency laws for queries.Metrics that the value-equality
+  * oracle can't express. */
+class MetricsSpec extends AnyFunSuite with SparkFixture {
+
+  private def one(name: String) =
+    SparkEntry.queries(name)(spark, Sf).collect()(0)
+
+  test("q_brier: both losses in range, Brier <= 1") {
+    val r = one("q_brier")
+    val (brier, logloss) =
+      (r.getAs[Double]("brier"), r.getAs[Double]("logloss"))
+    assert(brier >= 0.0 && brier <= 1.0, r)
+    assert(logloss >= 0.0, r)
+  }
+
+  test("q_seasonal_error: mase == mae_season / mae_naive (recomputed)") {
+    val r = one("q_seasonal_error")
+    val (ms, mn, mase) = (r.getAs[Double]("mae_season"),
+      r.getAs[Double]("mae_naive"), r.getAs[Double]("mase"))
+    assert(math.abs(mase - ms / mn) < 1e-5, r)
+    assert(ms >= 0 && mn > 0, r)
+  }
+
+  test("q_autocorr: all 7 lags present, |acf| bounded") {
+    val r = SparkEntry.queries("q_autocorr")(spark, Sf).collect()
+    assert(r.map(_.getLong(0)).sorted.toSeq == (1L to 7L))
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("acf")) <= 1.0 + 1e-9, row)
+    }
+  }
+
+  test("q_ldiversity: safe flag consistent with ldiv; ldiv <= n") {
+    val r = SparkEntry.queries("q_ldiversity")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, ldiv, safe) = (row.getAs[Long]("n"), row.getAs[Long]("ldiv"),
+        row.getAs[Long]("safe"))
+      assert(ldiv >= 1 && ldiv <= n, row)
+      assert(safe == (if (ldiv >= 3) 1L else 0L), row)
+    }
+  }
+
+  test("q_modularity: score in [-1, 1], partition-count invariant") {
+    def run() = SparkEntry.queries("q_modularity")(spark, Sf)
+      .collect().map(_.toString).toSeq
+    val base = run()
+    val q = one("q_modularity").getAs[Double]("modularity")
+    assert(q >= -1.0 && q <= 1.0, q)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
