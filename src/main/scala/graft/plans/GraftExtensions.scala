@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.interleaveBitsFn)
     ext.injectFunction(GraftExtensions.charShinglesFn)
     ext.injectFunction(GraftExtensions.winnowFingerprintsFn)
+    ext.injectFunction(GraftExtensions.hllRegisterAggFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -133,8 +134,25 @@ object GraftExtensions {
       WinnowGenerator(children(0), intLit(children(1), "k"), intLit(children(2), "w"))
     })
 
+  private val hllRegisterAggFn = (
+    new FunctionIdentifier("hll_register_agg"),
+    info(classOf[graft.functions.HllRegisterAgg], "hll_register_agg",
+      "hll_register_agg(key) - Native TypedImperativeAggregate: the " +
+        "64-register HyperLogLog sketch of the STRING key column as " +
+        "ARRAY<BIGINT>. Bit-compatible with the md5 register rule of the " +
+        "composed sketch queries; registers merge by elementwise max " +
+        "(partial buffers collapse map-side).",
+      "    Examples:\n      > SELECT size(hll_register_agg(CAST(x AS STRING))) FROM t;\n       64"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1,
+        s"hll_register_agg expects exactly 1 argument, got ${children.length}")
+      graft.functions.HllRegisterAgg(children.head)
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      hllRegisterAggFn._1, hllRegisterAggFn._2, hllRegisterAggFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       encodeWordFn._1, encodeWordFn._2, encodeWordFn._3)
     spark.sessionState.functionRegistry.registerFunction(

@@ -30,6 +30,10 @@ object Metrics {
     * literal so neither engine computes it at runtime. */
   private val Ln1e4 = "9.21034037"
 
+  /** CMS dimensions for the join-size sketch (the q_sketch_cms shape). */
+  private val JsDepth = 4
+  private val JsWidth = 64
+
   /** Per-event log-loss contribution (columns y ∈ {0,1}, vl ∈ [1,9999]):
     * ln(p) = ln(vl) − ln(10⁴) with both logs 8-decimal pre-rounded, then
     * the 6-decimal round that makes contributions decimal-summable. */
@@ -131,6 +135,57 @@ object Metrics {
         .orderBy("c_mktsegment", "region")
     }),
 
+    // Join-size estimation by CMS inner product (AMS/CMS sketch algebra):
+    // the size of the l_suppkey self-join is Σ_k cnt_k², estimated as
+    // min_j Σ_cells cell_j² — the pre-flight check an optimizer (or an
+    // engineer eyeing a suspicious self-join) runs BEFORE paying for the
+    // join. Never undercounts (inner-product guarantee). One per-key
+    // count shuffle + a d·w-cell sketch agg; the true value rides the
+    // same key table for the accuracy report. Hashing is the
+    // vocabulary-collapsed Sketches discipline (md5 per DISTINCT key).
+    "q_sketch_join_size" -> ((s, dir) => {
+      val keyCnt = table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+      val cells = keyCnt
+        .select(col("k"), col("cnt"),
+          explode(expr(s"sequence(0, ${JsDepth - 1})")).as("j"))
+        .withColumn("cell", expr(
+          s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $JsWidth"))
+        .groupBy("j", "cell").agg(sum("cnt").as("c"))
+      val est = cells.groupBy("j").agg(sum(expr("c * c")).as("e"))
+        .agg(min("e").as("est_sq"))
+      keyCnt.agg(count(lit(1)).as("n_keys"),
+          sum(expr("cnt * cnt")).as("true_sq"))
+        .crossJoin(broadcast(est))
+        .select(col("n_keys"), col("true_sq"), col("est_sq"),
+          expr("round(CAST(est_sq AS DOUBLE) / true_sq, 4)").as("ratio"))
+    }),
+
+    // The native TypedImperativeAggregate HLL (functions.HllRegisterAgg,
+    // the engine-layer aggregate tier of the custom-operator tour):
+    // SAME output as the DataFrame-composed q_sketch_hll — n_true, m,
+    // estimate, register-table md5 — and the SAME DuckDB oracle, because
+    // the register rule is bit-compatible by construction. The buffer IS
+    // the 64-register array: partial buffers collapse map-side inside
+    // ObjectHashAggregate and ONE array per partition crosses the
+    // shuffle (vs the composed form's (bucket, rho) rows).
+    "q_sketch_hll_native" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val li = table(s, dir, "lineitem")
+      val regs = li
+        .agg(graft.functions.HllRegisterAgg(col("l_orderkey")).as("rs"))
+        .select(posexplode(col("rs")).as(Seq("bucket", "reg")))
+        .select(col("bucket").cast("long").as("bucket"), col("reg"))
+      val est = graft.operators.Sketches.hllEstimate(regs, 64, 0.709)
+      val regMd5 = regs.agg(
+        expr("md5(array_join(transform(sort_array(collect_list(struct(bucket, reg))), x -> CAST(x.reg AS STRING)), ','))")
+          .as("reg_md5"))
+      li.agg(count_distinct(col("l_orderkey")).as("n_true"))
+        .crossJoin(broadcast(est))
+        .crossJoin(broadcast(regMd5))
+        .select(col("n_true"), lit(64L).as("m"), col("est"), col("reg_md5"))
+    }),
+
     // Modularity of the q_communities partition: Q = Σ_c [m_c/m −
     // (D_c/2m)²], computed from the SAME LabelProp assignment (shared
     // operator) with the exact identity Q·4m² = Σ_c (4m·m_c − D_c²) —
@@ -227,6 +282,34 @@ object Metrics {
          |FROM customer
          |GROUP BY 1, 2
          |ORDER BY c_mktsegment, region""".stripMargin,
+
+    // identical semantics, identical oracle — the native aggregate must
+    // reproduce the composed sketch bit-for-bit (including reg_md5)
+    "q_sketch_hll_native" -> LlmOps.oracle("q_sketch_hll"),
+
+    "q_sketch_join_size" ->
+      s"""WITH kc AS (
+         |  SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+         |),
+         |cells AS (
+         |  SELECT j, (${hex2longSql(
+              "md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR))", 1)})
+         |      % $JsWidth AS cell,
+         |    CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM kc, unnest(generate_series(0, ${JsDepth - 1})) AS t(j)
+         |  GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT CAST(min(e) AS BIGINT) AS est_sq FROM (
+         |    SELECT j, sum(c * c) AS e FROM cells GROUP BY j)
+         |),
+         |tr AS (
+         |  SELECT count(*) AS n_keys, CAST(sum(cnt * cnt) AS BIGINT) AS true_sq
+         |  FROM kc
+         |)
+         |SELECT n_keys, true_sq, est_sq,
+         |  round(CAST(est_sq AS DOUBLE) / true_sq, 4) AS ratio
+         |FROM tr CROSS JOIN est""".stripMargin,
 
     "q_modularity" ->
       s"""WITH ${Relational.LpaOracleChain},

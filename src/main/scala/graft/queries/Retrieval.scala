@@ -46,6 +46,12 @@ object Retrieval {
   private val RrfK = 60L
   private val RrfScale = 1000000000L
 
+  /** MMR: candidate pool, picks, and the λ-tradeoff score — ONE spelling
+    * both engines (columns nrel ∈ [0,1], msim = max cos to selected). */
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrScoreExpr = "round(0.7 * nrel - 0.3 * msim, 6)"
+
   /** NDCG@10 integer discount table: D(pos) = round(10⁸ / log2(pos+1)),
     * computed ONCE here and inlined as literals into both engines — the
     * only use of floating log is at catalog-build time. */
@@ -198,6 +204,69 @@ object Retrieval {
         .select("qid", "dcg_s", "idcg_s", "ndcg")
     }),
 
+    // MMR diversification re-rank (Carbonell-Goldstein '98): greedily
+    // pick 5 of the BM25 top-20, each round maximizing
+    // λ·rel_norm − (1−λ)·max_sim-to-selected — the result-diversity pass
+    // a RAG retriever runs so the context window isn't 5 near-duplicates.
+    // The candidate set is BOUNDED (top-20 TakeOrderedAndProject), so the
+    // 20×20 cosine matrix and the 5 unrolled greedy rounds are tiny
+    // broadcast-side work whatever the corpus size; relevance and
+    // similarity reuse the established BM25 / quantized-cosine spellings,
+    // every score is 6-decimal-rounded before an argmax, ties to the
+    // smaller doc_id.
+    "q_mmr" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = t.where(col("word").isin(LlmOps.BmTerms: _*))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val bm = tf.join(broadcast(dfreq), "word").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(LlmOps.BmContribExpr))
+        .groupBy("doc_id").agg(dsum(col("contrib"), 6).as("score"))
+      val qn = LlmOps.quantized(s, dir).where(col("nq") > 0)
+        .select(col("vec_id").as("doc_id"), col("q"), col("nq"))
+      val cand = bm.join(qn, "doc_id")
+        .orderBy(desc("score"), asc("doc_id")).limit(MmrPool)
+        .crossJoin(broadcast(bm.agg(max("score").as("smax"))))
+        .withColumn("nrel", expr("round(score / smax, 6)"))
+        .select("doc_id", "nrel", "q", "nq")
+        .localCheckpoint() // tiny; reused by the sim matrix + every round
+      val sims = cand.alias("a").select(col("a.doc_id").as("d1"),
+          col("a.q").as("qa"), col("a.nq").as("na"))
+        .crossJoin(cand.alias("b").select(col("b.doc_id").as("d2"),
+          col("b.q").as("qb"), col("b.nq").as("nb")))
+        .where(col("d1") =!= col("d2"))
+        .select(col("d1"), col("d2"),
+          expr("aggregate(zip_with(qa, qb, (p, r) -> p*r), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          col("na"), col("nb"))
+        .withColumn("sim", expr(s"round(${LlmOps.CosExpr}, 6)"))
+        .select("d1", "d2", "sim")
+        .localCheckpoint()
+      val c0 = cand.select("doc_id", "nrel")
+      // round 1: empty selected set => msim = 0, score = λ·nrel
+      var sel = c0.withColumn("msim", lit(0.0))
+        .withColumn("mmr", expr(MmrScoreExpr))
+        .orderBy(desc("mmr"), asc("doc_id")).limit(1)
+        .select(col("doc_id"), lit(1L).as("rank"), col("mmr"))
+      for (r <- 2 to MmrK) {
+        val rest = c0.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+        val scored = rest
+          .join(sims.join(sel.select(col("doc_id").as("d2")), "d2")
+              .groupBy(col("d1").as("doc_id"))
+              .agg(max("sim").as("msim")),
+            Seq("doc_id"), "left")
+          .withColumn("msim", coalesce(col("msim"), lit(0.0)))
+          .withColumn("mmr", expr(MmrScoreExpr))
+        sel = sel.unionByName(
+          scored.orderBy(desc("mmr"), asc("doc_id")).limit(1)
+            .select(col("doc_id"), lit(r.toLong).as("rank"), col("mmr")))
+      }
+      sel.select(col("rank"), col("doc_id"), col("mmr")).orderBy("rank")
+    }),
+
     // Mean-reciprocal-rank inputs: the first relevant (rel ≥ 2) position
     // in each query's BM25 top-50, rr = 10⁶ div pos exact. Queries with
     // no relevant hit in the top-50 drop (same rule both engines).
@@ -215,7 +284,76 @@ object Retrieval {
         .select("qid", "first_pos", "rr_micro")
     }))
 
+  /** One unrolled MMR greedy round for the oracle (sel = s1..s{i−1}). */
+  private def mmrRoundSql(i: Int): String = {
+    val selU = (1 until i).map(j => s"SELECT doc_id FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""s$i AS (
+       |  SELECT doc_id, CAST($i AS BIGINT) AS rank, $MmrScoreExpr AS mmr
+       |  FROM (
+       |    SELECT c0.doc_id, c0.nrel, coalesce(ms.msim, 0.0) AS msim
+       |    FROM c0
+       |    LEFT JOIN (
+       |      SELECT d1 AS doc_id, max(sim) AS msim FROM sims
+       |      WHERE d2 IN ($selU) GROUP BY d1
+       |    ) ms USING (doc_id)
+       |    WHERE c0.doc_id NOT IN ($selU)
+       |  ) ORDER BY mmr DESC, doc_id LIMIT 1
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q_mmr" -> {
+      val terms = LlmOps.inList(LlmOps.BmTerms)
+      s"""WITH ${Reference.ToksSql},
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+         |       WHERE word IN $terms GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |          FROM dl),
+         |cb AS (
+         |  SELECT tf.doc_id, ${LlmOps.BmContribExpr} AS contrib
+         |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats
+         |),
+         |bm AS (SELECT doc_id, ${dsumSql("contrib", 6)} AS score
+         |       FROM cb GROUP BY doc_id),
+         |${LlmOps.QuantizedNormSql},
+         |cand AS (
+         |  SELECT bm.doc_id,
+         |    round(score / (SELECT max(score) FROM bm), 6) AS nrel,
+         |    e.embedding, qn.nq
+         |  FROM bm JOIN qn ON bm.doc_id = qn.vec_id
+         |          JOIN embeddings e ON e.vec_id = qn.vec_id
+         |  WHERE qn.nq > 0
+         |  ORDER BY score DESC, bm.doc_id LIMIT $MmrPool
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.embedding AS ea,
+         |         b.embedding AS eb, a.nq AS na, b.nq AS nb
+         |  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+         |),
+         |d AS (
+         |  SELECT d1, d2, na, nb,
+         |    CAST(sum(${LlmOps.quantSqlElem("ea[i]")} *
+         |             ${LlmOps.quantSqlElem("eb[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
+         |  GROUP BY d1, d2, na, nb
+         |),
+         |sims AS (SELECT d1, d2, round(${LlmOps.CosExpr}, 6) AS sim FROM d),
+         |c0 AS (SELECT doc_id, nrel FROM cand),
+         |s1 AS (
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS rank, $MmrScoreExpr AS mmr
+         |  FROM (SELECT doc_id, nrel, 0.0 AS msim FROM c0)
+         |  ORDER BY mmr DESC, doc_id LIMIT 1
+         |),
+         |${(2 to MmrK).map(mmrRoundSql).mkString(",\n")}
+         |${(1 to MmrK).map(i => s"SELECT rank, doc_id, mmr FROM s$i")
+            .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY rank""".stripMargin
+    },
 
     "q_rrf_fusion" -> {
       val terms = LlmOps.inList(LlmOps.BmTerms)

@@ -44,6 +44,32 @@ class MetricsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_sketch_join_size: CMS inner product never undercounts") {
+    val r = one("q_sketch_join_size")
+    val (tr, est, ratio) = (r.getAs[Long]("true_sq"),
+      r.getAs[Long]("est_sq"), r.getAs[Double]("ratio"))
+    assert(est >= tr, r)
+    assert(ratio >= 1.0, r)
+  }
+
+  test("q_freq_triples: anti-monotonicity — every sub-pair of a frequent triple is frequent") {
+    import org.apache.spark.sql.functions._
+    val triples = SparkEntry.queries("q_freq_triples")(spark, Sf).collect()
+    val pairs = SparkEntry.queries("q_freq_pairs")(spark, Sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val supports = SparkEntry.queries("q_freq_pairs")(spark, Sf).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    triples.foreach { t =>
+      val (a, b, c, s) =
+        (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3))
+      assert(a < b && b < c, t)
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairs.contains(p), s"sub-pair $p of ($a,$b,$c) not frequent")
+        assert(s <= supports(p), s"triple support $s > pair ${supports(p)}")
+      }
+    }
+  }
+
   test("q_modularity: score in [-1, 1], partition-count invariant") {
     def run() = SparkEntry.queries("q_modularity")(spark, Sf)
       .collect().map(_.toString).toSeq

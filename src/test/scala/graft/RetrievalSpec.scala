@@ -44,6 +44,18 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(r.exists(row => row.getLong(1) > 0 && row.getLong(2) > 0), r.mkString("\n"))
   }
 
+  test("q_mmr: 5 distinct picks, ranks 1..5, greedy scores non-increasing") {
+    val r = rows("q_mmr").sortBy(_.getLong(0))
+    assert(r.map(_.getLong(0)).toSeq == (1L to 5L))
+    val docs = r.map(_.getLong(1))
+    assert(docs.distinct.length == 5, docs.mkString(","))
+    // each round's pool shrinks and msim only grows => max MMR score
+    // weakly decreases round over round
+    val scores = r.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-9 },
+      scores.mkString(","))
+  }
+
   test("q_ndcg is partition-count invariant (exact integer metrics)") {
     val base = rows("q_ndcg").map(_.toString).toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
