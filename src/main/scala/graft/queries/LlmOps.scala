@@ -1930,7 +1930,13 @@ object LlmOps {
     // the worst quartile. Output: kept-set summary + the threshold. The
     // oracle recomputes the same scores and quantile_cont threshold.
     "q_filter_perplexity" -> ((s, dir) => {
+      // eager materialization: the per-doc score table (|docs| rows) has
+      // FOUR consumers downstream (Percentiles' two rank branches, the
+      // count metadata, and the keep-filter scan) — without it each one
+      // re-executes the per-character bigram explode of the whole corpus
+      // (measured 25.3 → ~2 s at sf0.1)
       val scores = lmScores(s, dir).withColumn("__g", lit(1))
+        .localCheckpoint()
       val thr = graft.operators.Percentiles
         .exact(scores, "__g", "nll", Seq(0.75))
         .select(col("q").as("thr"))

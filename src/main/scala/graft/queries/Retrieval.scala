@@ -267,6 +267,35 @@ object Retrieval {
       sel.select(col("rank"), col("doc_id"), col("mmr")).orderBy("rank")
     }),
 
+    // Mutual nearest neighbors (reciprocal best match) — the embedding-
+    // alignment primitive (MUSE-style lexicon induction, entity
+    // alignment): pairs (v, u) where each is the other's top-1 neighbor.
+    // Candidates are IVF-label-blocked (the q_ann_ivf discipline: within-
+    // label pairs only, never corpus×corpus), top-1 per vector rides the
+    // native bounded-heap TopKPerKey, and mutuality is one self-join on
+    // the |V|-row nn table. Exact-integer cosine, ties to smaller id.
+    "q_mutual_knn" -> ((s, dir) => {
+      val all = LlmOps.quantized(s, dir).where(col("nq") > 0)
+      val cand = all.alias("a")
+        .join(all.alias("b"), col("a.label") === col("b.label")
+          && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("v"), col("b.vec_id").as("u"),
+          expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          col("a.nq").as("na"), col("b.nq").as("nb"))
+        .withColumn("cos", expr(s"round(${LlmOps.CosExpr}, 6)"))
+        .select("v", "u", "cos")
+      val nn = graft.operators.TopK.perKey(cand, Seq("v"),
+        Seq(("cos", false), ("u", true)), 1)
+      nn.alias("x")
+        .join(nn.alias("y"),
+          col("x.v") === col("y.u") && col("x.u") === col("y.v"))
+        .where(col("x.v") < col("x.u"))
+        .select(col("x.v").as("v"), col("x.u").as("u"),
+          col("x.cos").as("cos"))
+        .orderBy("v")
+    }),
+
     // Mean-reciprocal-rank inputs: the first relevant (rel ≥ 2) position
     // in each query's BM25 top-50, rr = 10⁶ div pos exact. Queries with
     // no relevant hit in the top-50 drop (same rule both engines).
@@ -435,6 +464,35 @@ object Retrieval {
          |SELECT qid, dcg_s, idcg_s,
          |  round(CAST(dcg_s AS DOUBLE) / idcg_s, 6) AS ndcg
          |FROM ranked JOIN ideal USING (qid) ORDER BY qid""".stripMargin,
+
+    "q_mutual_knn" ->
+      s"""WITH ${LlmOps.QuantizedNormSql},
+         |qv AS (SELECT e.vec_id, e.label, e.embedding, qn.nq
+         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |       WHERE qn.nq > 0),
+         |p AS (
+         |  SELECT a.vec_id AS v, b.vec_id AS u, a.embedding AS ea,
+         |         b.embedding AS eb, a.nq AS na, b.nq AS nb
+         |  FROM qv a JOIN qv b ON a.label = b.label
+         |                     AND a.vec_id <> b.vec_id
+         |),
+         |d AS (
+         |  SELECT v, u, na, nb,
+         |    CAST(sum(${LlmOps.quantSqlElem("ea[i]")} *
+         |             ${LlmOps.quantSqlElem("eb[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
+         |  GROUP BY v, u, na, nb
+         |),
+         |c AS (SELECT v, u, round(${LlmOps.CosExpr}, 6) AS cos FROM d),
+         |nn AS (
+         |  SELECT v, u, cos FROM (
+         |    SELECT v, u, cos,
+         |      row_number() OVER (PARTITION BY v ORDER BY cos DESC, u) AS rn
+         |    FROM c) WHERE rn = 1
+         |)
+         |SELECT x.v AS v, x.u AS u, x.cos AS cos
+         |FROM nn x JOIN nn y ON x.v = y.u AND x.u = y.v
+         |WHERE x.v < x.u ORDER BY v""".stripMargin,
 
     "q_mrr" ->
       s"""WITH $scoredRelSql

@@ -56,6 +56,34 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       scores.mkString(","))
   }
 
+  test("q_mutual_knn: pairs are canonical, and mutuality is real (each side's top-1)") {
+    import org.apache.spark.sql.functions._
+    val pairs = rows("q_mutual_knn")
+    assert(pairs.nonEmpty)
+    pairs.foreach(p => assert(p.getLong(0) < p.getLong(1), p))
+    // recompute each vector's label-blocked top-1 by brute force and
+    // confirm both directions for every emitted pair
+    val all = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))").as("q"))
+      .withColumn("nq", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x*x)"))
+      .where(col("nq") > 0)
+    val cand = all.alias("a").join(all.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("u"),
+        expr("round(CAST(aggregate(zip_with(a.q, b.q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)" +
+          " / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)), 6)").as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val top1 = cand.withColumn("rn", row_number().over(
+        Window.partitionBy("v").orderBy(desc("cos"), asc("u"))))
+      .where(col("rn") === 1).select("v", "u")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.foreach { p =>
+      val (v, u) = (p.getLong(0), p.getLong(1))
+      assert(top1(v) == u && top1(u) == v, s"($v,$u) not mutual")
+    }
+  }
+
   test("q_ndcg is partition-count invariant (exact integer metrics)") {
     val base = rows("q_ndcg").map(_.toString).toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
