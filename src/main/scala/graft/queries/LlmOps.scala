@@ -1790,6 +1790,57 @@ object LlmOps {
     // map-side (a paragraph duplicated 10⁶× shuffles ≤ 1 row per map
     // partition, not 10⁶ rows into one window sort), then one join back —
     // no per-group sort anywhere.
+    // Dedup-channel AGREEMENT eval: how much of the lexical near-dup
+    // signal (trigram Jaccard ≥ 0.2, the q_dedup_ngram chain) does the
+    // semantic channel (embedding cos ≥ 0.7, label-blocked over ALL
+    // vectors) recover, and vice versa — the calibration a pipeline runs
+    // before trusting one channel alone. Pair-set Jaccard over exact
+    // integer counts; both channels keep their own blocking discipline
+    // (df-capped trigrams / IVF labels), so neither goes corpus×corpus.
+    "q_dedup_agreement" -> ((s, dir) => {
+      val ws = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          Tokenize.tokenArray(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+      val tri = maybePersist(ws.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
+          .as("sh"))
+        .distinct())
+      val rare = tri.groupBy("source", "sh")
+        .agg(count(lit(1)).as("dfreq")).where(col("dfreq") <= NgramDfCap)
+        .select("source", "sh")
+      val trif = tri.join(rare, Seq("source", "sh"))
+      val sz = trif.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val lex = trif.alias("x")
+        .join(trif.alias("y"),
+          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
+        .where(expr("CAST(co AS DOUBLE) / (sa + sb - co) >= 0.2"))
+        .select("d1", "d2")
+      val all = quantized(s, dir).where(col("nq") > 0)
+      val sem = all.alias("a")
+        .join(all.alias("b"), col("a.label") === col("b.label")
+          && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          col("a.nq").as("na"), col("b.nq").as("nb"))
+        .where(expr(s"$CosExpr >= 0.7"))
+        .select("d1", "d2")
+      val both = lex.join(sem, Seq("d1", "d2"))
+      lex.agg(count(lit(1)).as("n_lex"))
+        .crossJoin(sem.agg(count(lit(1)).as("n_sem")))
+        .crossJoin(both.agg(count(lit(1)).as("n_both")))
+        .select(col("n_lex"), col("n_sem"), col("n_both"),
+          expr("round(CAST(n_both AS DOUBLE) / (n_lex + n_sem - n_both), 6)")
+            .as("agreement"))
+    }),
+
     "q_dedup_paragraph" -> ((s, dir) => {
       val paras = docs(s, dir)
         .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
@@ -3016,6 +3067,59 @@ object LlmOps {
          |  CAST(sum(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim,
          |  max(round(jac, 4)) AS max_jac
          |FROM j GROUP BY d1 ORDER BY d1""".stripMargin,
+
+    "q_dedup_agreement" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
+         |  FROM documents
+         |),
+         |tt AS (SELECT * FROM t WHERE len(ws) >= 3),
+         |tri AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         |  FROM (SELECT doc_id, source, ws,
+         |               unnest(generate_series(1, len(ws)-2)) AS i FROM tt)
+         |),
+         |tdf AS (SELECT source, sh, count(*) AS dfreq FROM tri GROUP BY source, sh),
+         |trif AS (
+         |  SELECT tri.doc_id, tri.source, tri.sh
+         |  FROM tri JOIN tdf USING (source, sh) WHERE tdf.dfreq <= $NgramDfCap
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM trif GROUP BY doc_id),
+         |lex AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS cnt
+         |    FROM trif x JOIN trif y
+         |      ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+         |    GROUP BY 1, 2
+         |  ) co JOIN sz sa ON co.d1 = sa.doc_id JOIN sz sb ON co.d2 = sb.doc_id
+         |  WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.2
+         |),
+         |$QuantizedNormSql,
+         |qv AS (SELECT e.vec_id, e.label, e.embedding, qn.nq
+         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |       WHERE qn.nq > 0),
+         |p AS (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS ea,
+         |         b.embedding AS eb, a.nq AS na, b.nq AS nb
+         |  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+         |),
+         |dd AS (
+         |  SELECT d1, d2, na, nb,
+         |    CAST(sum(${quantSqlElem("ea[i]")} * ${quantSqlElem("eb[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
+         |  GROUP BY d1, d2, na, nb
+         |),
+         |sem AS (SELECT d1, d2 FROM dd WHERE $CosExpr >= 0.7),
+         |b2 AS (SELECT count(*) AS n_both FROM lex JOIN sem USING (d1, d2))
+         |SELECT (SELECT count(*) FROM lex) AS n_lex,
+         |  (SELECT count(*) FROM sem) AS n_sem,
+         |  n_both,
+         |  round(CAST(n_both AS DOUBLE) /
+         |    ((SELECT count(*) FROM lex) + (SELECT count(*) FROM sem) - n_both), 6)
+         |    AS agreement
+         |FROM b2""".stripMargin,
 
     "q_dedup_embcos" ->
       s"""WITH $QuantizedNormSql,
