@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charShinglesFn)
     ext.injectFunction(GraftExtensions.winnowFingerprintsFn)
     ext.injectFunction(GraftExtensions.hllRegisterAggFn)
+    ext.injectFunction(GraftExtensions.hilbertIndexFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -149,10 +150,34 @@ object GraftExtensions {
       graft.functions.HllRegisterAgg(children.head)
     })
 
+  private val hilbertIndexFn = (
+    new FunctionIdentifier("hilbert_index"),
+    info(classOf[HilbertExpression], "hilbert_index",
+      "hilbert_index(x, y, order) - Hilbert-curve index of (x, y) over " +
+        "the low `order` bits of each INT input (order an INT literal in " +
+        "[1, 16]). Every curve step is an orthogonal neighbor, so sorting " +
+        "by it clusters BOTH dimensions strictly tighter than the Z-order " +
+        "interleave at quadrant seams — the stronger file-layout key.",
+      "    Examples:\n      > SELECT hilbert_index(1, 0, 4);\n       1"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3,
+        s"hilbert_index expects (x, y, order), got ${children.length} arguments")
+      val order = children(2) match {
+        case e if e.foldable &&
+            e.dataType == org.apache.spark.sql.types.IntegerType =>
+          e.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"hilbert_index: order must be an INT literal, got $other")
+      }
+      HilbertExpression(children(0), children(1), order)
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       hllRegisterAggFn._1, hllRegisterAggFn._2, hllRegisterAggFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      hilbertIndexFn._1, hilbertIndexFn._2, hilbertIndexFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       encodeWordFn._1, encodeWordFn._2, encodeWordFn._3)
     spark.sessionState.functionRegistry.registerFunction(

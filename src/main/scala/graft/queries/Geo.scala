@@ -76,7 +76,82 @@ object Geo {
        |  FROM nation
        |)""".stripMargin
 
+  /** Curve order for the locality comparison (16×16 grid). */
+  private val HilbOrder = 4
+  private val HilbN = 1 << HilbOrder
+
+  /** Morton SQL twin of `interleave_bits` on [[HilbOrder]]-bit coords
+    * (x at even bit positions — the expression's convention). */
+  private def mortonSql(cx: String, cy: String): String =
+    (0 until HilbOrder).map { b =>
+      val p = 1 << b
+      s"(($cx // $p) % 2) * ${1L << (2 * b)} + (($cy // $p) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** One unrolled Hilbert xy→d round (scale `s`) for the oracle — the
+    * exact rotate/reflect/accumulate step of plans.Hilbert.xy2d. */
+  private def hilbRoundSql(i: Int, s: Int): String =
+    s"""h$i AS (
+       |  SELECT cx, cy,
+       |    d + CAST(${s.toLong * s} AS BIGINT) *
+       |      (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
+       |            WHEN ry = 0 THEN 3 ELSE 2 END) AS d,
+       |    CASE WHEN ry = 1 THEN hx
+       |         ELSE CASE WHEN rx = 1 THEN ${HilbN - 1} - hy ELSE hy END
+       |    END AS hx,
+       |    CASE WHEN ry = 1 THEN hy
+       |         ELSE CASE WHEN rx = 1 THEN ${HilbN - 1} - hx ELSE hx END
+       |    END AS hy
+       |  FROM (SELECT cx, cy, hx, hy, d,
+       |          CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+       |          CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+       |        FROM h${i - 1})
+       |)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+
+    // Hilbert vs Morton curve-walk locality over the full 16×16 grid
+    // (+ the point density of each cell at that resolution): for every
+    // pair of CONSECUTIVE curve positions (d, d+1), the spatial step
+    // |Δcx|+|Δcy| — the quantity that decides how contiguous a
+    // curve-ordered file layout is on disk. The Hilbert walk steps to an
+    // orthogonal neighbor EVERY time (max step = 1 — this output row
+    // doubles as a correctness proof of the transform), while the Z walk
+    // jumps across quadrant seams (max step = n−1 on an n×n grid). Both
+    // indices are native codegen'd expressions (plans.HilbertExpression /
+    // InterleaveBitsExpression); the oracle unrolls the 4 xy→d rotate
+    // rounds in SQL.
+    "q_geo_hilbert" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val cw = Space / HilbN
+      val occ = points(s, dir)
+        .select((col("px") / cw).cast("int").as("cx"),
+          (col("py") / cw).cast("int").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n_points"))
+      val grid = s.range(0, HilbN.toLong * HilbN)
+        .select((col("id") / HilbN).cast("int").as("cx"),
+          (col("id") % HilbN).cast("int").as("cy"))
+        .join(occ, Seq("cx", "cy"), "left")
+        .withColumn("n_points", coalesce(col("n_points"), lit(0L)))
+        .withColumn("h", expr(s"hilbert_index(cx, cy, $HilbOrder)"))
+        .withColumn("z", expr("interleave_bits(cx, cy)"))
+      def walk(idxCol: String) = grid.alias("a")
+        .join(grid.alias("b"), col(s"b.$idxCol") === col(s"a.$idxCol") + 1)
+        .select((abs(col("a.cx") - col("b.cx"))
+          + abs(col("a.cy") - col("b.cy"))).cast("long").as("step"))
+        .agg(count(lit(1)).as("n"), sum("step").as("sum_step"),
+          max("step").as("max_step"))
+      val h = walk("h").select(col("n").as("n_steps"),
+        col("sum_step").as("hilbert_sum"), col("max_step").as("hilbert_max"))
+      val z = walk("z").select(col("sum_step").as("morton_sum"),
+        col("max_step").as("morton_max"))
+      h.crossJoin(broadcast(z)).crossJoin(broadcast(
+          grid.agg(sum("n_points").as("n_points"),
+            count_distinct(col("h")).as("n_cells"))))
+        .select(col("n_cells"), col("n_steps"), col("n_points"),
+          col("hilbert_sum"), col("hilbert_max"),
+          col("morton_sum"), col("morton_max"))
+    }),
 
     // Grid density + Morton locality key: points bucket into 8×8 cells,
     // one partial-agg'd shuffle on the cell, and each cell carries the
@@ -153,6 +228,53 @@ object Geo {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "q_geo_hilbert" -> {
+      val cw = Space / HilbN
+      val rounds = (1 to HilbOrder).map(i =>
+        hilbRoundSql(i, HilbN >> i)).mkString(",\n")
+      s"""WITH $PointsSql,
+         |occ AS (
+         |  SELECT CAST(px // $cw AS INT) AS cx, CAST(py // $cw AS INT) AS cy,
+         |    count(*) AS n_points
+         |  FROM pts GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT CAST(i // $HilbN AS INT) AS cx, CAST(i % $HilbN AS INT) AS cy,
+         |    CAST(coalesce(n_points, 0) AS BIGINT) AS n_points
+         |  FROM (SELECT unnest(generate_series(0, ${HilbN * HilbN - 1})) AS i)
+         |  LEFT JOIN occ ON occ.cx = i // $HilbN AND occ.cy = i % $HilbN
+         |),
+         |h0 AS (SELECT cx, cy, cx AS hx, cy AS hy, CAST(0 AS BIGINT) AS d
+         |       FROM grid),
+         |$rounds,
+         |idx AS (
+         |  SELECT g.cx AS cx, g.cy AS cy, g.n_points AS n_points,
+         |    hh.d AS h, CAST(${mortonSql("g.cx", "g.cy")} AS BIGINT) AS z
+         |  FROM grid g JOIN h$HilbOrder hh ON g.cx = hh.cx AND g.cy = hh.cy
+         |),
+         |hw AS (
+         |  SELECT count(*) AS n_steps,
+         |    CAST(sum(abs(a.cx - b.cx) + abs(a.cy - b.cy)) AS BIGINT)
+         |      AS hilbert_sum,
+         |    CAST(max(abs(a.cx - b.cx) + abs(a.cy - b.cy)) AS BIGINT)
+         |      AS hilbert_max
+         |  FROM idx a JOIN idx b ON b.h = a.h + 1
+         |),
+         |zw AS (
+         |  SELECT CAST(sum(abs(a.cx - b.cx) + abs(a.cy - b.cy)) AS BIGINT)
+         |      AS morton_sum,
+         |    CAST(max(abs(a.cx - b.cx) + abs(a.cy - b.cy)) AS BIGINT)
+         |      AS morton_max
+         |  FROM idx a JOIN idx b ON b.z = a.z + 1
+         |)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM idx) AS n_cells,
+         |  n_steps,
+         |  (SELECT CAST(sum(n_points) AS BIGINT) FROM idx) AS n_points,
+         |  hilbert_sum, hilbert_max, morton_sum, morton_max
+         |FROM hw CROSS JOIN zw""".stripMargin
+    },
 
     "q_geo_cell" ->
       s"""WITH $PointsSql,
