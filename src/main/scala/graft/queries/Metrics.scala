@@ -135,6 +135,72 @@ object Metrics {
         .orderBy("c_mktsegment", "region")
     }),
 
+    // Rendezvous (highest-random-weight) sharding + the rescale audit:
+    // shard(doc, n) = argmax over s<n of md5("rdv-s:doc") — pure PRF, no
+    // ring state, and growing n→n+1 moves ONLY the docs whose new
+    // shard's hash beats their old maximum (≈ 1/(n+1) of the corpus;
+    // consistent-hashing's minimal-movement property). The audit emits
+    // per-shard occupancy at n=9 plus how many docs kept their n=8
+    // placement — what an elastic 100 TB store checks before a rescale.
+    // argmax by STRING max on the hex hash (identical collation both
+    // engines); one narrow ×9 explode, one partial-agg'd shuffle.
+    "q_shard_rebalance" -> ((s, dir) => {
+      val h = table(s, dir, "documents").select("doc_id")
+        .select(col("doc_id"), explode(expr("sequence(0, 8)")).as("sh"))
+        .withColumn("h", expr(
+          "md5(concat('rdv-', CAST(sh AS STRING), ':', CAST(doc_id AS STRING)))"))
+      val a = h.groupBy("doc_id").agg(
+        max(when(col("sh") < 8, struct(col("h"), col("sh")))).as("m8"),
+        max(struct(col("h"), col("sh"))).as("m9"))
+        .select(col("doc_id"), col("m8.sh").as("s8"), col("m9.sh").as("s9"))
+      a.groupBy(col("s9").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN s8 = s9 THEN 1 ELSE 0 END")).as("n_kept"))
+        .orderBy("shard")
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    // key = ln(u)/w with u a doc-keyed PRF uniform and w = n_chars; the
+    // top-k keys ARE a w-proportional sample — one narrow pass + a
+    // TakeOrderedAndProject, no rejection loop, reproducible across
+    // runs/cluster sizes. ln pre-rounded 8 (house float discipline);
+    // exactly k rows at any corpus size (vs q_sample_pps's Poisson size).
+    "q_sample_weighted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      table(s, dir, "documents").select(col("doc_id"), col("n_chars").as("w"))
+        .where(col("w") > 0)
+        .withColumn("u_h", expr(
+          "CAST(conv(substring(md5(concat('esw-', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("k", expr(
+          "round(ln((CAST(u_h AS DOUBLE) + 1) / 4294967296.0), 8) / w"))
+        .orderBy(desc("k"), asc("doc_id")).limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("k"), asc("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("w"))
+    }),
+
+    // Theil-Sen robust trend: the DISCRETE median of all pairwise slopes
+    // of the daily series — outlier-proof where OLS (q_regression) is
+    // not. All C(n,2) pairs of the |days|-row AGGREGATED series (the
+    // corpus collapses first — the pair join is over a broadcast-size
+    // table at any corpus scale); median by position on a total order,
+    // slope division IEEE-identical both engines.
+    "q_theil_sen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = daily(s, dir)
+      val pairs = d.alias("a").join(d.alias("b"),
+          col("a.day") < col("b.day"))
+        .select(col("a.day").as("i"), col("b.day").as("j"),
+          expr("round(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 8)")
+            .as("slope"))
+      val n = pairs.agg(count(lit(1)).as("n"))
+      pairs.withColumn("rn", row_number()
+          .over(Window.orderBy("slope", "i", "j")).cast("long"))
+        .crossJoin(broadcast(n))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("n").as("n_pairs"), col("slope").as("median_slope"))
+    }),
+
     // Join-size estimation by CMS inner product (AMS/CMS sketch algebra):
     // the size of the l_suppkey self-join is Σ_k cnt_k², estimated as
     // min_j Σ_cells cell_j² — the pre-flight check an optimizer (or an
@@ -286,6 +352,54 @@ object Metrics {
     // identical semantics, identical oracle — the native aggregate must
     // reproduce the composed sketch bit-for-bit (including reg_md5)
     "q_sketch_hll_native" -> LlmOps.oracle("q_sketch_hll"),
+
+    "q_shard_rebalance" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, sh,
+         |    md5('rdv-' || CAST(sh AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents, unnest(generate_series(0, 8)) AS t(sh)
+         |),
+         |a AS (
+         |  SELECT doc_id,
+         |    arg_max(sh, h) FILTER (sh < 8) AS s8,
+         |    arg_max(sh, h) AS s9
+         |  FROM h GROUP BY doc_id
+         |)
+         |SELECT CAST(s9 AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN s8 = s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    ${hex2longSql("md5('esw-' || CAST(doc_id AS VARCHAR))", 1)} AS u_h
+         |  FROM documents WHERE n_chars > 0
+         |),
+         |k AS (
+         |  SELECT doc_id, w,
+         |    round(ln((CAST(u_h AS DOUBLE) + 1) / 4294967296.0), 8) / w AS k
+         |  FROM t
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, w
+         |FROM k ORDER BY k DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_theil_sen" ->
+      s"""WITH $DailySql,
+         |pairs AS (
+         |  SELECT a.day AS i, b.day AS j,
+         |    round(CAST(b.x - a.x AS DOUBLE) / (b.day - a.day), 8) AS slope
+         |  FROM daily a JOIN daily b ON a.day < b.day
+         |),
+         |n AS (SELECT count(*) AS n FROM pairs),
+         |r AS (
+         |  SELECT slope,
+         |    row_number() OVER (ORDER BY slope, i, j) AS rn
+         |  FROM pairs
+         |)
+         |SELECT n.n AS n_pairs, r.slope AS median_slope
+         |FROM r CROSS JOIN n WHERE r.rn = (n.n + 1) // 2""".stripMargin,
 
     "q_sketch_join_size" ->
       s"""WITH kc AS (

@@ -70,6 +70,43 @@ class MetricsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_shard_rebalance: rendezvous minimal-movement law") {
+    // a doc changes placement on n=8 -> 9 ONLY by moving TO the new
+    // shard (its s<8 argmax is unchanged otherwise): every old shard
+    // keeps all its remaining docs, the new shard keeps none
+    val r = SparkEntry.queries("q_shard_rebalance")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (shard, n, kept) =
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      if (shard == 8L) assert(kept == 0L, row)
+      else assert(kept == n, row)
+    }
+    // movement is roughly 1/9 of the corpus (PRF balance)
+    val total = r.map(_.getLong(1)).sum
+    val moved = r.filter(_.getLong(0) == 8L).map(_.getLong(1)).sum
+    assert(moved > 0 && moved < total / 4, s"$moved of $total")
+  }
+
+  test("q_sample_weighted: exactly 10 ranked rows, partition invariant") {
+    def run() = SparkEntry.queries("q_sample_weighted")(spark, Sf)
+      .collect().map(_.toString).toSeq
+    val base = run()
+    assert(base.length == 10)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("q_theil_sen: pair count is C(days, 2)") {
+    val r = one("q_theil_sen")
+    val days = SparkEntry.queries("q_autocorr")(spark, Sf)
+      .agg(org.apache.spark.sql.functions.max("n_pairs")).collect()(0).getLong(0) + 1
+    assert(r.getAs[Long]("n_pairs") == days * (days - 1) / 2, r)
+  }
+
   test("q_modularity: score in [-1, 1], partition-count invariant") {
     def run() = SparkEntry.queries("q_modularity")(spark, Sf)
       .collect().map(_.toString).toSeq
