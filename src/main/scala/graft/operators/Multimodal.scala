@@ -18,6 +18,9 @@ case class ImageFeatures(doc_id: Long, width: Int, height: Int,
 /** Typed features from a REAL zlib inflate: recovered byte count and md5. */
 case class InflateFeatures(doc_id: Long, n_bytes: Long, md5: String)
 
+/** Perceptual 8×8 average-hash of a decoded image. */
+case class HashFeatures(doc_id: Long, width: Int, height: Int, ahash: Long)
+
 /** Typed features of a nearest-neighbor-downscaled decoded image. */
 case class ResizeFeatures(doc_id: Long, rw: Int, rh: Int,
                           n_px: Long, px_sum: Long, px_min: Int, px_max: Int)
@@ -317,6 +320,51 @@ object Multimodal {
   private def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  /** 8×8 average-hash (aHash) of a REAL decoded image — the perceptual
+    * fingerprint behind image near-dup detection: sample the raster on a
+    * fixed 8×8 grid (in(⌊i·w/8⌋, ⌊j·h/8⌋) — nearest-neighbor, any input
+    * size), take the INTEGER floor mean of the 64 samples, set bit
+    * j·8+i where sample > mean. Pure integer throughout, so the hash is
+    * engine- and partition-invariant and a SQL oracle can replay it from
+    * the fixture's pixel rule. */
+  def aHashImage(docId: Long, payload: Array[Byte]): Option[HashFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w == 0 || h == 0) return None
+      val raster = img.getRaster
+      val samples = new Array[Int](64)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          samples(j * 8 + i) = raster.getSample(i * w / 8, j * h / 8, 0)
+          i += 1
+        }
+        j += 1
+      }
+      val mean = samples.map(_.toLong).sum / 64
+      var hash = 0L
+      var idx = 0
+      while (idx < 64) {
+        if (samples(idx) > mean) hash |= (1L << idx)
+        idx += 1
+      }
+      Some(HashFeatures(docId, w, h, hash))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched per-partition aHash extraction (the [[extractImages]]
+    * contract: corrupt payloads drop). */
+  def extractAHash(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[HashFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r => aHashImage(r.doc_id, r.payload)))
+    }
+  }
 
   // ---- batched per-partition extraction ----
 

@@ -1076,6 +1076,39 @@ object LlmOps {
       graft.operators.Multimodal.extractImages(recs).toDF().orderBy("doc_id")
     }),
 
+    // Multimodal PERCEPTUAL DEDUP — aHash over the REAL decoded rasters
+    // (8×8 grid sample → integer-mean threshold → 64-bit hash), then
+    // hamming-near pairs via the simhash band discipline: 8 bands of 8
+    // bits, pigeonhole-LOSSLESS for hamming ≤ 7, band buckets df-capped
+    // at 64. The image twin of the text near-dup family: codec work runs
+    // where the bytes live, the self-join only ever sees band-bucket
+    // candidates, and bit_count(xor) verifies exactly. The oracle replays
+    // hash + bands from the fixture's pixel rule.
+    "q_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = mediaTable(s, dir, "png")
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[graft.operators.MediaRecord]
+      val hashed = graft.operators.Multimodal.extractAHash(recs)
+        .toDF().select("doc_id", "ahash").localCheckpoint()
+      val bands = hashed
+        .select(col("doc_id"), col("ahash"),
+          explode(expr("sequence(0, 7)")).as("b"))
+        .withColumn("bv", expr("shiftright(ahash, CAST(8 * b AS INT)) & 255"))
+      val keep = bands.groupBy("b", "bv").agg(count(lit(1)).as("n"))
+        .where(col("n") <= BandBucketCap).select("b", "bv")
+      val bk = bands.join(keep, Seq("b", "bv"))
+      val cand = bk.alias("x").join(bk.alias("y"), Seq("b", "bv"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.ahash").as("h1"), col("y.ahash").as("h2"))
+        .distinct()
+      cand.withColumn("ham", expr("bit_count(h1 ^ h2)").cast("long"))
+        .where(col("ham") <= 7)
+        .select("d1", "d2", "ham")
+        .orderBy("d1", "d2")
+    }),
+
     // Multimodal RESIZE — the decoded raster downscaled nearest-neighbor
     // (out(x,y) = in(2x,2y)) inside the same batched mapPartitions; codec
     // AND geometry are both under test because the oracle recomputes the
@@ -3367,6 +3400,45 @@ object LlmOps {
     // Recomputes the planted-image features from the construction rule
     // (dims = 8 + doc_id % 25/17, pixel = (x·31 + y·17 + doc_id·13) % 256)
     // — the Spark side went text→PNG→decode through the real codec.
+    "q_phash_dedup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(8 + doc_id % 25 AS INT) AS w,
+         |         CAST(8 + doc_id % 17 AS INT) AS h
+         |  FROM documents
+         |),
+         |samp AS (
+         |  SELECT doc_id, i,
+         |    ((((i % 8) * w // 8) * 31 + ((i // 8) * h // 8) * 17
+         |      + doc_id * 13) % 256) AS px
+         |  FROM g, unnest(generate_series(0, 63)) AS t(i)
+         |),
+         |m AS (SELECT doc_id, CAST(sum(px) // 64 AS BIGINT) AS mean
+         |      FROM samp GROUP BY doc_id),
+         |hs AS (
+         |  SELECT samp.doc_id,
+         |    CAST(sum(CASE WHEN px <= mean THEN 0
+         |      WHEN i = 63 THEN -9223372036854775808
+         |      ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
+         |      AS BIGINT) AS ahash
+         |  FROM samp JOIN m USING (doc_id) GROUP BY samp.doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, ahash, b,
+         |    (ahash >> CAST(8 * b AS INT)) & 255 AS bv
+         |  FROM hs, unnest(generate_series(0, 7)) AS t(b)
+         |),
+         |keep AS (SELECT b, bv FROM bands GROUP BY b, bv
+         |         HAVING count(*) <= $BandBucketCap),
+         |bk AS (SELECT bands.* FROM bands JOIN keep USING (b, bv)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |    x.ahash AS h1, y.ahash AS h2
+         |  FROM bk x JOIN bk y USING (b, bv) WHERE x.doc_id < y.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS ham
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 7
+         |ORDER BY d1, d2""".stripMargin,
+
     "q_multimodal_decode" ->
       """WITH xs AS (
         |  SELECT doc_id,

@@ -27,6 +27,36 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("aHash matches the pixel-rule replay; corrupt payloads drop; bands are lossless at ham<=7") {
+    // decoded-raster aHash == rule-recomputed aHash for assorted ids
+    for (id <- Seq(0L, 3L, 42L, 424L)) {
+      val f = Multimodal.aHashImage(id, Multimodal.pngPayload(id)).get
+      val (w, h) = Multimodal.imageDims(id)
+      val samples = (0 until 64).map(i =>
+        Multimodal.pixel(id, (i % 8) * w / 8, (i / 8) * h / 8))
+      val mean = samples.map(_.toLong).sum / 64
+      val expect = samples.zipWithIndex
+        .collect { case (p, i) if p > mean => 1L << i }
+        .foldLeft(0L)(_ | _)
+      assert(f.ahash == expect, s"id=$id")
+    }
+    assert(Multimodal.aHashImage(9L, Array[Byte](1, 2, 3)).isEmpty)
+    // band recall: the banded q_phash_dedup pair set equals brute force
+    // over all hash pairs at hamming <= 7 (pigeonhole, 8x8-bit bands)
+    val pairs = SparkEntry.queries("q_phash_dedup")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val hashes = ids.map(id =>
+      id -> Multimodal.aHashImage(id, Multimodal.pngPayload(id)).get.ahash).toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 7
+    } yield (a, b)).toSet
+    assert(pairs == brute,
+      s"banded=${pairs.size} brute=${brute.size}")
+  }
+
   test("resize samples exactly in(2x,2y) with ceil-divided dims") {
     for (id <- Seq(0L, 3L, 42L, 777L)) {
       val f = Multimodal.resizeImage(id, Multimodal.pngPayload(id)).get
