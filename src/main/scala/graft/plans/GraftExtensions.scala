@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowFingerprintsFn)
     ext.injectFunction(GraftExtensions.hllRegisterAggFn)
     ext.injectFunction(GraftExtensions.hilbertIndexFn)
+    ext.injectFunction(GraftExtensions.jaroWinklerFn)
+    ext.injectFunction(GraftExtensions.damerauLevFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -172,6 +174,34 @@ object GraftExtensions {
       HilbertExpression(children(0), children(1), order)
     })
 
+  private val jaroWinklerFn = (
+    new FunctionIdentifier("jaro_winkler"),
+    info(classOf[JaroWinklerExpression], "jaro_winkler",
+      "jaro_winkler(a, b) - DuckDB-bit-compatible Jaro-Winkler similarity " +
+        "in [0, 1]: clamped match window, floored transposition count, " +
+        "empty input -> 0, prefix boost (<= 4 chars, weight 0.1) only " +
+        "above Jaro 0.7. The fuzzy-alignment scoring kernel.",
+      "    Examples:\n      > SELECT jaro_winkler('martha', 'marhta');\n       0.9611111111111111"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"jaro_winkler expects (a, b), got ${children.length} arguments")
+      JaroWinklerExpression(children(0), children(1))
+    })
+
+  private val damerauLevFn = (
+    new FunctionIdentifier("damerau_lev"),
+    info(classOf[DamerauLevExpression], "damerau_lev",
+      "damerau_lev(a, b) - FULL (unrestricted) Damerau-Levenshtein " +
+        "distance: insert/delete/substitute/adjacent-transpose each cost " +
+        "1, edits allowed between the transposed pair. " +
+        "damerau_lev('ca', 'abc') = 2 (OSA would answer 3).",
+      "    Examples:\n      > SELECT damerau_lev('ca', 'abc');\n       2"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"damerau_lev expects (a, b), got ${children.length} arguments")
+      DamerauLevExpression(children(0), children(1))
+    })
+
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -188,6 +218,10 @@ object GraftExtensions {
       charShinglesFn._1, charShinglesFn._2, charShinglesFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       winnowFingerprintsFn._1, winnowFingerprintsFn._2, winnowFingerprintsFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      jaroWinklerFn._1, jaroWinklerFn._2, jaroWinklerFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      damerauLevFn._1, damerauLevFn._2, damerauLevFn._3)
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification
