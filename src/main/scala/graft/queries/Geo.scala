@@ -225,6 +225,45 @@ object Geo {
         .select(col("station"), col("rank"), col("user_id").as("uid"),
           col("d2"))
         .orderBy("station", "rank")
+    }),
+
+    // Grid-density clustering (DBSCAN's grid formulation): cells with
+    // ≥ 3 points are core; core cells that touch (8-neighborhood) merge
+    // into one cluster — pointer-doubled ConnectedComponents over the
+    // cell-adjacency edges, so cluster diameter costs O(log d) rounds,
+    // never a per-cluster loop. Adjacency is an EQUI-join: each core
+    // cell explodes its 8 neighbor offsets and joins on the neighbor's
+    // cell id (bounded ×8 fan-out — no spatial cross join). The cell
+    // table is the AGGREGATED grid (sublinear in points at any scale);
+    // isolated core cells stay their own single-cell cluster. The oracle
+    // recomputes components with a recursive-CTE reachability closure —
+    // a different algorithm, same fixpoint.
+    "q_dbscan" -> ((s, dir) => {
+      val grid = Space / CellW
+      val core = points(s, dir)
+        .groupBy(expr(s"px div $CellW").as("gx"),
+          expr(s"py div $CellW").as("gy"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .withColumn("cell", expr(s"gx * $grid + gy"))
+      val nbr = core.select(col("cell").as("a"), col("gx"), col("gy"),
+          explode(expr("sequence(-1, 1)")).as("dx"))
+        .select(col("a"), col("gy"), (col("gx") + col("dx")).as("nx"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("a"), col("nx"), (col("gy") + col("dy")).as("ny"))
+        // stay on the grid: the flat cell id must not wrap across rows
+        .where(col("nx") >= 0 && col("nx") < grid &&
+          col("ny") >= 0 && col("ny") < grid)
+        .select(col("a"), (col("nx") * grid + col("ny")).as("b"))
+        .where(col("a") =!= col("b"))
+      val edges = nbr.join(core.select(col("cell").as("b")), "b")
+        .select("a", "b")
+      val (labels, _) = graft.operators.ConnectedComponents.labels(edges)
+      core.join(labels.withColumnRenamed("v", "cell"), Seq("cell"), "left")
+        .withColumn("comp_id", coalesce(col("l"), col("cell")))
+        .groupBy("comp_id")
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+        .orderBy("comp_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -338,5 +377,32 @@ object Geo {
          |        row_number() OVER (PARTITION BY station
          |          ORDER BY d2, user_id) AS rank
          |      FROM cand)
-         |WHERE rank <= 3 ORDER BY station, rank""".stripMargin)
+         |WHERE rank <= 3 ORDER BY station, rank""".stripMargin,
+
+    "q_dbscan" -> {
+      val grid = Space / CellW
+      s"""WITH RECURSIVE $PointsSql,
+         |cells AS (
+         |  SELECT px // $CellW AS gx, py // $CellW AS gy, count(*) AS n
+         |  FROM pts GROUP BY 1, 2
+         |),
+         |core AS (SELECT gx, gy, gx * $grid + gy AS cell, n
+         |         FROM cells WHERE n >= 3),
+         |edges AS (
+         |  SELECT a.cell AS a, b.cell AS b
+         |  FROM core a JOIN core b
+         |    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+         |   AND a.cell <> b.cell
+         |),
+         |reach AS (
+         |  SELECT cell AS v, cell AS l FROM core
+         |  UNION
+         |  SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v
+         |),
+         |comp AS (SELECT v, min(l) AS comp_id FROM reach GROUP BY v)
+         |SELECT comp_id, count(*) AS n_cells,
+         |  CAST(sum(core.n) AS BIGINT) AS n_points
+         |FROM comp JOIN core ON core.cell = comp.v
+         |GROUP BY 1 ORDER BY comp_id""".stripMargin
+    })
 }

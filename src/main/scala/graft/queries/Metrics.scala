@@ -22,6 +22,15 @@ object Metrics {
   /** Micros per day (the q_heatmap day-arithmetic convention). */
   private val DayUs = 86400000000L
 
+  /** Micros per hour (q_survival's duration grain). */
+  private val HourUs = 3600000000L
+
+  /** q_survival's administrative right-censoring horizon (hours): a user
+    * whose first purchase falls after τ (or never happens) is censored at
+    * τ — the rule that guarantees both deaths and censored subjects on
+    * any corpus with purchases. */
+  private val Tau = 72L
+
   /** l-diversity threshold (sensitive attribute must take ≥ 3 distinct
     * values inside every quasi-identifier group). */
   private val LDiv = 3L
@@ -252,6 +261,48 @@ object Metrics {
         .select(col("n_true"), lit(64L).as("m"), col("est"), col("reg_md5"))
     }),
 
+    // Kaplan-Meier survival curve for time-to-first-purchase, with
+    // administrative right-censoring at τ = 72 h (first purchase after τ
+    // or never → censored at τ). The product-limit estimator is emitted
+    // in LOG form — per death-time contribution ln((n_t − d_t)/n_t)
+    // pre-rounded to 8 decimals (the house ln discipline), then a
+    // cumulative DECIMAL sum, so the curve is exact decimal arithmetic
+    // with no cross-engine exp. Per-user collapse is one partial-agg'd
+    // shuffle; everything after runs on the ≤ τ+1-row duration table
+    // (the global-ORDER window is over that aggregate, not the corpus).
+    "q_survival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) / HourUs).cast("long").as("h"))
+      val u = e.groupBy("user_id").agg(min("h").as("fh"))
+      val p = e.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("h").as("ph"))
+      val lab = u.join(p, Seq("user_id"), "left")
+        .select(
+          least(coalesce(col("ph") - col("fh"), lit(Tau + 1)), lit(Tau))
+            .as("dur"),
+          when(col("ph").isNotNull && col("ph") - col("fh") <= Tau, 1L)
+            .otherwise(0L).as("death"))
+      val byd = lab.groupBy("dur")
+        .agg(count(lit(1)).as("n_tot"), sum("death").as("d"))
+      val tot = byd.agg(sum("n_tot").as("n"))
+      val prev = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byd.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          (col("n") - coalesce(sum("n_tot").over(prev), lit(0L))).cast("long"))
+        .withColumn("contrib",
+          expr("round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 8)"))
+        .withColumn("km_log",
+          sum(expr("CAST(contrib AS DECIMAL(18,8))"))
+            .over(Window.orderBy("dur")).cast("double"))
+        .where(col("d") > 0)
+        .select(col("dur"), col("d"), col("n_risk"),
+          round(col("km_log"), 6).as("km_log"))
+        .orderBy("dur")
+    }),
+
     // Modularity of the q_communities partition: Q = Σ_c [m_c/m −
     // (D_c/2m)²], computed from the SAME LabelProp assignment (shared
     // operator) with the exact identity Q·4m² = Σ_c (4m·m_c − D_c²) —
@@ -424,6 +475,42 @@ object Metrics {
          |SELECT n_keys, true_sq, est_sq,
          |  round(CAST(est_sq AS DOUBLE) / true_sq, 4) AS ratio
          |FROM tr CROSS JOIN est""".stripMargin,
+
+    "q_survival" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) // $HourUs AS h
+         |  FROM events
+         |),
+         |u AS (SELECT user_id, min(h) AS fh FROM e GROUP BY 1),
+         |p AS (SELECT user_id, min(h) AS ph FROM e
+         |      WHERE event_type = 'purchase' GROUP BY 1),
+         |lab AS (
+         |  SELECT least(coalesce(p.ph - u.fh, ${Tau + 1}), $Tau) AS dur,
+         |    CASE WHEN p.ph IS NOT NULL AND p.ph - u.fh <= $Tau
+         |         THEN 1 ELSE 0 END AS death
+         |  FROM u LEFT JOIN p USING (user_id)
+         |),
+         |byd AS (SELECT dur, count(*) AS n_tot,
+         |          CAST(sum(death) AS BIGINT) AS d
+         |        FROM lab GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tot) AS BIGINT) AS n FROM byd),
+         |r AS (
+         |  SELECT dur, d,
+         |    CAST((SELECT n FROM tot) - coalesce(sum(n_tot)
+         |      OVER (ORDER BY dur
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_risk
+         |  FROM byd
+         |),
+         |s AS (
+         |  SELECT dur, d, n_risk,
+         |    CAST(sum(CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 8)
+         |      AS DECIMAL(18,8))) OVER (ORDER BY dur) AS DOUBLE) AS km_log
+         |  FROM r
+         |)
+         |SELECT CAST(dur AS BIGINT) AS dur, d, n_risk,
+         |  round(km_log, 6) AS km_log
+         |FROM s WHERE d > 0 ORDER BY dur""".stripMargin,
 
     "q_modularity" ->
       s"""WITH ${Relational.LpaOracleChain},

@@ -121,6 +121,33 @@ object Retrieval {
 
   val queries: Map[String, Q] = Map(
 
+    // Item-item collaborative filtering: cosine similarity on the
+    // order-basket co-occurrence matrix (the classic "customers who
+    // bought X also bought Y" recommender). Pairs are generated WITHIN
+    // baskets only — the self-join shuffles on the order key and its
+    // fan-out is C(basket,2), bounded by basket size, never item×item
+    // or corpus×corpus. cos = co/√(nᵢ·nⱼ) is two IEEE ops (sqrt and one
+    // division — both correctly rounded, so cross-engine exact) over
+    // exact BIGINT counts; the co ≥ 2 support floor is part of the
+    // semantics (mirrored in the oracle) and is what keeps the pair
+    // table sparse at scale. Top-50 by (cos desc, ia, ib).
+    "q_item2item" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+      val ni = b.groupBy("i").agg(count(lit(1)).as("n"))
+      val co = b.alias("a")
+        .join(b.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
+        .groupBy(col("a.i").as("ia"), col("c.i").as("ib"))
+        .agg(count(lit(1)).as("co"))
+        .where(col("co") >= 2)
+      co.join(ni.select(col("i").as("ia"), col("n").as("na")), "ia")
+        .join(ni.select(col("i").as("ib"), col("n").as("nb")), "ib")
+        .select(col("ia"), col("ib"), col("co"),
+          expr("round(co / sqrt(CAST(na * nb AS DOUBLE)), 6)").as("cos"))
+        .orderBy(desc("cos"), asc("ia"), asc("ib")).limit(50)
+    }),
+
     // Hybrid retrieval by reciprocal-rank fusion: list A = BM25 top-50
     // (lexical); list B = embedding-cosine top-50 neighbors of the BEST
     // lexical hit (pseudo-relevance feedback — vec_id aligns with doc_id
@@ -332,6 +359,21 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q_item2item" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+        |),
+        |ni AS (SELECT i, count(*) AS n FROM b GROUP BY 1),
+        |co AS (
+        |  SELECT a.i AS ia, c.i AS ib, count(*) AS co
+        |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT ia, ib, co,
+        |  round(co / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cos
+        |FROM co JOIN ni na ON na.i = co.ia JOIN ni nb ON nb.i = co.ib
+        |ORDER BY cos DESC, ia, ib LIMIT 50""".stripMargin,
 
     "q_mmr" -> {
       val terms = LlmOps.inList(LlmOps.BmTerms)
