@@ -1476,6 +1476,39 @@ object LlmOps {
         .orderBy("cid")
     }),
 
+    // Simplified (centroid-based) silhouette of the q_kmeans clustering:
+    // per point, a = distance to its own centroid, b = distance to the
+    // nearest OTHER centroid, s = (b − a)/b — the clustering-quality
+    // audit run before trusting cluster-quota sampling (q_sample_diverse).
+    // Centroid-based silhouette is the LINEAR form (k distances per
+    // point against the broadcast k×dims table) — full silhouette's
+    // per-cluster all-pairs would be quadratic at scale. Distances are
+    // exact BIGINTs; sqrt/divide are two correctly-rounded IEEE ops with
+    // one spelling in both engines; per-point scores 6-rounded then
+    // decimal-summed per cluster.
+    "q_silhouette" -> ((s, dir) => {
+      val vecs = quantized(s, dir).select(col("vec_id").as("id"), col("q"))
+      val cents = graft.operators.KMeans.centroids(vecs, KmK, KmIters)
+      val dists = vecs.select(col("id"),
+          expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("id"), col("cid"),
+          expr("aggregate(zip_with(v, c1000, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (a, t) -> a + t)").as("d2"))
+      dists.groupBy("id").agg(
+          min(struct(col("d2"), col("cid"))).as("m1"),
+          expr("element_at(array_sort(collect_list(struct(d2, cid))), 2).d2")
+            .as("b2"))
+        .select(col("m1.cid").as("cid"),
+          expr("round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(m1.d2 AS DOUBLE)))" +
+            " / sqrt(CAST(b2 AS DOUBLE)), 6)").as("sc"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), dsum(col("sc"), 6).as("ssum"))
+        .select(col("cid"), col("n"),
+          expr("round(ssum / n, 6)").as("mean_sil"))
+        .orderBy("cid")
+    }),
+
     // DIVERSITY SAMPLING — clustering and sampling COMPOSED: k-means
     // buckets the embedding space, then a fixed per-cluster quota keeps
     // the DiverseQuota smallest (md5, id) ranks per cluster (via the same
@@ -3701,6 +3734,26 @@ object LlmOps {
          |       CAST(sum(af.d2) AS DECIMAL(38,0)) AS inertia, any_value(cm.c_md5) AS c_md5
          |FROM af JOIN cm USING (cid)
          |GROUP BY af.cid ORDER BY af.cid""".stripMargin,
+
+    // a = af.d2 (the assignment minimum), b = min distance to any OTHER
+    // centroid — both from the same df (all point×centroid distances)
+    // the kmeans chain already exposes
+    "q_silhouette" ->
+      s"""WITH $KmeansCtes,
+         |s2 AS (
+         |  SELECT af.id, af.cid, af.d2 AS a2, min(df.d2) AS b2
+         |  FROM af JOIN df ON df.id = af.id AND df.cid <> af.cid
+         |  GROUP BY af.id, af.cid, af.d2
+         |),
+         |sil AS (
+         |  SELECT cid,
+         |    round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+         |      / sqrt(CAST(b2 AS DOUBLE)), 6) AS sc
+         |  FROM s2
+         |)
+         |SELECT cid, count(*) AS n,
+         |  round(${dsumSql("sc", 6)} / count(*), 6) AS mean_sil
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q_sample_diverse" ->
       s"""WITH $KmeansCtes,

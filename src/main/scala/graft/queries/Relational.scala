@@ -1179,6 +1179,30 @@ object Relational {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // Point-in-time (as-of) lookup against the SCD2 version table: each
+    // purchase retrieves the version of its user's state that was current
+    // one hour BEFORE the purchase — the late-arriving-fact enrichment
+    // every bitemporal warehouse runs. Rides operators.Joins.asof (equi
+    // shuffle on user + per-probe window; no nested loop), left-outer so
+    // probes older than any version survive with NULLs.
+    "q_scd2_asof" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val versions = e.select(col("user_id").as("vuser"),
+        col("event_id").as("v_event"),
+        unix_micros(col("ts")).as("valid_from"),
+        round(col("value"), 2).as("v"))
+      val probes = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - 3600000000L).as("probe_us"))
+      graft.operators.Joins.asof(probes, versions,
+          leftKey = col("user_id"), rightKey = col("vuser"),
+          leftOrd = col("probe_us"), rightOrd = col("valid_from"),
+          leftId = col("event_id"), tieBreak = col("v_event"))
+        .select(col("event_id"), col("v_event").as("version_event"),
+          col("valid_from"), col("v"))
+        .orderBy("event_id")
+    }),
+
     // DYNAMIC partition pruning: the fact side is a lang-partitioned
     // layout, the dim side is a runtime-derived language set (majority
     // languages by doc count) — the partitions to keep are unknowable at
@@ -3072,6 +3096,27 @@ object Relational {
         |    AS is_current
         |FROM e
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH v AS (
+        |  SELECT user_id AS vuser, event_id AS v_event,
+        |    epoch_us(ts) AS valid_from, round(value, 2) AS v
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) - 3600000000 AS probe_us
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |j AS (
+        |  SELECT p.event_id, v.v_event, v.valid_from, v.v,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.valid_from DESC NULLS LAST,
+        |               v.v_event DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v
+        |    ON v.vuser = p.user_id AND v.valid_from <= p.probe_us
+        |)
+        |SELECT event_id, v_event AS version_event, valid_from, v
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_dpp" ->
       """WITH d AS (

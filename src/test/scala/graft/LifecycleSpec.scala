@@ -98,6 +98,50 @@ class LifecycleSpec extends AnyFunSuite with SparkFixture {
     rows.foreach { case (_, nc, np) => assert(np >= 3 * nc) }
   }
 
+  test("q_scd2_asof: every probe gets the greatest version at-or-before it") {
+    val rows = SparkEntry.queries("q_scd2_asof")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val e = graft.queries.table(spark, Sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = e.groupBy(_._2)
+    val want = e.filter(_._3 == "purchase").sortBy(_._1).map {
+      case (id, u, _, us) =>
+        val probe = us - 3600000000L
+        val vs = byUser(u).filter(_._4 <= probe)
+        if (vs.isEmpty) (id, None)
+        else {
+          val best = vs.maxBy(v => (v._4, v._1))
+          (id, Some((best._1, best._4)))
+        }
+    }
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (r, (id, exp)) =>
+      assert(r.getLong(0) == id)
+      exp match {
+        case Some((vid, vf)) =>
+          assert(r.getLong(1) == vid && r.getLong(2) == vf)
+        case None => assert(r.isNullAt(1) && r.isNullAt(2))
+      }
+    }
+  }
+
+  test("q_silhouette: scores in [0,1), cluster sizes match q_kmeans") {
+    val sil = SparkEntry.queries("q_silhouette")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val km = SparkEntry.queries("q_kmeans")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sil.nonEmpty)
+    sil.foreach { case (cid, n, s) =>
+      // own centroid is the argmin, so a <= b and s in [0, 1)
+      assert(s >= 0.0 && s < 1.0, s"cid=$cid mean_sil=$s")
+      assert(km(cid) == n)
+    }
+    assert(sil.map(_._2).sum == km.values.sum)
+  }
+
   test("q_item2item: cosine formula and support floor verified by brute force") {
     val rows = SparkEntry.queries("q_item2item")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
