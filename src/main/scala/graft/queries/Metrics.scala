@@ -261,6 +261,36 @@ object Metrics {
         .select(col("n_true"), lit(64L).as("m"), col("est"), col("reg_md5"))
     }),
 
+    // Mutual information I(feature; lang) for two candidate document
+    // features — the feature-selection ranking an ML-prep pipeline runs
+    // before committing training columns. Per contingency cell:
+    // (n_ab/N)·ln(N·n_ab/(n_a·n_b)), computed as the integer n_ab times
+    // the 8-pre-rounded ln of ONE division over exact BIGINT products
+    // (the house ln discipline), decimal-summed, one terminal /N.
+    // Everything happens on the aggregated contingency tables (cells =
+    // |feature|×|langs|, broadcast-size at any corpus scale); the only
+    // data-scale stage is the joint-count shuffle.
+    "q_infogain" -> ((s, dir) => {
+      def mi(name: String, fcol: org.apache.spark.sql.Column) = {
+        val d = table(s, dir, "documents")
+          .select(fcol.as("a"), col("lang").as("b"))
+        val joint = d.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+        val na = joint.groupBy("a").agg(sum("nab").as("na"))
+        val nb = joint.groupBy("b").agg(sum("nab").as("nb"))
+        val tot = joint.agg(sum("nab").as("nn"))
+        joint.join(na, "a").join(nb, "b").crossJoin(broadcast(tot))
+          .select((col("nab") *
+            expr("round(ln(CAST(nn * nab AS DOUBLE) / (na * nb)), 8)"))
+            .as("c"), col("nn"))
+          .groupBy("nn").agg(dsum(col("c"), 6).as("csum"))
+          .select(lit(name).as("feature"),
+            expr("round(csum / nn, 6)").as("mi"))
+      }
+      mi("source", col("source"))
+        .unionByName(mi("len_band", expr("n_chars div 100")))
+        .orderBy("feature")
+    }),
+
     // Kaplan-Meier survival curve for time-to-first-purchase, with
     // administrative right-censoring at τ = 72 h (first purchase after τ
     // or never → censored at τ). The product-limit estimator is emitted
@@ -475,6 +505,31 @@ object Metrics {
          |SELECT n_keys, true_sq, est_sq,
          |  round(CAST(est_sq AS DOUBLE) / true_sq, 4) AS ratio
          |FROM tr CROSS JOIN est""".stripMargin,
+
+    "q_infogain" -> {
+      def mi(name: String, fexpr: String) =
+        s"""SELECT '$name' AS feature, round(csum / nn, 6) AS mi FROM (
+           |  SELECT any_value(nn) AS nn,
+           |    ${dsumSql("c", 6)} AS csum
+           |  FROM (
+           |    SELECT j.nab *
+           |      round(ln(CAST(t.nn * j.nab AS DOUBLE) / (na.na * nb.nb)), 8)
+           |        AS c,
+           |      t.nn AS nn
+           |    FROM (SELECT $fexpr AS a, lang AS b, count(*) AS nab
+           |          FROM documents GROUP BY 1, 2) j
+           |    JOIN (SELECT $fexpr AS a, count(*) AS na
+           |          FROM documents GROUP BY 1) na ON na.a = j.a
+           |    JOIN (SELECT lang AS b, count(*) AS nb
+           |          FROM documents GROUP BY 1) nb ON nb.b = j.b
+           |    CROSS JOIN (SELECT count(*) AS nn FROM documents) t
+           |  )
+           |)""".stripMargin
+      s"""${mi("source", "source")}
+         |UNION ALL
+         |${mi("len_band", "n_chars // 100")}
+         |ORDER BY feature""".stripMargin
+    },
 
     "q_survival" ->
       s"""WITH e AS (

@@ -152,6 +152,61 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "z")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Zone-map pruning audit — WHY q_zorder exists, measured: the same
+    // box predicate (the second quarter of each dimension's data extent)
+    // against two 64-file layouts, 'natural' (keyed by l_orderkey) vs
+    // 'zorder' (keyed by a 16×16 extent-normalized Morton interleave —
+    // normalizing to the DATA extents keeps the z-space dense whatever
+    // the key distribution, the same reason real z-order writers bucket
+    // by quantile first). Per file the zone map is min/max of x and y; a
+    // file is PRUNED iff its ranges miss the box on either dimension —
+    // z files are 2-D-local so they prune on BOTH dimensions where
+    // natural files (full x span) prune only on y. Two partial-agg'd
+    // passes over the fact + a broadcast extent row; no windows, no
+    // global sort. Both layouts find identical rows_matched — pruning is
+    // pure I/O savings, never a semantics change.
+    "q_zorder_prune" -> ((s, dir) => {
+      val raw = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          col("l_partkey").cast("long").as("x"),
+          (col("l_orderkey") % 65536).cast("long").as("y"))
+      val ext = raw.agg(min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"),
+        min("okey").as("oklo"), max("okey").as("okhi"))
+      val base = raw.crossJoin(broadcast(ext))
+        .withColumn("cx", expr("(x - xlo) * 16 div (xhi - xlo + 1)"))
+        .withColumn("cy", expr("(y - ylo) * 16 div (yhi - ylo + 1)"))
+        .withColumn("z", graft.operators.ZOrder
+          .zCol(col("cx").cast("int"), col("cy").cast("int")))
+        .withColumn("bx1", expr("xlo + (xhi - xlo + 1) div 4"))
+        .withColumn("bx2", expr("xlo + (xhi - xlo + 1) div 2"))
+        .withColumn("by1", expr("ylo + (yhi - ylo + 1) div 4"))
+        .withColumn("by2", expr("ylo + (yhi - ylo + 1) div 2"))
+      def audit(layout: String, fileExpr: String) =
+        base.withColumn("file", expr(fileExpr))
+          .groupBy("file")
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("xmin"), max("x").as("xmax"),
+            min("y").as("ymin"), max("y").as("ymax"),
+            max("bx1").as("bx1"), max("bx2").as("bx2"),
+            max("by1").as("by1"), max("by2").as("by2"),
+            sum(when(col("x").between(col("bx1"), col("bx2")) &&
+              col("y").between(col("by1"), col("by2")), 1L)
+              .otherwise(0L)).as("n_match"))
+          .withColumn("scanned",
+            col("xmin") <= col("bx2") && col("xmax") >= col("bx1") &&
+              col("ymin") <= col("by2") && col("ymax") >= col("by1"))
+          .agg(lit(layout).as("layout"),
+            count(lit(1)).as("n_files"),
+            sum(when(!col("scanned"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(when(col("scanned"), col("n_rows")).otherwise(0L))
+              .as("rows_scanned"),
+            sum("n_match").as("rows_matched"))
+      audit("natural", "(okey - oklo) div (((okhi - oklo) div 64) + 1)")
+        .unionByName(audit("zorder", "z div 4"))
+        .orderBy("layout")
+    }),
+
     // Materialized-view rewrite: a (returnflag, linestatus) summary of
     // lineitem is built+registered, then the query — written against the
     // FACT table — is answered from the summary by the SummaryRewrite
@@ -2433,6 +2488,63 @@ object Relational {
       }.mkString("(", "\n    + ", ")")
       s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_zorder_prune" -> {
+      val terms = (0 until 4).map { i =>
+        s"(CAST(floor(cx / ${1L << i}) AS BIGINT) % 2) * ${1L << (2 * i)}" +
+          s" + (CAST(floor(cy / ${1L << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString("(", "\n    + ", ")")
+      def chain(t: String, fileExpr: String) =
+        s"""a_$t AS (
+           |  SELECT $fileExpr AS file, count(*) AS n_rows,
+           |    min(x) AS xmin, max(x) AS xmax,
+           |    min(y) AS ymin, max(y) AS ymax,
+           |    max(bx1) AS bx1, max(bx2) AS bx2,
+           |    max(by1) AS by1, max(by2) AS by2,
+           |    sum(CASE WHEN x BETWEEN bx1 AND bx2
+           |             AND y BETWEEN by1 AND by2 THEN 1 ELSE 0 END)
+           |      AS n_match
+           |  FROM zed GROUP BY 1
+           |),
+           |v_$t AS (
+           |  SELECT '$t' AS layout, count(*) AS n_files,
+           |    CAST(sum(CASE WHEN NOT (xmin <= bx2 AND xmax >= bx1
+           |      AND ymin <= by2 AND ymax >= by1) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_pruned,
+           |    CAST(sum(CASE WHEN xmin <= bx2 AND xmax >= bx1
+           |      AND ymin <= by2 AND ymax >= by1 THEN n_rows ELSE 0 END)
+           |      AS BIGINT) AS rows_scanned,
+           |    CAST(sum(n_match) AS BIGINT) AS rows_matched
+           |  FROM a_$t
+           |)""".stripMargin
+      s"""WITH raw AS (
+         |  SELECT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS x,
+         |    CAST(l_orderkey % 65536 AS BIGINT) AS y
+         |  FROM lineitem
+         |),
+         |ext AS (
+         |  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo,
+         |    max(y) AS yhi, min(okey) AS oklo, max(okey) AS okhi,
+         |    min(x) + (max(x) - min(x) + 1) // 4 AS bx1,
+         |    min(x) + (max(x) - min(x) + 1) // 2 AS bx2,
+         |    min(y) + (max(y) - min(y) + 1) // 4 AS by1,
+         |    min(y) + (max(y) - min(y) + 1) // 2 AS by2
+         |  FROM raw
+         |),
+         |zed AS (
+         |  SELECT okey, x, y, oklo, okhi, bx1, bx2, by1, by2,
+         |    CAST($terms AS BIGINT) AS z
+         |  FROM (
+         |    SELECT okey, x, y, oklo, okhi, bx1, bx2, by1, by2,
+         |      (x - xlo) * 16 // (xhi - xlo + 1) AS cx,
+         |      (y - ylo) * 16 // (yhi - ylo + 1) AS cy
+         |    FROM raw CROSS JOIN ext
+         |  )
+         |),
+         |${chain("natural", "(okey - oklo) // (((okhi - oklo) // 64) + 1)")},
+         |${chain("zorder", "z // 4")}
+         |SELECT * FROM v_natural UNION ALL SELECT * FROM v_zorder
+         |ORDER BY layout""".stripMargin
     },
     // The incrementally-merged partials must equal the direct whole-fact
     // aggregate — the oracle never sees the base/delta split.

@@ -142,6 +142,31 @@ class LifecycleSpec extends AnyFunSuite with SparkFixture {
     assert(sil.map(_._2).sum == km.values.sum)
   }
 
+  test("q_zorder_prune: pruning is lossless and z-files are 2-D-tighter") {
+    val rows = SparkEntry.queries("q_zorder_prune")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("natural", "zorder"))
+    val Seq(nat, z) = rows.toSeq
+    // losslessness: both layouts find the same matching rows, and every
+    // matched row lives in a scanned file
+    assert(nat._5 == z._5)
+    assert(nat._4 >= nat._5 && z._4 >= z._5)
+    // pruned files stay within the layout's file count
+    assert(nat._3 <= nat._2 && z._3 <= z._2)
+    // the z layout never scans MORE than natural (2-D locality dominates
+    // a 1-D sort for a 2-D box) — the reason the layout exists
+    assert(z._4 <= nat._4, s"zorder scanned ${z._4} > natural ${nat._4}")
+  }
+
+  test("q_infogain: mutual information is non-negative") {
+    val rows = SparkEntry.queries("q_infogain")(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq == Seq("len_band", "source"))
+    // MI >= 0 up to the 8-decimal contribution rounding
+    rows.foreach { case (f, mi) => assert(mi >= -1e-6, s"$f mi=$mi") }
+  }
+
   test("q_item2item: cosine formula and support floor verified by brute force") {
     val rows = SparkEntry.queries("q_item2item")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
