@@ -60,6 +60,23 @@ object Relational {
   private val PairMinSupport = 2
   private val BasketCap = 64
 
+  /** q_luhn expression builder: Luhn digit sums over the 11 payload
+    * digits (hex digit i of the md5, mod 10), doubling odd positions
+    * (those an even distance from the rightmost check digit). Returns
+    * (clean sum, sum with payload digit 5 bumped by one — the planted
+    * single-digit corruption Luhn must always catch). `digit(i)` is the
+    * per-engine hex-digit extractor over column `h`. */
+  private def luhnSums(digit: Int => String): (String, String) = {
+    def dbl(d: String) = s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
+    def term(i: Int, d: String) = if (i % 2 == 1) dbl(d) else d
+    val clean = (1 to 11).map(i => term(i, digit(i))).mkString("(", " + ", ")")
+    val corr = (1 to 11).map { i =>
+      val d = if (i == 5) s"((${digit(i)} + 1) % 10)" else digit(i)
+      term(i, d)
+    }.mkString("(", " + ", ")")
+    (clean, corr)
+  }
+
   // ---- q_regression: engine-identical terminal expressions over the five
   // exact integer power sums (n, sx, sy, sxy, sxx). Every sum < 2^53 so
   // the DOUBLE casts are exact; each IEEE op is correctly rounded from
@@ -1388,6 +1405,35 @@ object Relational {
         .orderBy("k")
     }),
 
+    // Luhn-checksum validation — the checksum-based data-quality gate a
+    // pipeline runs over account/card-like identifiers. Account numbers
+    // are synthesized deterministically (11 payload digits from the
+    // custkey's md5 hex + the computed Luhn check digit) and every 7th
+    // account gets one digit corrupted; Luhn catches EVERY single-digit
+    // error, so n_invalid must equal the corrupted count exactly
+    // (spec-pinned). One narrow scan + a 1-row aggregate; the doubling
+    // rule is an unrolled integer expression shared (modulo each
+    // engine's hex-digit extractor) with the oracle.
+    "q_luhn" -> ((s, dir) => {
+      val (cleanSum, corrSum) = luhnSums(i =>
+        s"(CAST(conv(substring(h, $i, 1), 16, 10) AS INT) % 10)")
+      table(s, dir, "customer")
+        .selectExpr("c_custkey",
+          "md5(CAST(c_custkey AS STRING)) AS h")
+        .selectExpr("c_custkey",
+          s"$cleanSum AS s_clean", s"$corrSum AS s_corr")
+        .selectExpr("c_custkey", "s_clean", "s_corr",
+          "(10 - s_clean % 10) % 10 AS check")
+        .selectExpr(
+          "CASE WHEN c_custkey % 7 = 0 THEN s_corr ELSE s_clean END" +
+            " + check AS total")
+        .agg(count(lit(1)).as("n_accounts"),
+          sum(expr("CASE WHEN total % 10 = 0 THEN 1 ELSE 0 END"))
+            .as("n_valid"),
+          sum(expr("CASE WHEN total % 10 = 0 THEN 0 ELSE 1 END"))
+            .as("n_invalid"))
+    }),
+
     // Data-quality audit: per-column null counts, exact distinct counts,
     // min/max, and rule violations (l_quantity ∈ [1,50], l_discount ∈
     // [0,0.1], l_tax ∈ [0,0.08]) over lineitem in ONE aggregation pass —
@@ -1514,6 +1560,28 @@ object Relational {
           "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
         .selectExpr("user_id", "event_id", s"$EwmaExpr AS ewma")
         .orderBy("user_id", "event_id")),
+
+    // Maximum-drawdown profile of the daily purchase-revenue equity
+    // curve — the risk statistic every monitoring dashboard derives from
+    // a cumulative series. Integer cents throughout; the running-sum and
+    // running-max windows sit on the AGGREGATED daily table (≤ one row
+    // per day — the corpus collapses in the one partial-agg'd shuffle
+    // first), so the unpartitioned window is constant-size at any scale.
+    "q_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .selectExpr("unix_micros(ts) div 86400000000 AS day",
+          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
+        .groupBy("day").agg(sum("v").as("rev"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("equity", sum("rev").over(w))
+        .withColumn("peak", max("equity").over(w))
+        .withColumn("dd", col("peak") - col("equity"))
+        .select("day", "rev", "equity", "peak", "dd")
+        .orderBy("day")
+    }),
 
     // Frequent co-occurring item pairs (the a-priori first pass /
     // market-basket shape): baskets = orders, items = distinct parts per
@@ -3412,8 +3480,32 @@ object Relational {
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY b.k""".stripMargin,
 
+    "q_luhn" -> {
+      val (cleanSum, corrSum) = luhnSums(i =>
+        s"((strpos('0123456789abcdef', substr(h, $i, 1)) - 1) % 10)")
+      s"""WITH t AS (
+         |  SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h
+         |  FROM customer
+         |),
+         |ss AS (
+         |  SELECT c_custkey, $cleanSum AS s_clean, $corrSum AS s_corr
+         |  FROM t
+         |),
+         |tot AS (
+         |  SELECT CASE WHEN c_custkey % 7 = 0 THEN s_corr ELSE s_clean END
+         |    + (10 - s_clean % 10) % 10 AS total
+         |  FROM ss
+         |)
+         |SELECT count(*) AS n_accounts,
+         |  CAST(sum(CASE WHEN total % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_valid,
+         |  CAST(sum(CASE WHEN total % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_invalid
+         |FROM tot""".stripMargin
+    },
+
     "q_dq_audit" ->
-      """WITH a AS (
+"""WITH a AS (
         |  SELECT count(*) AS n_rows,
         |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_q,
         |    count(DISTINCT l_quantity) AS nd_q,
@@ -3500,6 +3592,23 @@ object Relational {
          |SELECT l_returnflag, 'disc', disc FROM a
          |ORDER BY l_returnflag, measure""".stripMargin
     },
+
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |),
+        |eq AS (
+        |  SELECT day, rev,
+        |    CAST(sum(rev) OVER (ORDER BY day) AS BIGINT) AS equity
+        |  FROM daily
+        |)
+        |SELECT day, rev, equity,
+        |  CAST(max(equity) OVER (ORDER BY day) AS BIGINT) AS peak,
+        |  CAST(max(equity) OVER (ORDER BY day) - equity AS BIGINT) AS dd
+        |FROM eq ORDER BY day""".stripMargin,
 
     "q_ewma" ->
       s"""WITH v AS (

@@ -167,6 +167,30 @@ class LifecycleSpec extends AnyFunSuite with SparkFixture {
     rows.foreach { case (f, mi) => assert(mi >= -1e-6, s"$f mi=$mi") }
   }
 
+  test("q_drawdown: equity/peak/dd laws hold on the daily curve") {
+    val rows = SparkEntry.queries("q_drawdown")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    var cum = 0L; var peak = Long.MinValue
+    rows.foreach { case (_, rev, equity, p, dd) =>
+      cum += rev; peak = math.max(peak, cum)
+      assert(equity == cum && p == peak && dd == peak - cum)
+      assert(dd >= 0)
+    }
+  }
+
+  test("q_luhn: the checksum catches every planted single-digit corruption") {
+    val r = SparkEntry.queries("q_luhn")(spark, Sf).collect().head
+    val (n, valid, invalid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nCorrupt = spark.read.parquet(s"$Sf/customer.parquet")
+      .where(col("c_custkey") % 7 === 0).count()
+    assert(n == valid + invalid)
+    assert(invalid == nCorrupt, s"Luhn missed a single-digit error: " +
+      s"invalid=$invalid corrupted=$nCorrupt")
+    assert(valid == n - nCorrupt)
+  }
+
   test("q_item2item: cosine formula and support floor verified by brute force") {
     val rows = SparkEntry.queries("q_item2item")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
