@@ -347,9 +347,15 @@ object Metrics {
       val labels = graft.operators.LabelProp
         .run(pairs.select(col("p").as("src"), col("sv").as("dst")), 3)
       val mdf = pairs.agg(count(lit(1)).as("m"))
+      // three consumers (mc + both deg legs) — materialize the labeled
+      // edge list once instead of re-running the label joins (and the
+      // LabelProp tail) per consumer: ~5.6 → ~4.8 s warm at sf0.1; the
+      // remaining cost IS the 3 LabelProp rounds the query shares with
+      // q_communities by construction
       val withC = pairs
         .join(labels.select(col("v").as("p"), col("lbl").as("cp")), "p")
         .join(labels.select(col("v").as("sv"), col("lbl").as("cs")), "sv")
+        .localCheckpoint()
       val mc = withC.where(col("cp") === col("cs"))
         .groupBy(col("cp").as("c")).agg(count(lit(1)).as("m_c"))
       val deg = withC.select(col("p").as("v"), col("cp").as("c"))
