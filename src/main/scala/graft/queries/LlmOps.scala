@@ -1597,6 +1597,56 @@ object LlmOps {
       s.read.parquet(s"$base/state_$latest").orderBy("ws", "event_type")
     }),
 
+    // STREAMING DEDUP SINK (4th oracle-gated stream): the
+    // transformWithState duplicate-accounting processor (StreamOps
+    // .dedupCounts — engine-managed ValueState per content key, the
+    // arbitrary-state API the spec tier exercises) run as a real
+    // AvailableNow job over the events parquet; each batch's updated
+    // (key, n) rows land in a per-batch parquet and the LATEST batch
+    // per key is the final state — which the DuckDB oracle must equal
+    // via a plain batch GROUP BY. Proves the stateful-processor tier
+    // end-to-end, not just in-JVM.
+    "q_stream_dedup_sink" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"$TmpRoot/stream_dedup_${new java.io.File(dir).getName}"
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      val keys = src.select(concat(col("user_id").cast("string"),
+        lit(":"), col("event_type")).as("value")).as[String]
+      // transformWithState requires the RocksDB store (multiple column
+      // families); restore the session's provider afterwards
+      val pk = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(pk)
+      s.conf.set(pk, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        graft.streaming.StreamOps.dedupCounts(keys).toDF()
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("update")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(s"$base/sink")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(pk, v)
+        case None => s.conf.unset(pk)
+      }
+      val sink = s.read.parquet(s"$base/sink")
+      // latest batch per key wins (update-mode semantics)
+      sink.groupBy("key")
+        .agg(max(struct(col("batch_id"), col("n"))).as("m"))
+        .select(col("key"), col("m.n").as("n"))
+        .orderBy("key")
+    }),
+
     // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
     // signal): top-V words by corpus frequency (count-desc/word-asc so the
     // cut is deterministic under ties), then per-doc OOV fraction. The
@@ -3803,8 +3853,15 @@ object LlmOps {
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the transformWithState final state must equal the batch GROUP BY —
+    // the oracle never sees a stream
+    "q_stream_dedup_sink" ->
+      """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
+
     "q_stream_sink_roundtrip" ->
-      s"""WITH $ToksSql
+s"""WITH $ToksSql
          |SELECT word, CAST(count(*) AS BIGINT) AS n
          |FROM toks GROUP BY word ORDER BY word""".stripMargin,
 
