@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowFingerprintsFn)
     ext.injectFunction(GraftExtensions.hllRegisterAggFn)
     ext.injectFunction(GraftExtensions.hilbertIndexFn)
+    ext.injectFunction(GraftExtensions.kmvAggFn)
     ext.injectFunction(GraftExtensions.jaroWinklerFn)
     ext.injectFunction(GraftExtensions.damerauLevFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
@@ -174,6 +175,21 @@ object GraftExtensions {
       HilbertExpression(children(0), children(1), order)
     })
 
+  private val kmvAggFn = (
+    new FunctionIdentifier("kmv_agg"),
+    info(classOf[graft.functions.KmvAgg], "kmv_agg",
+      "kmv_agg(key) - Native TypedImperativeAggregate: the k=64 minimum " +
+        "distinct md5-derived 32-bit hash values of the STRING key " +
+        "column, sorted ascending, as ARRAY<BIGINT>. The KMV cardinality " +
+        "sketch: D ~ (k-1)*2^32/h_k; buffers merge by sorted-union " +
+        "truncate (map-side partials, <= k longs per partition).",
+      "    Examples:\n      > SELECT size(kmv_agg(CAST(x AS STRING))) FROM t;\n       64"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1,
+        s"kmv_agg expects exactly 1 argument, got ${children.length}")
+      graft.functions.KmvAgg(children.head)
+    })
+
   private val jaroWinklerFn = (
     new FunctionIdentifier("jaro_winkler"),
     info(classOf[JaroWinklerExpression], "jaro_winkler",
@@ -218,6 +234,8 @@ object GraftExtensions {
       charShinglesFn._1, charShinglesFn._2, charShinglesFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       winnowFingerprintsFn._1, winnowFingerprintsFn._2, winnowFingerprintsFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      kmvAggFn._1, kmvAggFn._2, kmvAggFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       jaroWinklerFn._1, jaroWinklerFn._2, jaroWinklerFn._3)
     spark.sessionState.functionRegistry.registerFunction(

@@ -333,6 +333,27 @@ object Metrics {
         .orderBy("dur")
     }),
 
+    // KMV (bottom-k) cardinality sketch via the native kmv_agg
+    // TypedImperativeAggregate — the order-statistics twin of
+    // q_sketch_hll_native: the 64 smallest distinct 32-bit key hashes
+    // ARE the sketch, estimate = (k−1)·2³² div h_k (one exact integer
+    // division). The sketch CONTENT is oracle-checked (kmv_md5), not
+    // just the estimate — DuckDB reproduces the identical bottom-64 set
+    // from the same md5 hash rule.
+    "q_sketch_kmv" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val li = table(s, dir, "lineitem")
+      val sk = li.agg(graft.functions.KmvAgg(col("l_orderkey")).as("ks"))
+        .select(expr("CAST(size(ks) AS BIGINT)").as("k"),
+          expr("element_at(ks, -1)").as("h_k"),
+          expr("md5(array_join(transform(ks, x -> CAST(x AS STRING)), ','))")
+            .as("kmv_md5"))
+      li.agg(count_distinct(col("l_orderkey")).as("n_true"))
+        .crossJoin(broadcast(sk))
+        .select(col("n_true"), col("k"), col("h_k"),
+          expr("(k - 1) * 4294967296 div h_k").as("est"), col("kmv_md5"))
+    }),
+
     // Modularity of the q_communities partition: Q = Σ_c [m_c/m −
     // (D_c/2m)²], computed from the SAME LabelProp assignment (shared
     // operator) with the exact identity Q·4m² = Σ_c (4m·m_c − D_c²) —
@@ -511,6 +532,26 @@ object Metrics {
          |SELECT n_keys, true_sq, est_sq,
          |  round(CAST(est_sq AS DOUBLE) / true_sq, 4) AS ratio
          |FROM tr CROSS JOIN est""".stripMargin,
+
+    "q_sketch_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT ${hex2longSql(
+              "md5(CAST(l_orderkey AS VARCHAR))", 1)} AS hv
+         |  FROM lineitem
+         |),
+         |bk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+         |agg AS (
+         |  SELECT count(*) AS k, CAST(max(hv) AS BIGINT) AS h_k,
+         |    md5(string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv))
+         |      AS kmv_md5
+         |  FROM bk
+         |),
+         |tr AS (
+         |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_true
+         |  FROM lineitem
+         |)
+         |SELECT n_true, k, h_k, (k - 1) * 4294967296 // h_k AS est, kmv_md5
+         |FROM tr CROSS JOIN agg""".stripMargin,
 
     "q_infogain" -> {
       def mi(name: String, fexpr: String) =
