@@ -354,6 +354,44 @@ object Metrics {
           expr("(k - 1) * 4294967296 div h_k").as("est"), col("kmv_md5"))
     }),
 
+    // KMV set algebra — the property HLL registers lack: because the
+    // sketch is a uniform bottom-k SAMPLE of the hash space, two
+    // sketches support union AND intersection estimation. K = bottom-k
+    // of the merged sketches estimates |A∪B| as usual; ρ = |{x ∈ K :
+    // x ∈ sketch(A) ∧ x ∈ sketch(B)}| gives Jaccard ≈ ρ/k, so
+    // |A∩B| ≈ ρ·est_union div k — all exact integer arithmetic over
+    // two 64-long arrays. Sets: click-users vs purchase-users.
+    "q_sketch_kmv_sets" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val ev = table(s, dir, "events")
+      def sk(t: String, alias: String) =
+        ev.where(col("event_type") === t)
+          .agg(graft.functions.KmvAgg(col("user_id")).as(alias))
+      val truth = ev.where(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L)).as("c"),
+          max(when(col("event_type") === "purchase", 1L)).as("p"))
+        .agg(count(lit(1)).as("true_union"),
+          sum(when(col("c") === 1L && col("p") === 1L, 1L).otherwise(0L))
+            .as("true_inter"))
+      sk("click", "ka").crossJoin(sk("purchase", "kb"))
+        .select(
+          expr("slice(array_sort(array_distinct(concat(ka, kb))), 1, 64)")
+            .as("k"),
+          col("ka"), col("kb"))
+        .select(
+          expr("CAST(size(k) AS BIGINT)").as("kk"),
+          expr("element_at(k, -1)").as("h_k"),
+          expr("CAST(size(filter(k, x -> array_contains(ka, x)" +
+            " AND array_contains(kb, x))) AS BIGINT)").as("rho"))
+        .select(col("kk"), col("rho"),
+          expr("(kk - 1) * 4294967296 div h_k").as("est_union"),
+          expr("rho * ((kk - 1) * 4294967296 div h_k) div kk").as("est_inter"))
+        .crossJoin(broadcast(truth))
+        .select("true_union", "true_inter", "kk", "rho", "est_union",
+          "est_inter")
+    }),
+
     // Modularity of the q_communities partition: Q = Σ_c [m_c/m −
     // (D_c/2m)²], computed from the SAME LabelProp assignment (shared
     // operator) with the exact identity Q·4m² = Σ_c (4m·m_c − D_c²) —
@@ -552,6 +590,47 @@ object Metrics {
          |)
          |SELECT n_true, k, h_k, (k - 1) * 4294967296 // h_k AS est, kmv_md5
          |FROM tr CROSS JOIN agg""".stripMargin,
+
+    "q_sketch_kmv_sets" -> {
+      def bottom(t: String, name: String) =
+        s"""$name AS (
+           |  SELECT hv FROM (
+           |    SELECT DISTINCT ${hex2longSql(
+                "md5(CAST(user_id AS VARCHAR))", 1)} AS hv
+           |    FROM events WHERE event_type = '$t'
+           |  ) ORDER BY hv LIMIT 64
+           |)""".stripMargin
+      s"""WITH ${bottom("click", "ba")},
+         |${bottom("purchase", "bb")},
+         |ku AS (
+         |  SELECT hv FROM (SELECT hv FROM ba UNION SELECT hv FROM bb)
+         |  ORDER BY hv LIMIT 64
+         |),
+         |est AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS kk,
+         |    CAST(max(hv) AS BIGINT) AS h_k,
+         |    CAST(sum(CASE WHEN hv IN (SELECT hv FROM ba)
+         |      AND hv IN (SELECT hv FROM bb) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS rho
+         |  FROM ku
+         |),
+         |truth AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS true_union,
+         |    CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS true_inter
+         |  FROM (
+         |    SELECT user_id,
+         |      max(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+         |      max(CASE WHEN event_type = 'purchase' THEN 1 END) AS p
+         |    FROM events WHERE event_type IN ('click', 'purchase')
+         |    GROUP BY user_id
+         |  )
+         |)
+         |SELECT true_union, true_inter, kk, rho,
+         |  (kk - 1) * 4294967296 // h_k AS est_union,
+         |  rho * ((kk - 1) * 4294967296 // h_k) // kk AS est_inter
+         |FROM truth CROSS JOIN est""".stripMargin
+    },
 
     "q_infogain" -> {
       def mi(name: String, fexpr: String) =
