@@ -45,4 +45,32 @@ object Bfs {
     }
     dist
   }
+
+  /** Per-source BFS: like [[run]] but each seed keeps its OWN distance
+    * field — state rows are (seed, v, dist), the shape centrality
+    * computations need. All seeds advance in the SAME per-round join
+    * (one frontier×edges equi-join regardless of |seeds|) — batching k
+    * BFS traversals into one job instead of k, which is what makes
+    * k-source centrality affordable on a big graph. State size is
+    * Σ per-seed reachable sets; callers bound it with `rounds` and the
+    * seed count.
+    *
+    * @return (seed, v, dist): min hop distance of v from THAT seed, one
+    *   row per (seed, reached vertex) within `rounds` hops. */
+  def perSource(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    var dist = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (i <- 1 to rounds) {
+      val next = dist.where(col("dist") === (i - 1).toLong)
+        .join(edges, col("v") === col("src"))
+        .select(col("seed"), col("dst").as("v"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("seed", "v").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -1375,6 +1375,31 @@ object Relational {
       graft.operators.Bfs.run(edges, seeds, 3).orderBy("v")
     }),
 
+    // Harmonic closeness centrality from a seed set, on the per-source
+    // BFS (Bfs.perSource — all seeds advance in ONE frontier×edges join
+    // per round, batching k traversals into one job). Harmonic sum over
+    // d ∈ {1..3} is kept EXACT by scaling: h6 = Σ 6/d ∈ {6,3,2} is pure
+    // integer; the display value divides once at the end. Bounded
+    // 3-hop neighborhood — the documented contract, same as q_bfs.
+    "q_closeness" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
+        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
+      val seeds = pairs.where(col("sv") % 31 === 0)
+        .select(col("sv").as("seed")).distinct()
+      graft.operators.Bfs.perSource(edges, seeds, 3)
+        .where(col("dist") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("6 div dist")).as("h6"))
+        .select(col("seed"), col("n_reached"), col("h6"),
+          expr("round(CAST(h6 AS DOUBLE) / 6, 6)").as("closeness"))
+        .orderBy("seed")
+    }),
+
     // CDC changelog apply: a base snapshot (customer) plus an I/U/D
     // changelog (events as the change stream; op derived deterministically
     // from event_id) folded into the current table state — latest change
@@ -3451,6 +3476,41 @@ object Relational {
          |),
          |$rounds
          |SELECT v, dist FROM d3 ORDER BY v""".stripMargin
+    },
+
+    "q_closeness" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (
+           |  SELECT f.seed, e.dst AS v, CAST($i AS BIGINT) AS dist
+           |  FROM e JOIN d${i - 1} f ON e.src = f.v
+           |  WHERE f.dist = ${i - 1}
+           |),
+           |d$i AS (
+           |  SELECT seed, v, min(dist) AS dist FROM
+           |    (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM n$i)
+           |  GROUP BY seed, v
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv
+         |  FROM lineitem
+         |),
+         |e AS (
+         |  SELECT p AS src, sv AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT sv AS src, p AS dst FROM pairs
+         |),
+         |d0 AS (
+         |  SELECT DISTINCT sv AS seed, sv AS v, CAST(0 AS BIGINT) AS dist
+         |  FROM pairs WHERE sv % 31 = 0
+         |),
+         |$rounds
+         |SELECT seed, count(*) AS n_reached,
+         |  CAST(sum(6 // dist) AS BIGINT) AS h6,
+         |  round(CAST(CAST(sum(6 // dist) AS BIGINT) AS DOUBLE) / 6, 6)
+         |    AS closeness
+         |FROM d3 WHERE dist > 0
+         |GROUP BY seed ORDER BY seed""".stripMargin
     },
 
     "q_cdc_apply" ->
