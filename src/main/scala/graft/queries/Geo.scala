@@ -31,6 +31,9 @@ object Geo {
   private val CellW = 131072L
   private val R2 = CellW * CellW // radius = one cell width
 
+  /** q_dbscan's finer cell width 2¹⁴ (a 64×64 grid over event points). */
+  private val DbCellW = 16384L
+
   /** Spark integer coordinate from a keyed PRF (first 8 md5 hex chars). */
   private def coordSpark(prefix: String, key: String): String =
     s"CAST(conv(substring(md5(concat('$prefix-', CAST($key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $Space"
@@ -239,10 +242,15 @@ object Geo {
     // recomputes components with a recursive-CTE reachability closure —
     // a different algorithm, same fixpoint.
     "q_dbscan" -> ((s, dir) => {
-      val grid = Space / CellW
-      val core = points(s, dir)
-        .groupBy(expr(s"px div $CellW").as("gx"),
-          expr(s"py div $CellW").as("gy"))
+      val grid = Space / DbCellW
+      // event-level points on a finer 64×64 grid: dense enough for core
+      // cells to exist at every harness scale (users alone are too few
+      // at sf0.001)
+      val core = table(s, dir, "events").select("event_id")
+        .withColumn("px", expr(coordSpark("px", "event_id")))
+        .withColumn("py", expr(coordSpark("py", "event_id")))
+        .groupBy(expr(s"px div $DbCellW").as("gx"),
+          expr(s"py div $DbCellW").as("gy"))
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= 3)
         .withColumn("cell", expr(s"gx * $grid + gy"))
@@ -380,11 +388,15 @@ object Geo {
          |WHERE rank <= 3 ORDER BY station, rank""".stripMargin,
 
     "q_dbscan" -> {
-      val grid = Space / CellW
-      s"""WITH RECURSIVE $PointsSql,
+      val grid = Space / DbCellW
+      s"""WITH RECURSIVE epts AS (
+         |  SELECT event_id, ${coordSql("px", "event_id")} AS px,
+         |         ${coordSql("py", "event_id")} AS py
+         |  FROM events
+         |),
          |cells AS (
-         |  SELECT px // $CellW AS gx, py // $CellW AS gy, count(*) AS n
-         |  FROM pts GROUP BY 1, 2
+         |  SELECT px // $DbCellW AS gx, py // $DbCellW AS gy, count(*) AS n
+         |  FROM epts GROUP BY 1, 2
          |),
          |core AS (SELECT gx, gy, gx * $grid + gy AS cell, n
          |         FROM cells WHERE n >= 3),

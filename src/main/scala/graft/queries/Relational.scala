@@ -1388,7 +1388,7 @@ object Relational {
         .distinct()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
-      val seeds = pairs.where(col("sv") % 31 === 0)
+      val seeds = pairs.where(col("sv") % 7 === 0)
         .select(col("sv").as("seed")).distinct()
       graft.operators.Bfs.perSource(edges, seeds, 3)
         .where(col("dist") > 0)
@@ -3502,7 +3502,7 @@ object Relational {
          |),
          |d0 AS (
          |  SELECT DISTINCT sv AS seed, sv AS v, CAST(0 AS BIGINT) AS dist
-         |  FROM pairs WHERE sv % 31 = 0
+         |  FROM pairs WHERE sv % 7 = 0
          |),
          |$rounds
          |SELECT seed, count(*) AS n_reached,

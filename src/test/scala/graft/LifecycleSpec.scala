@@ -69,16 +69,16 @@ class LifecycleSpec extends AnyFunSuite with SparkFixture {
   test("q_dbscan: clusters are exactly the connected core-cell components") {
     val rows = SparkEntry.queries("q_dbscan")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // brute-force: PRF-place distinct users, grid, core cells, union-find
-    val users = spark.read.parquet(s"$Sf/events.parquet")
-      .select("user_id").distinct().collect().map(_.getLong(0))
+    // brute-force: PRF-place event points, grid, core cells, union-find
+    val pts = spark.read.parquet(s"$Sf/events.parquet")
+      .select("event_id").collect().map(_.getLong(0))
     def prf(prefix: String, k: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$prefix-$k".getBytes("UTF-8"))
       val hex = md.take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16) % 1048576L
     }
-    val cells = users.map(u => (prf("px", u) / 131072L, prf("py", u) / 131072L))
+    val cells = pts.map(u => (prf("px", u) / 16384L, prf("py", u) / 16384L))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val core = cells.filter(_._2 >= 3)
     val parent = collection.mutable.Map[(Long, Long), (Long, Long)]()
@@ -90,7 +90,7 @@ class LifecycleSpec extends AnyFunSuite with SparkFixture {
          if a != b && math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1)
       parent(find(a)) = find(b)
     val comps = core.keys.groupBy(find).map { case (_, members) =>
-      val ids = members.map { case (gx, gy) => gx * 8 + gy }
+      val ids = members.map { case (gx, gy) => gx * 64 + gy }
       (ids.min, ids.size.toLong, members.map(core).sum)
     }.toSeq.sortBy(_._1)
     assert(rows.toSeq == comps)
