@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Bounded-round multi-source BFS over an edge list — shortest hop
   * distance from a seed set, the graph primitive behind link-distance
@@ -31,9 +32,9 @@ object Bfs {
   def run(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     // edges feed every round: truncate lineage once (PageRank discipline)
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val edges = edges0.select(col("src"), col("dst")).ckpt()
     var dist = seeds.select(col("v")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).ckpt()
     for (i <- 1 to rounds) {
       val next = dist.where(col("dist") === (i - 1).toLong)
         .join(edges, col("v") === col("src"))
@@ -41,7 +42,7 @@ object Bfs {
       // min-regroup keeps the first (smallest) round each vertex was seen
       dist = dist.unionByName(next)
         .groupBy("v").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .ckpt()
     }
     dist
   }
@@ -59,17 +60,17 @@ object Bfs {
     *   row per (seed, reached vertex) within `rounds` hops. */
   def perSource(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val edges = edges0.select(col("src"), col("dst")).ckpt()
     var dist = seeds.select(col("seed")).distinct()
       .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .ckpt()
     for (i <- 1 to rounds) {
       val next = dist.where(col("dist") === (i - 1).toLong)
         .join(edges, col("v") === col("src"))
         .select(col("seed"), col("dst").as("v"), lit(i.toLong).as("dist"))
       dist = dist.unionByName(next)
         .groupBy("seed", "v").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .ckpt()
     }
     dist
   }

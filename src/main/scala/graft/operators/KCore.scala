@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Bounded-round k-core peeling over an undirected edge list: repeatedly
   * delete vertices of degree < k (each deletion lowers neighbors' degrees,
@@ -36,7 +37,7 @@ object KCore {
       .where(col("src") =!= col("dst"))
       .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst"))
         .where(col("src") =!= col("dst")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     for (r <- 1 to rounds) {
       // symmetrized edge list ⇒ out-degree == undirected degree
       val keep = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
@@ -46,7 +47,7 @@ object KCore {
         .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
       // alternating-round lineage truncation; the final round flows
       // straight into the consumer's degree aggregation unmaterialized
-      if (r % 2 == 0 && r != rounds) e = e.localCheckpoint()
+      if (r % 2 == 0 && r != rounds) e = e.ckpt()
     }
     e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
   }

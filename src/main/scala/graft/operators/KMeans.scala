@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Fixed-iteration Lloyd's k-means over integer-quantized embedding
   * vectors — the clustering primitive of training-data curation (corpus
@@ -43,7 +44,7 @@ object KMeans {
       s"k=$k iters=$iters out of range")
     val q1000 = vecs.select(col("id"),
       expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
-      .localCheckpoint() // assignment + update reuse it every iteration
+      .ckpt() // assignment + update reuse it every iteration
     // deterministic init: the k smallest ids, cid = their rank
     var cents = q1000.orderBy("id").limit(k)
       .select(col("id"), col("v").as("c1000"))
@@ -51,7 +52,7 @@ object KMeans {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("id")).cast("long") - 1)
       .select("cid", "c1000")
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to iters) {
       val assigned = assign(q1000, cents)
       // exact integer sums per (cid, dim) via posexplode; partial agg
@@ -69,7 +70,7 @@ object KMeans {
       cents = sums.groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
           .as("c1000"))
-        .localCheckpoint()
+        .ckpt()
     }
     cents
   }

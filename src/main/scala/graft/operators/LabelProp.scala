@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Synchronous label propagation (community detection): every vertex
   * starts labeled with its own id; each round it adopts the most frequent
@@ -35,9 +36,9 @@ object LabelProp {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val e = edges0.select(col("src"), col("dst"))
       .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     var labels = e.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).ckpt()
     for (r <- 1 to iters) {
       val nbr = e.join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -48,7 +49,7 @@ object LabelProp {
         .groupBy(col("src").as("v"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
         .select(col("v"), col("m.lbl").as("lbl"))
-      labels = if (r % 2 == 0 || r == iters) next.localCheckpoint() else next
+      labels = if (r % 2 == 0 || r == iters) next.ckpt() else next
     }
     labels
   }

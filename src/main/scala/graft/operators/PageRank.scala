@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Fixed-iteration PageRank over an edge list — the graph-quality signal
   * of web-corpus pipelines (host-level PageRank as a document quality
@@ -83,21 +84,21 @@ object PageRank {
   def runPersonalized(edges0: DataFrame, iters: Int,
                       seeds: DataFrame): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val edges = edges0.select(col("src"), col("dst")).ckpt()
     val degEdges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+      .ckpt()
     val verts = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v"))).distinct()
       .join(seeds.select(col("v")).distinct().withColumn("__s", lit(1L)),
         Seq("v"), "left_outer")
       .select(col("v"), coalesce(col("__s"), lit(0L)).as("s"))
-      .localCheckpoint()
+      .ckpt()
     val useBroadcast = verts.count() <= confMaxVerts(edges0)
     var ranks = verts.select(col("v"), col("s"), col("s").cast("double").as("r"))
     for (_ <- 1 to iters)
       ranks = stepPersonalized(degEdges, verts, ranks, useBroadcast)
-        .localCheckpoint()
+        .ckpt()
     ranks
   }
 
@@ -111,20 +112,20 @@ object PageRank {
     // 1..k-1 (each reuse duplicates the subtree — exponential recompute);
     // localCheckpoint per step makes every iteration cost one pass, the
     // same discipline as ConnectedComponents
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
+    val edges = edges0.select(col("src"), col("dst")).ckpt()
     // pre-join degree onto the edge once instead of re-joining per round
     val degEdges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+      .ckpt()
     val verts = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     // |V| is known exactly (verts is checkpointed — the count is one cheap
     // scan, amortized over every iteration); gate the broadcast hint on it
     val useBroadcast = verts.count() <= confMaxVerts(edges0)
     var ranks = verts.withColumn("r", lit(1.0))
     for (_ <- 1 to iters)
-      ranks = step(degEdges, verts, ranks, useBroadcast).localCheckpoint()
+      ranks = step(degEdges, verts, ranks, useBroadcast).ckpt()
     ranks
   }
 }

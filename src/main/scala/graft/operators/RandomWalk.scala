@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Deterministic "random" walks over an edge list: at step i from vertex
   * v, the next vertex is argmin over out-neighbors n of the keyed PRF
@@ -26,9 +27,9 @@ object RandomWalk {
   def run(edges0: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1 && steps <= 20, s"steps must be in [1, 20], got $steps")
     val edges = edges0.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .ckpt()
     var cur = seeds.select(col("v")).distinct()
-      .select(col("v").as("seed"), col("v")).localCheckpoint()
+      .select(col("v").as("seed"), col("v")).ckpt()
     var out = cur.withColumn("step", lit(0L)).select("seed", "step", "v")
     for (i <- 1 to steps) {
       cur = cur.join(edges, col("v") === col("src"))
@@ -37,7 +38,7 @@ object RandomWalk {
             col("dst").cast("string"))).as("h"))
         .groupBy("seed").agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("seed"), col("m.dst").as("v"))
-      if (i % 2 == 0 && i != steps) cur = cur.localCheckpoint()
+      if (i % 2 == 0 && i != steps) cur = cur.ckpt()
       out = out.unionByName(
         cur.withColumn("step", lit(i.toLong)).select("seed", "step", "v"))
     }

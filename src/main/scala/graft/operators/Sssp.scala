@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Bounded-round single/multi-source shortest paths over a WEIGHTED edge
   * list — the weighted generalization of [[Bfs]] (min hop → min summed
@@ -36,9 +37,9 @@ object Sssp {
         when(col("w").cast("long") > 0, col("w").cast("long"))
           .otherwise(raise_error(concat(lit("Sssp: non-positive weight "),
             col("w").cast("string"))).cast("long")).as("w"))
-      .localCheckpoint()
+      .ckpt()
     var dist = seeds.select(col("v")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).ckpt()
     // seeds start at 0 and weights are positive, so the full seed set IS
     // round 0's improved set
     var frontier = dist
@@ -59,8 +60,8 @@ object Sssp {
       // checkpoint — its consumer evaluates the last regroup directly, so
       // a materialization pass over |V| rows is saved
       if (i % 2 == 0 && i != rounds) {
-        dist = dist.localCheckpoint()
-        frontier = frontier.localCheckpoint()
+        dist = dist.ckpt()
+        frontier = frontier.ckpt()
       }
     }
     dist

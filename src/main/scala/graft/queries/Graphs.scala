@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Graph-analytics additions over the harness projections: link
   * prediction (Adamic-Adar) on the supplier co-purchase graph and the
@@ -136,12 +137,12 @@ object Graphs {
       // 3 estimate branches re-execute the whole propagation chain
       // (measured 7.6 → ~2.5 s at sf0.1), and at depth the lineage stays
       // bounded (the PageRank/LabelProp discipline)
-      val regs = (1 to AnfRounds).scanLeft(r0.localCheckpoint()) { (r, _) =>
+      val regs = (1 to AnfRounds).scanLeft(r0.ckpt()) { (r, _) =>
         r.unionAll(
             edges.join(r, edges("dst") === r("v"))
               .select(edges("src").as("v"), r("bucket"), r("rho")))
           .groupBy("v", "bucket").agg(max("rho").as("rho"))
-          .localCheckpoint()
+          .ckpt()
       }
       regs.zipWithIndex.map { case (r, t) =>
         r.groupBy("v")

@@ -4,6 +4,7 @@ import graft.operators.Tokenize
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Training-data pipeline operators over `documents` and `embeddings` —
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -1090,7 +1091,7 @@ object LlmOps {
         .repartition(s.sparkContext.defaultParallelism)
         .as[graft.operators.MediaRecord]
       val hashed = graft.operators.Multimodal.extractAHash(recs)
-        .toDF().select("doc_id", "ahash").localCheckpoint()
+        .toDF().select("doc_id", "ahash").ckpt()
       val bands = hashed
         .select(col("doc_id"), col("ahash"),
           explode(expr("sequence(0, 7)")).as("b"))
@@ -2103,7 +2104,7 @@ object LlmOps {
       // re-executes the per-character bigram explode of the whole corpus
       // (measured 25.3 → ~2 s at sf0.1)
       val scores = lmScores(s, dir).withColumn("__g", lit(1))
-        .localCheckpoint()
+        .ckpt()
       val thr = graft.operators.Percentiles
         .exact(scores, "__g", "nll", Seq(0.75))
         .select(col("q").as("thr"))
@@ -2438,14 +2439,14 @@ object LlmOps {
       // duplicating the wide upstream (distinct + two shuffled joins + a
       // window); eager localCheckpoint (the PageRank/BFS discipline)
       // materializes once and truncates the lineage (38→~10 s at sf0.1).
-      val sh = shinglesOf(repDocs(s, dir)).distinct().localCheckpoint()
+      val sh = shinglesOf(repDocs(s, dir)).distinct().ckpt()
       val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val w = Window.partitionBy("doc_id").orderBy("df", "sh")
       val ranked = sh.join(dfq, "sh").join(sz, "doc_id")
         .withColumn("rn", row_number().over(w))
         .select("doc_id", "sh", "sz", "rn")
-        .localCheckpoint()
+        .ckpt()
       val pref = ranked
         .where(col("rn") <=
           col("sz") - expr(s"($PrefixTNum*sz + $PrefixTNum) div $PrefixTDen") + 1)

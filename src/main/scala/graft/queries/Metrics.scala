@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Deterministic statistics / evaluation additions: time-series
   * autocorrelation and seasonal-naive error on the daily event series,
@@ -414,7 +415,7 @@ object Metrics {
       val withC = pairs
         .join(labels.select(col("v").as("p"), col("lbl").as("cp")), "p")
         .join(labels.select(col("v").as("sv"), col("lbl").as("cs")), "sv")
-        .localCheckpoint()
+        .ckpt()
       val mc = withC.where(col("cp") === col("cs"))
         .groupBy(col("cp").as("c")).agg(count(lit(1)).as("m_c"))
       val deg = withC.select(col("p").as("v"), col("cp").as("c"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Retrieval-evaluation tier: the metrics a RAG / search pipeline runs
   * after q_bm25 (lexical), q_ann_* (semantic) and q_inverted_index have
@@ -259,7 +260,7 @@ object Retrieval {
         .crossJoin(broadcast(bm.agg(max("score").as("smax"))))
         .withColumn("nrel", expr("round(score / smax, 6)"))
         .select("doc_id", "nrel", "q", "nq")
-        .localCheckpoint() // tiny; reused by the sim matrix + every round
+        .ckpt() // tiny; reused by the sim matrix + every round
       val sims = cand.alias("a").select(col("a.doc_id").as("d1"),
           col("a.q").as("qa"), col("a.nq").as("na"))
         .crossJoin(cand.alias("b").select(col("b.doc_id").as("d2"),
@@ -271,7 +272,7 @@ object Retrieval {
           col("na"), col("nb"))
         .withColumn("sim", expr(s"round(${LlmOps.CosExpr}, 6)"))
         .select("d1", "d2", "sim")
-        .localCheckpoint()
+        .ckpt()
       val c0 = cand.select("doc_id", "nrel")
       // round 1: empty selected set => msim = 0, score = λ·nrel
       var sel = c0.withColumn("msim", lit(0.0))

@@ -13,6 +13,48 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `localCheckpoint` that TRUNCATES STATISTICS along with lineage.
+    *
+    * `Dataset.localCheckpoint` copies the originating plan's ESTIMATED
+    * `Statistics` onto the `LogicalRDD` it returns (`originStats`,
+    * `LogicalRDD.fromDataset`). In an iterative algorithm whose round
+    * plan self-joins the previous round's checkpoint (pointer-doubling
+    * connected components, label-of-label joins), the size-only estimator
+    * multiplies children sizes at every Join, so the carried `sizeInBytes`
+    * SQUARES per round: by round ~18 it is a BigInt with millions of
+    * digits and `SizeInBytesOnlyStatsPlanVisitor` spends hours inside
+    * `BigInteger.multiply` — the driver hangs in planning, not execution
+    * (observed live on q_dbscan at sf0.01, jstack in SCALE.md).
+    *
+    * This wrapper checkpoints eagerly, then rebuilds the `LogicalRDD`
+    * with stats MEASURED from the block manager (the blocks were just
+    * materialized, so the sizes are real, and reading them is free — no
+    * extra job). Estimates stop compounding across rounds, and downstream
+    * joins see actual sizes, which is strictly better for broadcast
+    * decisions than a round-N estimate. */
+  def localCheckpointMeasured(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = cds.sparkSession
+    val ck = cds.localCheckpoint() // eager: blocks exist before we measure
+    ck.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr } match {
+      case Some(lr) =>
+        val measured = spark.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id).map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+        // fallback (blocks evicted already / info lag): schema width, not
+        // the child plan's estimate — never re-import the compounded stats
+        val size = measured.getOrElse(
+          math.max(1L, cds.schema.map(_.dataType.defaultSize).sum.toLong * 1000L))
+        val fresh = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(
+          spark, Some(Statistics(sizeInBytes = BigInt(size))), None)
+        classic.Dataset.ofRows(spark, fresh)
+      case None => ck
+    }
+  }
+
   /** private[sql] NormalizeFloatingNumbers.normalize: -0.0 → 0.0 and NaN
     * canonicalization, the same treatment Spark's own Aggregate/Window/
     * Join keys get — needed by custom grouping operators (TopKPerKeyExec)
