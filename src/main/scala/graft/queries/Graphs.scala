@@ -69,7 +69,94 @@ object Graphs {
       s" THEN (CASE n_nz $lc END) ELSE $AnfRawEstExpr END"
   }
 
+  /** q_lcc: same co-purchase supplier graph as q_triangles (shared-order
+    * weight ≥ 5 keeps the projection sparse on the uniform harness data). */
+  private val LccMinW = 5
+
   val queries: Map[String, Q] = Map(
+
+    // Local clustering coefficient: per-vertex closed-triangle count over
+    // C(deg, 2) possible wedges — the q_triangles degree-oriented wedge
+    // join (each triangle materializes ONCE as (apex; t1 < t2), fan-out
+    // bounded by orienting edges low-degree → high-degree), then each
+    // triangle credits its 3 corners via one 3-way explode. Integer
+    // counts; the only float op is one correctly-rounded division per
+    // emitted vertex. Never an all-pairs join.
+    "q_lcc" -> ((s, dir) => {
+      val os = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val und = os.alias("a").join(os.alias("b"), Seq("ok"))
+        .where(col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= LccMinW).select("u", "v")
+      val deg = und.select(col("u").as("x"))
+        .unionAll(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      val oriented = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val tri = oriented.alias("e1").join(oriented.alias("e2"), Seq("s"))
+        .where(col("e1.t") < col("e2.t"))
+        .join(und, col("e1.t") === col("u") && col("e2.t") === col("v"))
+        .select(col("s"), col("u"), col("v"))
+      val perVertex = tri
+        .select(explode(array(col("s"), col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("tri"))
+      deg.where(col("d") >= 2)
+        .join(perVertex, Seq("x"), "left_outer")
+        .select(col("x").as("v"), col("d"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("lcc",
+          expr("round(CAST(2 * tri AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE), 6)"))
+        .orderBy(desc("lcc"), desc("d"), asc("v")).limit(30)
+    }),
+
+    // Jaccard neighborhood similarity (the set-overlap twin of
+    // Adamic-Adar): candidates are 2-hop pairs enumerated as wedges
+    // through degree-capped centers, |N(u) ∩ N(v)| is the wedge count per
+    // pair, and |N(u) ∪ N(v)| = deg(u) + deg(v) − |∩| needs no second
+    // pass. Existing edges drop with one anti-join; all arithmetic is
+    // integer except the final correctly-rounded ratio.
+    "q_jaccard_sim" -> ((s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val small = b.groupBy("ok").agg(count(lit(1)).as("bs"))
+        .where(col("bs") <= AaBasketCap).select("ok")
+      val os = b.join(small, "ok")
+      val und = os.alias("a").join(os.alias("b"), Seq("ok"))
+        .where(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= AaMinW).select("u", "v")
+      val adj = und.select(col("u").as("ctr"), col("v").as("n"))
+        .unionAll(und.select(col("v").as("ctr"), col("u").as("n")))
+      val deg = adj.groupBy("ctr").agg(count(lit(1)).as("d"))
+      val centers = adj.join(
+        deg.where(col("d") >= 2 && col("d") <= AaMaxDeg), "ctr")
+      val wedges = centers.alias("x")
+        .join(centers.alias("y"), Seq("ctr"))
+        .where(col("x.n") < col("y.n"))
+        .select(col("x.n").as("u"), col("y.n").as("v"))
+      val inter = wedges.join(und, Seq("u", "v"), "left_anti")
+        .groupBy("u", "v").agg(count(lit(1)).as("inter"))
+      inter
+        .join(deg.select(col("ctr").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("ctr").as("v"), col("d").as("dv")), Seq("v"))
+        .withColumn("uni", col("du") + col("dv") - col("inter"))
+        .withColumn("jac",
+          expr("round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)"))
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+          col("inter"), col("uni"), col("jac"))
+        .orderBy(desc("jac"), asc("u"), asc("v")).limit(20)
+    }),
 
     // Link prediction by Adamic-Adar: for every non-adjacent supplier
     // pair (u, v), AA = Σ over common neighbors w of 1/ln(deg(w)) —
@@ -183,6 +270,86 @@ object Graphs {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "q_lcc" ->
+      s"""WITH os AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+         |),
+         |und AS (
+         |  SELECT a.sk AS u, b.sk AS v
+         |  FROM os a JOIN os b USING (ok) WHERE a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING count(*) >= $LccMinW
+         |),
+         |deg AS (
+         |  SELECT x, count(*) AS d FROM (
+         |    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+         |  ) GROUP BY x
+         |),
+         |oriented AS (
+         |  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+         |         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS t
+         |  FROM und
+         |  JOIN deg d1 ON d1.x = und.u
+         |  JOIN deg d2 ON d2.x = und.v,
+         |  LATERAL (SELECT d1.d AS du, d2.d AS dv)
+         |),
+         |tri AS (
+         |  SELECT e1.s, e1.t AS t1, e2.t AS t2
+         |  FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+         |  JOIN und ON e1.t = und.u AND e2.t = und.v
+         |),
+         |pv AS (
+         |  SELECT x, count(*) AS tri FROM (
+         |    SELECT s AS x FROM tri
+         |    UNION ALL SELECT t1 FROM tri
+         |    UNION ALL SELECT t2 FROM tri
+         |  ) GROUP BY x
+         |)
+         |SELECT deg.x AS v, deg.d AS d,
+         |  COALESCE(pv.tri, 0) AS tri,
+         |  round(CAST(2 * COALESCE(pv.tri, 0) AS DOUBLE)
+         |        / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS lcc
+         |FROM deg LEFT JOIN pv ON pv.x = deg.x
+         |WHERE deg.d >= 2
+         |ORDER BY lcc DESC, d DESC, v LIMIT 30""".stripMargin,
+
+    "q_jaccard_sim" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |),
+         |small AS (SELECT ok FROM b GROUP BY ok
+         |          HAVING count(*) <= $AaBasketCap),
+         |os AS (SELECT * FROM b JOIN small USING (ok)),
+         |und AS (
+         |  SELECT a.pk AS u, c.pk AS v
+         |  FROM os a JOIN os c USING (ok) WHERE a.pk < c.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $AaMinW
+         |),
+         |adj AS (SELECT u AS ctr, v AS n FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT ctr, count(*) AS d FROM adj GROUP BY ctr),
+         |centers AS (
+         |  SELECT adj.ctr, adj.n FROM adj JOIN deg USING (ctr)
+         |  WHERE deg.d BETWEEN 2 AND $AaMaxDeg
+         |),
+         |wedges AS (
+         |  SELECT x.n AS u, y.n AS v
+         |  FROM centers x JOIN centers y USING (ctr) WHERE x.n < y.n
+         |),
+         |inter AS (
+         |  SELECT w.u, w.v, count(*) AS inter
+         |  FROM wedges w ANTI JOIN und ON w.u = und.u AND w.v = und.v
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(i.u AS BIGINT) AS u, CAST(i.v AS BIGINT) AS v,
+         |  i.inter,
+         |  d1.d + d2.d - i.inter AS uni,
+         |  round(CAST(i.inter AS DOUBLE)
+         |        / CAST(d1.d + d2.d - i.inter AS DOUBLE), 6) AS jac
+         |FROM inter i
+         |JOIN deg d1 ON d1.ctr = i.u
+         |JOIN deg d2 ON d2.ctr = i.v
+         |ORDER BY jac DESC, u, v LIMIT 20""".stripMargin,
 
     "q_link_predict" ->
       s"""WITH b AS (

@@ -145,6 +145,78 @@ object Metrics {
         .orderBy("c_mktsegment", "region")
     }),
 
+    // t-closeness (Li et al., ICDE'07): for each quasi-identifier group,
+    // the Earth-Mover's Distance between the group's distribution over an
+    // ORDERED sensitive attribute (price binned to 10 levels) and the
+    // global distribution — EMD over ordered categories is the mean
+    // absolute cumulative-share gap. All-integer core: per bin,
+    // |cumc·N − cumg·n_g| is exact BIGINT (cross-multiplied fractions);
+    // ONE division + round(6) per group at the end. The windows run over
+    // the |groups|×k aggregate grid (metadata-scale), never the fact; at
+    // 100 TB the BIGINT cross-products upgrade to DECIMAL(38,0) — the
+    // same discipline as every sketch here. Complete (group × bin) grid
+    // via cross join of the two distinct sides so zero-count bins carry
+    // through the cumsum.
+    "q_tcloseness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          expr("least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9)").as("bin"))
+      val cell = b.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
+      val glob = b.groupBy("bin").agg(count(lit(1)).as("g"))
+      val grid = cell.select("grp").distinct()
+        .crossJoin(glob.select("bin"))
+        .join(cell, Seq("grp", "bin"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .join(glob, Seq("bin"))
+      val k = Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid
+        .withColumn("cumc", sum(col("c")).over(k))
+        .withColumn("cumg", sum(col("g")).over(k))
+      val ng = cell.groupBy("grp").agg(sum(col("c")).as("n_g"))
+      val tot = broadcast(b.agg(count(lit(1)).as("nn"),
+        count_distinct(col("bin")).as("kk")))
+      cum.join(ng, Seq("grp")).crossJoin(tot)
+        .withColumn("d", abs(col("cumc") * col("nn") - col("cumg") * col("n_g")))
+        .groupBy("grp")
+        .agg(first(col("n_g")).as("n_g"),
+          expr("round(CAST(sum(d) AS DOUBLE)" +
+            " / CAST(first(n_g) * first(nn) * (first(kk) - 1) AS DOUBLE), 6)")
+            .as("t"))
+        .orderBy("grp")
+    }),
+
+    // Chi-square independence statistic over the documents lang × source
+    // contingency table: χ² = Σ (O − E)²/E with E = row·col/N, computed
+    // as the cross-multiplied integer form (O·N − row·col)² / (row·col·N)
+    // so the numerator and denominator are EXACT BIGINTs (fits to ~10⁹
+    // observations; DECIMAL(38,0) beyond) and each cell pays exactly one
+    // correctly-rounded division + round(8) before a decimal sum. The
+    // contingency table is |langs|×|sources| — metadata-scale; the only
+    // data-scale stage is the one partial-agg'd count shuffle.
+    "q_chi2" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val cell = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowS = cell.groupBy("lang").agg(sum(col("o")).as("r"))
+      val colS = cell.groupBy("source").agg(sum(col("o")).as("cc"))
+      val tot = broadcast(d.agg(count(lit(1)).as("nn")))
+      // complete grid: an UNOBSERVED (lang, source) cell still contributes
+      // E = r·c/N to the statistic — dropping zero cells understates χ²
+      rowS.crossJoin(colS)
+        .join(cell, Seq("lang", "source"), "left_outer")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(tot)
+        .withColumn("num", (col("o") * col("nn") - col("r") * col("cc")) *
+          (col("o") * col("nn") - col("r") * col("cc")))
+        .withColumn("cellchi",
+          expr("round(CAST(num AS DOUBLE) / CAST(r * cc * nn AS DOUBLE), 8)"))
+        .agg(count(lit(1)).as("n_cells"),
+          ((count_distinct(col("lang")) - 1) *
+            (count_distinct(col("source")) - 1)).as("df"),
+          dsum(col("cellchi"), 8).as("chi2"))
+    }),
+
     // Rendezvous (highest-random-weight) sharding + the rescale audit:
     // shard(doc, n) = argmax over s<n of md5("rdv-s:doc") — pure PRF, no
     // ring state, and growing n→n+1 moves ONLY the docs whose new
@@ -495,6 +567,59 @@ object Metrics {
          |FROM customer
          |GROUP BY 1, 2
          |ORDER BY c_mktsegment, region""".stripMargin,
+
+    "q_tcloseness" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS grp,
+        |    least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin
+        |  FROM orders
+        |),
+        |cell AS (SELECT grp, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |gb AS (SELECT bin, count(*) AS g FROM b GROUP BY 1),
+        |grid AS (
+        |  SELECT gr.grp, gl.bin, COALESCE(cell.c, 0) AS c, gl.g
+        |  FROM (SELECT DISTINCT grp FROM cell) gr
+        |  CROSS JOIN gb gl
+        |  LEFT JOIN cell ON cell.grp = gr.grp AND cell.bin = gl.bin
+        |),
+        |cum AS (
+        |  SELECT grp, bin, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cumc,
+        |    sum(g) OVER (PARTITION BY grp ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cumg
+        |  FROM grid
+        |),
+        |ng AS (SELECT grp, sum(c) AS n_g FROM cell GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn, count(DISTINCT bin) AS kk FROM b)
+        |SELECT cum.grp, CAST(ng.n_g AS BIGINT) AS n_g,
+        |  round(CAST(sum(abs(cumc * nn - cumg * ng.n_g)) AS DOUBLE)
+        |        / CAST(ng.n_g * nn * (kk - 1) AS DOUBLE), 6) AS t
+        |FROM cum JOIN ng USING (grp) CROSS JOIN tot
+        |GROUP BY cum.grp, ng.n_g, tot.nn, tot.kk
+        |ORDER BY grp""".stripMargin,
+
+    "q_chi2" ->
+      """WITH cell AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+        |),
+        |rowS AS (SELECT lang, sum(o) AS r FROM cell GROUP BY 1),
+        |colS AS (SELECT source, sum(o) AS cc FROM cell GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM documents),
+        |grid AS (
+        |  SELECT rowS.lang, colS.source, rowS.r, colS.cc,
+        |    COALESCE(cell.o, 0) AS o
+        |  FROM rowS CROSS JOIN colS
+        |  LEFT JOIN cell ON cell.lang = rowS.lang AND cell.source = colS.source
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |    AS BIGINT) AS df,
+        |  CAST(sum(CAST(round(
+        |    CAST((o * nn - r * cc) * (o * nn - r * cc) AS DOUBLE)
+        |    / CAST(r * cc * nn AS DOUBLE), 8) AS DECIMAL(18,8))) AS DOUBLE)
+        |    AS chi2
+        |FROM grid CROSS JOIN tot""".stripMargin,
 
     // identical semantics, identical oracle — the native aggregate must
     // reproduce the composed sketch bit-for-bit (including reg_md5)

@@ -306,6 +306,32 @@ object Relational {
       q
     }),
 
+    // Incremental maintenance of a JOIN-aggregate view (per-nation order
+    // revenue = orders ⋈ customer ⋈ nation rolled up by n_name): the view
+    // is built from 8/9 of the fact, then the remaining 1/9 arrives as a
+    // batch and MatViews.refreshJoinIncremental joins ONLY the batch
+    // against the dimensions and merges partials — the historical fact is
+    // never re-joined. The oracle recomputes the whole join from scratch,
+    // so the gate proves delta-join maintenance is exact.
+    "q_mv_refresh_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val dim = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"), col("n_name"))
+      val dims = Seq("n_name")
+      val sums = Seq("rev" -> col("o_totalprice").cast(DecimalType(18, 2)))
+      val v0 = o.where(col("o_orderkey") % 9 =!= 0).join(dim, Seq("o_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      graft.operators.MatViews.refreshJoinIncremental(v0,
+          o.where(col("o_orderkey") % 9 === 0), dim,
+          Seq("o_custkey"), dims, sums)
+        .select(col("n_name"), col("cnt"), col("rev").cast("double").as("rev"))
+        .orderBy("n_name")
+    }),
+
     // Incremental view maintenance — the answer to SummaryRewrite's
     // staleness contract: when a batch arrives, refresh the summary by
     // aggregating THE BATCH ONLY and merging partials (count/decimal-sum
@@ -404,6 +430,61 @@ object Relational {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")),
+
+    // NULL-AWARE anti join (NOT IN over a NULLABLE subquery): three-valued
+    // logic means one null in the list voids every non-match, so the
+    // planner cannot rewrite to a plain anti join — the CASE makes the
+    // probe column nullable (forcing the null-aware plan) while the
+    // mirrored %7 filter keeps actual nulls out (keeping the result
+    // non-empty). Build side is the deduplicated key list, broadcast.
+    // Semantics cross-checked against DuckDB's native NOT IN.
+    "q_join_null_aware" -> ((s, dir) => {
+      val s2 = s
+      s2.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("naaj_c")
+      s2.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("naaj_o")
+      s2.sql(
+        """SELECT c_custkey, c_name FROM naaj_c
+          |WHERE c_custkey NOT IN (
+          |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+          |  FROM naaj_o WHERE o_orderpriority = '1-URGENT'
+          |    AND o_orderkey % 7 <> 0)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // RFM segmentation: per-customer recency (days from last order to the
+    // corpus max date), frequency (orders), monetary (decimal total spend),
+    // each cut into exact-integer quintiles by GLOBAL rank — bucket =
+    // ((rank − 1) · 5) DIV n with a total (metric, custkey) tie-break, so
+    // boundaries are partition-invariant (no ntile float edge, no
+    // boundary-value ambiguity). Ranks come from operators.Ranks (range-
+    // partitioned zipWithIndex), NOT a single-task global window — the
+    // customer aggregate may itself be huge at 100 TB. The 125-cell
+    // (r, f, m) grid then aggregates customer counts and spend.
+    "q_rfm" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val anchor = o.agg(max(col("o_orderdate")).as("mx"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("money"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey").as("ck"),
+          datediff(col("mx"), col("last_d")).cast("long").as("rec"),
+          col("freq"), col("money"))
+        .withColumn("one", lit(1))
+      val tot = broadcast(cust.agg(count(lit(1)).as("nn")))
+      def quint(df: DataFrame, metric: String, out: String): DataFrame =
+        graft.operators.Ranks.withinKey(df, "one", Seq(metric, "ck"))
+          .crossJoin(tot)
+          .withColumn(out, expr("((rk - 1) * 5) div nn"))
+          .drop("rk", "nn")
+      val q3 = quint(quint(quint(cust, "rec", "rq"), "freq", "fq"),
+        "money", "mq")
+      q3.groupBy("rq", "fq", "mq")
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("money").cast("double"), 2).as("sum_money"))
+        .orderBy("rq", "fq", "mq")
+    }),
 
     // Correlated scalar subquery (SQL front door): customers above their
     // nation's average balance. Catalyst decorrelates the per-row subquery
@@ -2646,6 +2727,16 @@ object Relational {
          |  ${dsumSql("l_quantity", 2)} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // Full from-scratch recompute of the join view — the refresh path must
+    // match it exactly.
+    "q_mv_refresh_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     // The summary-rewritten plan must equal the direct fact aggregation —
     // the oracle is deliberately summary-free.
     "q_mv_rewrite" ->
@@ -2722,6 +2813,34 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_null_aware" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderkey % 7 <> 0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rfm" ->
+      s"""WITH cust AS (
+         |  SELECT o_custkey AS ck,
+         |    datediff('day', max(o_orderdate),
+         |             (SELECT max(o_orderdate) FROM orders)) AS rec,
+         |    count(*) AS freq,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+         |  FROM orders GROUP BY 1
+         |),
+         |n AS (SELECT count(*) AS nn FROM cust),
+         |rk AS (
+         |  SELECT ck, money,
+         |    ((row_number() OVER (ORDER BY rec, ck) - 1) * 5) // nn AS rq,
+         |    ((row_number() OVER (ORDER BY freq, ck) - 1) * 5) // nn AS fq,
+         |    ((row_number() OVER (ORDER BY money, ck) - 1) * 5) // nn AS mq
+         |  FROM cust, n
+         |)
+         |SELECT rq, fq, mq, count(*) AS n_cust,
+         |  ${dsumSql("CAST(money AS DOUBLE)", 2)} AS sum_money
+         |FROM rk GROUP BY 1, 2, 3
+         |ORDER BY rq, fq, mq""".stripMargin,
     "q_subquery" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
         |FROM customer c
