@@ -455,6 +455,38 @@ object Analytics {
     // changepoint candidate. The global window runs over PER-DAY
     // aggregates (|rows| = days, bounded by the calendar, not the
     // corpus), so the single-partition sort is structurally tiny.
+    // Holt linear (double-exponential) smoothing forecast over the daily
+    // event series per type, with α = β = 1/2 as EXACT dyadic floor
+    // divisions — level/trend stay BIGINT, so the recurrence is bit-equal
+    // in both engines (no compounding float error; floor(x/2) via DOUBLE
+    // is exact below 2^52). The recurrence is inherently sequential, but
+    // it runs over the AGGREGATED per-type daily series (bounded by
+    // calendar days — thousands of entries at any corpus size): the
+    // corpus-scale stage is the one partial-agg'd daily count shuffle;
+    // the per-key fold is an array aggregate like the MMR matrix. Oracle
+    // unrolls the identical recurrence with a recursive CTE.
+    "q_smooth_forecast" -> ((s, dir) => {
+      val lv = "CAST(floor(CAST(e.x + acc.lv + acc.tr AS DOUBLE) / 2) AS BIGINT)"
+      table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("arr"))
+        .withColumn("st", expr(
+          s"""aggregate(
+             |  slice(arr, 2, size(arr) - 1),
+             |  named_struct('lv', arr[0].x, 'tr', CAST(0 AS BIGINT)),
+             |  (acc, e) -> named_struct(
+             |    'lv', $lv,
+             |    'tr', CAST(floor(CAST(acc.tr + ($lv - acc.lv) AS DOUBLE) / 2)
+             |            AS BIGINT)))""".stripMargin))
+        .select(col("event_type"), size(col("arr")).cast("long").as("n_days"),
+          col("st.lv").as("level"), col("st.tr").as("trend"),
+          (col("st.lv") + col("st.tr")).as("fc1"),
+          (col("st.lv") + lit(7L) * col("st.tr")).as("fc7"))
+        .orderBy("event_type")
+    }),
+
     "q_changepoint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = table(s, dir, "events")
@@ -941,6 +973,38 @@ object Analytics {
         |  min(CASE WHEN rk = (1*n + 1) // 2 THEN gap_min END) AS p50,
         |  min(CASE WHEN rk = (3*n + 3) // 4 THEN gap_min END) AS p75
         |FROM r""".stripMargin,
+
+    "q_smooth_forecast" -> {
+      val lvSql = "CAST(floor(CAST(o.x + r.lv + r.tr AS DOUBLE) / 2) AS BIGINT)"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+         |  FROM events GROUP BY 1, 2
+         |),
+         |ord AS (
+         |  SELECT event_type, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily
+         |),
+         |rec AS (
+         |  SELECT event_type, rn, lv, tr FROM (
+         |    SELECT event_type, rn, x AS lv, CAST(0 AS BIGINT) AS tr
+         |    FROM ord WHERE rn = 1)
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn,
+         |    $lvSql AS lv,
+         |    CAST(floor(CAST(r.tr + ($lvSql - r.lv) AS DOUBLE) / 2) AS BIGINT)
+         |      AS tr
+         |  FROM rec r JOIN ord o
+         |    ON o.event_type = r.event_type AND o.rn = r.rn + 1
+         |),
+         |lastn AS (SELECT event_type, max(rn) AS n_days FROM ord GROUP BY 1)
+         |SELECT r.event_type, CAST(l.n_days AS BIGINT) AS n_days,
+         |  r.lv AS level, r.tr AS trend,
+         |  r.lv + r.tr AS fc1, r.lv + 7 * r.tr AS fc7
+         |FROM rec r JOIN lastn l
+         |  ON l.event_type = r.event_type AND r.rn = l.n_days
+         |ORDER BY r.event_type""".stripMargin
+    },
 
     "q_changepoint" ->
       """WITH daily AS (

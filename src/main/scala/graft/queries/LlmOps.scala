@@ -618,6 +618,76 @@ object LlmOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .select("keep_id", "n").orderBy("keep_id")),
 
+    // URL canonicalization + dedup — the crawl-side twin of q_dedup_exact:
+    // messy URLs (case-noisy scheme/host, www., default :80 port,
+    // utm_* tracking params in shuffled positions, fragments, trailing
+    // slash) are synthesized deterministically per doc, then canonicalized
+    // with pure string/array ops: lowercase (paths are constructed
+    // lowercase, so full-lower ≡ scheme+host-lower here — production
+    // lowers only scheme/host), fragment strip, :80/ strip, www. strip,
+    // query split → drop utm_* → sort → rejoin, trailing-slash strip.
+    // Dedup = one groupBy on the canonical form (min doc_id kept) — a
+    // narrow projection + one partial-agg'd shuffle at any corpus scale.
+    "q_dedup_url" -> ((s, dir) => {
+      val raw = docs(s, dir).selectExpr("doc_id",
+        """concat(
+          |  'HTTP://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+          |  source, '.Example.COM',
+          |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+          |  '/p/', CAST(doc_id % 7 AS STRING),
+          |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+          |  CASE CAST(doc_id % 3 AS INT)
+          |    WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 3 AS STRING))
+          |    WHEN 1 THEN concat('?id=', CAST(doc_id % 3 AS STRING), '&utm_campaign=x')
+          |    ELSE concat('?id=', CAST(doc_id % 3 AS STRING)) END,
+          |  CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END
+          |) AS url""".stripMargin)
+      raw.selectExpr("doc_id", "url",
+          """regexp_replace(
+            |  replace(replace(lower(regexp_replace(url, '#.*$', '')),
+            |          ':80/', '/'),
+            |    '://www.', '://'),
+            |  '/$', '') AS u1""".stripMargin)
+        .selectExpr("doc_id", "url",
+          "split(u1, '[?]')[0] AS base",
+          """array_join(array_sort(filter(
+            |  split(coalesce(try_element_at(split(u1, '[?]'), 2), ''), '&'),
+            |  p -> p NOT LIKE 'utm_%')), '&') AS q""".stripMargin)
+        .selectExpr("doc_id",
+          """concat(regexp_replace(base, '/$', ''),
+            |  CASE WHEN q <> '' THEN concat('?', q) ELSE '' END) AS canon""".stripMargin)
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("canon")).limit(20)
+    }),
+
+    // Curriculum ordering for training: docs bucket into integer quality
+    // tiers by type-token ratio (cross-multiplied — no float thresholds),
+    // then order (tier DESC, md5(doc_id)) — a deterministic shuffle
+    // within each tier, reproducible at any partitioning. The first-N
+    // selection is TakeOrderedAndProject (bounded heap per partition);
+    // the position column is a window over the LIMITED 50-row result,
+    // not the corpus.
+    "q_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("words", size(col("toks")).cast("long"))
+        .withColumn("uniq", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("tier", expr(
+          """CAST(CASE WHEN uniq * 10 >= words * 7 THEN 2
+            |     WHEN uniq * 10 >= words * 4 THEN 1
+            |     ELSE 0 END AS BIGINT)""".stripMargin))
+        .withColumn("h", md5(concat(lit("cur-"), col("doc_id").cast("string"))))
+      val top = scored.orderBy(desc("tier"), asc("h"), asc("doc_id"))
+        .select("doc_id", "tier", "h").limit(50)
+      top.withColumn("pos",
+          row_number().over(Window.orderBy(desc("tier"), asc("h"), asc("doc_id")))
+            .cast("long"))
+        .select("pos", "doc_id", "tier")
+        .orderBy("pos")
+    }),
+
     // MinHash + LSH near-dup candidates: exact-dup collapse → char-shingle
     // → 16 minhashes from one md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows
     // → capped band-bucket self-join. This is the 100 TB dedup path: no
@@ -2877,6 +2947,65 @@ object LlmOps {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id, concat(
+        |    'HTTP://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    source, '.Example.COM',
+        |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+        |    '/p/', CAST(doc_id % 7 AS VARCHAR),
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 3 AS VARCHAR))
+        |      WHEN 1 THEN concat('?id=', CAST(doc_id % 3 AS VARCHAR), '&utm_campaign=x')
+        |      ELSE concat('?id=', CAST(doc_id % 3 AS VARCHAR)) END,
+        |    CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
+        |  FROM documents
+        |),
+        |u AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      replace(replace(lower(regexp_replace(url, '#.*$', '')),
+        |              ':80/', '/'),
+        |        '://www.', '://'),
+        |      '/$', '') AS u1
+        |  FROM raw
+        |),
+        |parts AS (
+        |  SELECT doc_id, str_split(u1, '?')[1] AS base,
+        |    COALESCE(str_split(u1, '?')[2], '') AS qq
+        |  FROM u
+        |),
+        |canon AS (
+        |  SELECT doc_id,
+        |    concat(regexp_replace(base, '/$', ''),
+        |      CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END) AS canon
+        |  FROM parts, LATERAL (
+        |    SELECT array_to_string(
+        |      list_sort(list_filter(str_split(qq, '&'),
+        |                            p -> p NOT LIKE 'utm_%')), '&') AS q2)
+        |)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n
+        |FROM canon GROUP BY 1
+        |ORDER BY n DESC, canon LIMIT 20""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN uniq * 10 >= words * 7 THEN 2
+        |         WHEN uniq * 10 >= words * 4 THEN 1
+        |         ELSE 0 END AS BIGINT) AS tier,
+        |    md5('cur-' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM (SELECT doc_id,
+        |          len(str_split(text, ' ')) AS words,
+        |          len(list_distinct(str_split(text, ' '))) AS uniq
+        |        FROM documents)
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY tier DESC, h, doc_id)
+        |    AS BIGINT) AS pos,
+        |  doc_id, tier
+        |FROM scored ORDER BY tier DESC, h, doc_id LIMIT 50""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $MinhashSigSql,
