@@ -1931,6 +1931,69 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // T5-style span corruption accounting: deterministic span starts
+    // (md5(doc:pos) ≡ 0 mod 10), fixed span width 3, overlapping spans
+    // UNION — a position is masked iff a start falls in [pos−2, pos]
+    // (rolling max over the start flag), span count = maximal-run starts
+    // (masked ∧ ¬lag(masked)). Pure integer/window ops, reproducible at
+    // any partitioning; windows are per-doc over token positions (doc-
+    // length bounded), the corpus-scale stage is one tokenize explode +
+    // one per-source aggregation.
+    "q_span_corrupt" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pos = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+        .withColumn("st", expr(
+          "CAST(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+            "CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10 = 0 AS INT)"))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+      val masked = pos
+        .withColumn("m",
+          max(col("st")).over(win.rowsBetween(-2, Window.currentRow)))
+        .withColumn("run_start", expr(
+          "CAST(m = 1 AND coalesce(lag(m, 1) OVER " +
+            "(PARTITION BY doc_id ORDER BY p), 0) = 0 AS INT)"))
+      masked.groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("m")).cast("long").as("n_masked"),
+          sum(col("run_start")).cast("long").as("n_spans"))
+        .withColumn("mask_ratio", expr(
+          "round(CAST(n_masked AS DOUBLE) / n_tokens, 6)"))
+        .orderBy("source")
+    }),
+
+    // ROLLING-WINDOW HLL: 7-day rolling distinct users per day, computed
+    // by max-merging the per-day register tables over a RANGE window
+    // frame — the "sliding distinct" a dashboard needs, at register cost.
+    // This is the mergeability property in window form: the frame never
+    // touches raw events, only the |days|×m register table (metadata-
+    // scale at any corpus size); the one corpus-scale stage is the
+    // per-day register aggregation. Exact truth comes from a bounded ×7
+    // day explode over the distinct (day, user) pairs — a bin fan-out,
+    // not a range BNLJ.
+    "q_sketch_hll_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(expr("CAST(unix_date(to_date(ts)) AS BIGINT)").as("day"),
+          col("user_id"))
+      val regs = graft.operators.Sketches
+        .hllRegisters(ev, "user_id", HllM, Seq("day"))
+      val w = Window.partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
+      val merged = regs.withColumn("mreg", max("reg").over(w))
+        .select(col("day"), col("bucket"), col("mreg").as("reg"))
+      val est = graft.operators.Sketches
+        .hllEstimate(merged, HllM, HllAlpha, Seq("day"))
+      val du = ev.distinct()
+      val days = du.select("day").distinct()
+      val truth = du
+        .select(explode(expr("sequence(day, day + 6)")).as("day"),
+          col("user_id"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(count_distinct(col("user_id")).as("n_true"))
+      truth.join(est, Seq("day")).orderBy("day")
+    }),
+
     // Repetition signals (the Gopher-style quality filters): duplicate-
     // token fraction and most-common-token fraction per doc. Template spam
     // and keyword stuffing sit at high dup_frac/top_frac. One narrow
@@ -2186,6 +2249,63 @@ object LlmOps {
         .where(col("nll") <= col("thr") + 1e-9)
         .agg(count(lit(1)).as("n_kept"), sum(col("n_bigrams")).as("kept_bigrams"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // Interpolated Kneser-Ney bigram LM (Chen & Goodman '99) with dyadic
+    // discount d = 3/4 — the production-grade quality scorer beside
+    // q_lm_score's add-one model. Train on the hash-bucket < 80 split,
+    // score the ≥ 80 held-out docs. Every case of
+    //   P_KN(w|v) = max(c(vw)−d, 0)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/NB
+    // cross-multiplies into ONE integer rational (d = 3/4 makes 4·c − 3
+    // exact), so ln P = round(ln(num),8) − round(ln(den),8) over BIGINTs —
+    // the house ln-of-integer discipline; no float ever feeds a log.
+    // Unseen context backs off to add-one continuation ((N1+(·w)+1)/(NB+V)).
+    // Shape: test bigrams join three aggregate tables (bigram counts,
+    // per-context totals, per-word continuation counts) on their keys —
+    // shuffle equi-joins sized by |bigram types|, never corpus×corpus;
+    // the 1-row totals broadcast. BIGINT products need DECIMAL(38,0) +
+    // decimal-ln past ~10¹⁸ — the sketch-family upgrade path.
+    "q_lm_kn" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(1, size(a) - 1)," +
+              " i -> struct(a[i-1] AS v, a[i] AS w))")).as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.v").as("v"), col("b.w").as("w"))
+      val train = bg.where(expr(HashBucketSpark) < 80)
+      val cvw = train.groupBy("v", "w").agg(count(lit(1)).as("c"))
+      val cv = cvw.groupBy("v")
+        .agg(sum(col("c")).as("cv"), count(lit(1)).as("n1f"))
+      val n1b = cvw.groupBy("w").agg(count(lit(1)).as("n1b"))
+      val tot = broadcast(cvw.agg(count(lit(1)).as("nb"))
+        .crossJoin(train.select(col("v").as("t"))
+          .unionAll(train.select(col("w").as("t")))
+          .agg(count_distinct(col("t")).as("vv"))))
+      bg.where(expr(HashBucketSpark) >= 80)
+        .join(cvw, Seq("v", "w"), "left_outer")
+        .join(cv, Seq("v"), "left_outer")
+        .join(n1b, Seq("w"), "left_outer")
+        .crossJoin(tot)
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("cv", coalesce(col("cv"), lit(0L)))
+        .withColumn("n1f", coalesce(col("n1f"), lit(0L)))
+        .withColumn("n1b", coalesce(col("n1b"), lit(0L)))
+        .withColumn("num", expr(
+          """CASE WHEN cv > 0 AND c > 0 THEN (4*c - 3)*nb + 3*n1f*n1b
+            |     WHEN cv > 0 THEN 3*n1f*n1b + 1
+            |     ELSE n1b + 1 END""".stripMargin))
+        .withColumn("den", expr(
+          "CASE WHEN cv > 0 THEN 4*cv*nb ELSE nb + vv END"))
+        .withColumn("lp", expr(
+          "round(ln(CAST(num AS DOUBLE)), 8) - round(ln(CAST(den AS DOUBLE)), 8)"))
+        .groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          expr("round(-CAST(sum(CAST(lp AS DECIMAL(18,8))) AS DOUBLE)" +
+            " / count(*), 6)").as("avg_nll"))
+        .orderBy("source")
     }),
 
     // Benchmark decontamination: fraction of each doc's 8-char shingles
@@ -4229,6 +4349,92 @@ s"""WITH $ToksSql
          |FROM truth JOIN sk ON truth.event_type = sk.event_type
          |ORDER BY 1""".stripMargin,
 
+    "q_span_corrupt" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS p
+         |  FROM (SELECT doc_id, source,
+         |          unnest(generate_series(1, len(str_split(text, ' ')))) AS i
+         |        FROM documents)
+         |),
+         |st AS (
+         |  SELECT doc_id, source, p,
+         |    CAST(${hex2longSql("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))", 1)} % 10 = 0
+         |      AS INT) AS st
+         |  FROM pos
+         |),
+         |m AS (
+         |  SELECT doc_id, source, p, st,
+         |    max(st) OVER (PARTITION BY doc_id ORDER BY p
+         |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+         |  FROM st
+         |),
+         |r AS (
+         |  SELECT source, m,
+         |    CASE WHEN m = 1 AND COALESCE(
+         |        lag(m) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
+         |      THEN 1 ELSE 0 END AS run_start
+         |  FROM m
+         |)
+         |SELECT source, count(*) AS n_tokens,
+         |  CAST(sum(m) AS BIGINT) AS n_masked,
+         |  CAST(sum(run_start) AS BIGINT) AS n_spans,
+         |  round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS mask_ratio
+         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_sketch_hll_window" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |    user_id
+         |  FROM events
+         |),
+         |h AS (
+         |  SELECT day,
+         |    ${hexLongSql("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h
+         |  FROM ev
+         |),
+         |br AS (SELECT day, h % $HllM AS bucket, h // $HllM AS rest FROM h),
+         |mx AS (
+         |  SELECT day, bucket,
+         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END)
+         |      AS mrho
+         |  FROM br GROUP BY day, bucket
+         |),
+         |regs AS (
+         |  SELECT t.day, b.bucket, CAST(coalesce(mx.mrho, 0) AS BIGINT) AS reg
+         |  FROM (SELECT DISTINCT day FROM ev) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
+         |  LEFT JOIN mx ON t.day = mx.day AND b.bucket = mx.bucket
+         |),
+         |roll AS (
+         |  SELECT day, bucket,
+         |    max(reg) OVER (PARTITION BY bucket ORDER BY day
+         |                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS reg
+         |  FROM regs
+         |),
+         |sk AS (
+         |  SELECT day, max(R) AS R,
+         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
+         |  FROM (SELECT day, reg, max(reg) OVER (PARTITION BY day) AS R
+         |        FROM roll)
+         |  GROUP BY day
+         |),
+         |du AS (SELECT DISTINCT day, user_id FROM ev),
+         |fan AS (
+         |  SELECT rday, user_id FROM (
+         |    SELECT unnest(generate_series(day, day + 6)) AS rday, user_id
+         |    FROM du)
+         |  WHERE rday IN (SELECT day FROM ev)
+         |),
+         |truth AS (
+         |  SELECT rday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+         |  FROM fan GROUP BY 1
+         |)
+         |SELECT truth.day, n_true,
+         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R)
+         |        / CAST(S AS DOUBLE), 2) AS est
+         |FROM truth JOIN sk ON truth.day = sk.day
+         |ORDER BY 1""".stripMargin,
+
     "q_repetition" ->
       s"""WITH $ToksSql,
          |wc AS (SELECT doc_id, word, count(*) AS n FROM toks GROUP BY doc_id, word)
@@ -4364,6 +4570,52 @@ s"""WITH $ToksSql
          |       CAST(sum(n_bigrams) AS BIGINT) AS kept_bigrams,
          |       min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM scores CROSS JOIN thr WHERE nll <= thr.thr + 1e-9""".stripMargin,
+
+    "q_lm_kn" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, str_split(text, ' ') AS a FROM documents
+         |),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |    a[CAST(i AS INT)] AS v, a[CAST(i AS INT) + 1] AS w
+         |  FROM (SELECT doc_id, source, a,
+         |          unnest(generate_series(1, len(a) - 1)) AS i
+         |        FROM t WHERE len(a) >= 2)
+         |),
+         |train AS (SELECT * FROM bg WHERE $hashBucketSql < 80),
+         |test AS (SELECT * FROM bg WHERE $hashBucketSql >= 80),
+         |cvw AS (SELECT v, w, count(*) AS c FROM train GROUP BY 1, 2),
+         |cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv, count(*) AS n1f
+         |       FROM cvw GROUP BY 1),
+         |nb1 AS (SELECT w, count(*) AS n1b FROM cvw GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM cvw) AS nb,
+         |  (SELECT count(DISTINCT tk) FROM
+         |     (SELECT v AS tk FROM train UNION ALL SELECT w FROM train)) AS vv),
+         |j AS (
+         |  SELECT te.source, te.doc_id,
+         |    COALESCE(cvw.c, 0) AS c, COALESCE(cv.cv, 0) AS cv,
+         |    COALESCE(cv.n1f, 0) AS n1f, COALESCE(nb1.n1b, 0) AS n1b, nb, vv
+         |  FROM test te
+         |  LEFT JOIN cvw ON te.v = cvw.v AND te.w = cvw.w
+         |  LEFT JOIN cv ON te.v = cv.v
+         |  LEFT JOIN nb1 ON te.w = nb1.w
+         |  CROSS JOIN tot
+         |),
+         |sc AS (
+         |  SELECT source, doc_id,
+         |    round(ln(CAST(CASE WHEN cv > 0 AND c > 0
+         |                       THEN (4*c - 3)*nb + 3*n1f*n1b
+         |                       WHEN cv > 0 THEN 3*n1f*n1b + 1
+         |                       ELSE n1b + 1 END AS DOUBLE)), 8)
+         |    - round(ln(CAST(CASE WHEN cv > 0 THEN 4*cv*nb
+         |                         ELSE nb + vv END AS DOUBLE)), 8) AS lp
+         |  FROM j
+         |)
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_bigrams,
+         |  round(-CAST(sum(CAST(lp AS DECIMAL(18,8))) AS DOUBLE)
+         |        / count(*), 6) AS avg_nll
+         |FROM sc GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_contamination" ->
       s"""WITH s8 AS (
