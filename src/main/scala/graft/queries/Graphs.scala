@@ -73,7 +73,29 @@ object Graphs {
     * weight ≥ 5 keeps the projection sparse on the uniform harness data). */
   private val LccMinW = 5
 
+  /** q_hits: iteration count (unrolled identically in the oracle). */
+  private val HitsRounds = 3
+
   val queries: Map[String, Q] = Map(
+
+    // HITS hubs & authorities (operators.Hits) on the directed
+    // customer→part purchase graph: two edge⋈scores joins per round with
+    // max-normalization (L∞ — no cross-engine sqrt), the PageRank float
+    // discipline throughout. Top-10 per side via TakeOrderedAndProject.
+    "q_hits" -> ((s, dir) => {
+      val e = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst"))
+      val hs = graft.operators.Hits.run(e, HitsRounds)
+      val top = hs.where(col("kind") === "hub")
+        .orderBy(desc("score"), asc("v")).limit(10)
+        .unionByName(hs.where(col("kind") === "auth")
+          .orderBy(desc("score"), asc("v")).limit(10))
+      top.select(col("v").cast("long").as("v"), col("kind"), col("score"))
+        .orderBy(col("kind"), desc("score"), asc("v"))
+    }),
 
     // Local clustering coefficient: per-vertex closed-triangle count over
     // C(deg, 2) possible wedges — the q_triangles degree-oriented wedge
@@ -269,7 +291,42 @@ object Graphs {
        |      + ($AnfM - n_nz) * (1::BIGINT << CAST(R AS INT)) AS S)
        |)""".stripMargin
 
+  private def hitsRoundSql(i: Int): String =
+    s"""a${i}r AS (
+       |  SELECT dst AS v, sum(CAST(s AS DECIMAL(28,10))) AS sm
+       |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.v GROUP BY 1
+       |),
+       |a$i AS (
+       |  SELECT v, CAST(round(CAST(sm AS DOUBLE)
+       |    / CAST((SELECT max(sm) FROM a${i}r) AS DOUBLE), 8) AS DOUBLE) AS s
+       |  FROM a${i}r
+       |),
+       |h${i}r AS (
+       |  SELECT src AS v, sum(CAST(s AS DECIMAL(28,10))) AS sm
+       |  FROM e JOIN a$i ON e.dst = a$i.v GROUP BY 1
+       |),
+       |h$i AS (
+       |  SELECT v, CAST(round(CAST(sm AS DOUBLE)
+       |    / CAST((SELECT max(sm) FROM h${i}r) AS DOUBLE), 8) AS DOUBLE) AS s
+       |  FROM h${i}r
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    "q_hits" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_partkey + 10000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |),
+         |h0 AS (SELECT DISTINCT src AS v, 1.0 AS s FROM e),
+         |${(1 to HitsRounds).map(hitsRoundSql).mkString(",\n")}
+         |SELECT * FROM (
+         |  (SELECT CAST(v AS BIGINT) AS v, 'hub' AS kind, s AS score
+         |   FROM h$HitsRounds ORDER BY s DESC, v LIMIT 10)
+         |  UNION ALL
+         |  (SELECT CAST(v AS BIGINT) AS v, 'auth' AS kind, s AS score
+         |   FROM a$HitsRounds ORDER BY s DESC, v LIMIT 10))
+         |ORDER BY kind, score DESC, v""".stripMargin,
 
     "q_lcc" ->
       s"""WITH os AS (

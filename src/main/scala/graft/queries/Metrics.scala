@@ -145,6 +145,84 @@ object Metrics {
         .orderBy("c_mktsegment", "region")
     }),
 
+    // Dynamic time warping distance between each event type's daily
+    // series and the purchase series — the alignment-tolerant similarity
+    // a seasonality/shape analysis needs where Pearson (q_cross_corr)
+    // assumes rigid day alignment. Full O(n·m) DP as a nested array
+    // aggregate: the outer fold walks rows, the inner fold builds each
+    // row left-to-right (the sequential dependency is inherent to DTW),
+    // all BIGINT with an INF sentinel — bit-equal in the oracle's
+    // (i, j)-stepping recursive CTE. The DP runs on AGGREGATED
+    // calendar-bounded series (n·m ≈ 10⁴ cells at a century of days);
+    // the corpus-scale stage is the one daily count shuffle.
+    "q_dtw" -> ((s, dir) => {
+      val inf = "CAST(1000000000000000 AS BIGINT)"
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(expr("transform(sort_array(collect_list(struct(day, n))), s -> s.n)")
+          .as("b"))
+      val pa = broadcast(daily.where(col("event_type") === "purchase")
+        .select(col("b").as("a")))
+      daily.crossJoin(pa)
+        .withColumn("dtw", expr(
+          s"""aggregate(
+             |  sequence(1, size(a)),
+             |  transform(b, x -> $inf),
+             |  (prev, i) -> aggregate(
+             |    sequence(1, size(b)),
+             |    CAST(array() AS ARRAY<BIGINT>),
+             |    (row, j) -> concat(row, array(
+             |      abs(element_at(a, i) - element_at(b, j)) + least(
+             |        element_at(prev, j),
+             |        CASE WHEN j = 1 THEN $inf
+             |             ELSE element_at(row, j - 1) END,
+             |        CASE WHEN j = 1 THEN
+             |               (CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+             |                     ELSE $inf END)
+             |             ELSE element_at(prev, j - 1) END)))),
+             |  prev -> element_at(prev, size(b)))""".stripMargin))
+        .select(col("event_type"), size(col("a")).cast("long").as("n_a"),
+          size(col("b")).cast("long").as("n_b"), col("dtw"))
+        .orderBy("event_type")
+    }),
+
+    // Lagged cross-correlation between the daily click and purchase
+    // series (lead/lag discovery — "do clicks predict purchases k days
+    // out?"): for each lag in [−7, 7], Pearson r over the PAIRED days
+    // from the five integer power sums (the q_corr discipline — exact
+    // BIGINTs, one identical sqrt expression; IEEE sqrt is correctly
+    // rounded, so it is engine-invariant unlike ln). Pairing is an
+    // equi-join on day+lag after a ×15 lag explode of the aggregated
+    // daily table — never a range join, and the series is calendar-
+    // bounded at any corpus scale.
+    "q_cross_corr" -> ((s, dir) => {
+      val d = table(s, dir, "events")
+        .groupBy(expr("CAST(unix_date(to_date(ts)) AS BIGINT)").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val x = d.where(col("event_type") === "click")
+        .select(col("day"), col("n").as("x"))
+      val y = d.where(col("event_type") === "purchase")
+        .select(col("day").as("yday"), col("n").as("y"))
+      x.select(col("day"), col("x"),
+          explode(expr("sequence(-7, 7)")).as("lag"))
+        .join(y, col("day") + col("lag") === col("yday"))
+        .groupBy("lag").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x*y")).as("sxy"),
+          sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"))
+        .withColumn("r", round(expr(
+          """(CAST(n_pairs AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+            | sqrt((CAST(n_pairs AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+            |       (CAST(n_pairs AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))"""
+            .stripMargin), 6))
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"), col("r"))
+        .orderBy("lag")
+    }),
+
     // t-closeness (Li et al., ICDE'07): for each quasi-identifier group,
     // the Earth-Mover's Distance between the group's distribution over an
     // ORDERED sensitive attribute (price binned to 10 levels) and the
@@ -567,6 +645,74 @@ object Metrics {
          |FROM customer
          |GROUP BY 1, 2
          |ORDER BY c_mktsegment, region""".stripMargin,
+
+    "q_dtw" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |ser AS (
+        |  SELECT event_type, list(CAST(n AS BIGINT) ORDER BY day) AS b
+        |  FROM daily GROUP BY 1
+        |),
+        |pa AS (SELECT b AS a FROM ser WHERE event_type = 'purchase'),
+        |pairs AS (SELECT event_type, a, b FROM ser CROSS JOIN pa),
+        |step AS (
+        |  SELECT event_type, 1 AS i, 0 AS j,
+        |    list_transform(b, x -> CAST(1000000000000000 AS BIGINT)) AS prev,
+        |    CAST([] AS BIGINT[]) AS cur, a, b
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CASE WHEN j + 1 = len(b) THEN i + 1 ELSE i END AS i,
+        |    CASE WHEN j + 1 = len(b) THEN 0 ELSE j + 1 END AS j,
+        |    CASE WHEN j + 1 = len(b) THEN cur || [cell] ELSE prev END AS prev,
+        |    CASE WHEN j + 1 = len(b) THEN CAST([] AS BIGINT[])
+        |         ELSE cur || [cell] END AS cur,
+        |    a, b
+        |  FROM (
+        |    SELECT *,
+        |      abs(a[i] - b[j + 1]) + least(
+        |        prev[j + 1],
+        |        CASE WHEN j = 0 THEN CAST(1000000000000000 AS BIGINT)
+        |             ELSE cur[j] END,
+        |        CASE WHEN j = 0 THEN
+        |               (CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+        |                     ELSE CAST(1000000000000000 AS BIGINT) END)
+        |             ELSE prev[j] END) AS cell
+        |    FROM step WHERE i <= len(a))
+        |)
+        |SELECT event_type, CAST(len(a) AS BIGINT) AS n_a,
+        |  CAST(len(b) AS BIGINT) AS n_b, prev[len(b)] AS dtw
+        |FROM step
+        |WHERE i = len(a) + 1 AND j = 0
+        |ORDER BY event_type""".stripMargin,
+
+    "q_cross_corr" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |x AS (SELECT day, n AS x FROM d WHERE event_type = 'click'),
+        |y AS (SELECT day AS yday, n AS y FROM d WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT lag, x, y FROM (
+        |    SELECT day, x, unnest(generate_series(-7, 7)) AS lag FROM x)
+        |  JOIN y ON day + lag = yday
+        |),
+        |a AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM p GROUP BY lag
+        |)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+        |   sqrt((CAST(n_pairs AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+        |        (CAST(n_pairs AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS r
+        |FROM a ORDER BY lag""".stripMargin,
 
     "q_tcloseness" ->
       """WITH b AS (

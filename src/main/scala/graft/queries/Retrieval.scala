@@ -157,6 +157,41 @@ object Retrieval {
     // top-50s are TakeOrderedAndProject selections (k rows per partition
     // cross the final gather — no global sort), the seed is a 1-row
     // broadcast, and the display window runs over ≤ 100 survivor rows.
+    // Rank-biased overlap (Webber et al., TOIS'10) between two document
+    // rankings — the rank-similarity audit run before swapping a ranker:
+    // truncated RBO@20 with p = 1/2, so the weight (1−p)·p^(d−1) = 2^−d
+    // is exact dyadic and each depth term is ONE correctly-rounded
+    // division ov(d) / (d·2^d) over integers, decimal-summed. Rankings:
+    // by raw length vs by distinct-word count (top-20 each via
+    // TakeOrderedAndProject); overlap-at-depth runs over the ≤20-row
+    // intersection × 20 depths — constant work after the rank selections.
+    "q_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def ranked(df: DataFrame, metric: String) =
+        df.orderBy(desc(metric), asc("doc_id")).limit(20)
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(desc(metric), asc("doc_id"))).cast("long"))
+          .select("doc_id", "rk")
+      val ra = ranked(table(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars")
+        .withColumnRenamed("rk", "ra")
+      val rb = ranked(
+        toks(s, dir).groupBy("doc_id")
+          .agg(count_distinct(col("word")).as("uniq")), "uniq")
+        .withColumnRenamed("rk", "rb")
+      val j = ra.join(rb, Seq("doc_id"))
+      val depths = table(s, dir, "documents").limit(1)
+        .select(explode(expr("sequence(1, 20)")).as("d"))
+      val ov = depths.join(j,
+          col("ra") <= col("d") && col("rb") <= col("d"), "left_outer")
+        .groupBy("d").agg(count(col("doc_id")).as("ov"))
+      ov.withColumn("term", expr(
+          "round(CAST(ov AS DOUBLE) / CAST(d * shiftleft(1, CAST(d AS INT)) AS BIGINT), 8)"))
+        .agg(max(lit(20L)).as("depth"), dsum(col("term"), 8).as("rbo"))
+        .crossJoin(broadcast(j.agg(count(lit(1)).as("n_common"))))
+        .select("depth", "n_common", "rbo")
+    }),
+
     "q_rrf_fusion" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val t = toks(s, dir)
@@ -360,6 +395,34 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q_rbo" ->
+      s"""WITH ${Reference.ToksSql},
+         |ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+         |    AS ra
+         |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+         |),
+         |uq AS (SELECT doc_id, count(DISTINCT word) AS uniq FROM toks
+         |       GROUP BY 1),
+         |rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY uniq DESC, doc_id)
+         |    AS rb
+         |  FROM uq ORDER BY uniq DESC, doc_id LIMIT 20
+         |),
+         |j AS (SELECT ra.doc_id, ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)),
+         |ov AS (
+         |  SELECT d, count(doc_id) AS ov
+         |  FROM (SELECT unnest(generate_series(1, 20)) AS d)
+         |  LEFT JOIN j ON ra <= d AND rb <= d
+         |  GROUP BY d
+         |)
+         |SELECT CAST(20 AS BIGINT) AS depth,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_common,
+         |  CAST(sum(CAST(round(CAST(ov AS DOUBLE)
+         |    / CAST(d * (1::BIGINT << CAST(d AS INT)) AS BIGINT), 8)
+         |    AS DECIMAL(18,8))) AS DOUBLE) AS rbo
+         |FROM ov""".stripMargin,
 
     "q_item2item" ->
       """WITH b AS (
