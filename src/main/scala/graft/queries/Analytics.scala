@@ -59,7 +59,7 @@ object Analytics {
       .map { case (t, k) => s"WHEN $u < $t THEN $k" }
       .mkString("CASE ", " ", s" ELSE ${PoissonThresholds.size} END")
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // Poisson-bootstrap replicate means (the scale-out bootstrap: weights
     // are i.i.d.-ish Poisson(1) counts derived from a keyed PRF, so a
@@ -652,7 +652,7 @@ object Analytics {
        |  FROM s$i s JOIN m$i m ON s.seed = m.seed AND s.h = m.h
        |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
 
     "q_bootstrap" -> {
       val u = hex2longSql(

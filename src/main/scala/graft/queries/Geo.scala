@@ -111,7 +111,7 @@ object Geo {
        |        FROM h${i - 1})
        |)""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // Hilbert vs Morton curve-walk locality over the full 16×16 grid
     // (+ the point density of each cell at that resolution): for every
@@ -274,7 +274,7 @@ object Geo {
         .orderBy("comp_id")
     }))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
 
     "q_geo_hilbert" -> {
       val cw = Space / HilbN

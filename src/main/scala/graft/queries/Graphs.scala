@@ -76,7 +76,7 @@ object Graphs {
   /** q_hits: iteration count (unrolled identically in the oracle). */
   private val HitsRounds = 3
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // HITS hubs & authorities (operators.Hits) on the directed
     // customer→part purchase graph: two edge⋈scores joins per round with
@@ -311,7 +311,7 @@ object Graphs {
        |  FROM h${i}r
        |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
 
     "q_hits" ->
       s"""WITH e AS (

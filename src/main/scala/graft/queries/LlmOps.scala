@@ -610,7 +610,7 @@ object LlmOps {
 
   // =========================================================================
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // Exact dedup: hash-groupBy on full text; keeper = min doc_id.
     "q_dedup_exact" -> ((s, dir) =>
@@ -1365,8 +1365,67 @@ object LlmOps {
         col("n_chars"))
         .orderBy("doc_id")),
 
+    // Token-budget apportionment (Hamilton / largest-remainder): given a
+    // global training budget of 10⁶ tokens, allocate per-source quotas
+    // proportional to token counts with EXACT integer arithmetic — base =
+    // ⌊B·c/C⌋, then the B − Σbase leftover units go to the largest
+    // remainders (B·c mod C, ties to source name). The apportionment runs
+    // on the per-source aggregate (|sources| rows — the q_survival-style
+    // bounded window); Σquota = B exactly, no float proportions to drift.
+    // B·c needs DECIMAL(38,0) past ~10¹³ tokens/source — noted like the
+    // sketch family.
+    "q_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1000000L
+      val counts = toks(s, dir)
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("c"))
+      val tot = broadcast(counts.agg(sum(col("c")).as("ctot")))
+      val q = counts.crossJoin(tot)
+        .withColumn("base", expr(s"($B * c) div ctot"))
+        .withColumn("rem", expr(s"($B * c) % ctot"))
+      val extra = broadcast(q.agg((lit(B) - sum(col("base"))).as("extra")))
+      q.withColumn("rnk", row_number()
+          .over(Window.orderBy(desc("rem"), asc("source"))).cast("long"))
+        .crossJoin(extra)
+        .withColumn("quota", col("base") +
+          when(col("rnk") <= col("extra"), 1L).otherwise(0L))
+        .select(col("source"), col("c").as("tokens"), col("quota"))
+        .orderBy("source")
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set (bag-of-
     // words identity, robust to word order — catches shuffled duplicates).
+    // Flesch reading-ease profile per source — the classic readability
+    // quality signal. Sentences = non-empty [.!?]-delimited chunks
+    // (floored at 1), words = whitespace tokens, syllables = vowel-group
+    // runs [aeiouy]+ over the lowercased text (whitespace carries no
+    // vowels, so whole-text counting ≡ per-word counting, saving the
+    // explode). All three are exact BIGINTs from one narrow scan; the
+    // score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is the same scalar
+    // expression both engines evaluate on identical integers, pre-rounded
+    // per doc then decimal-summed for the per-source mean.
+    "q_readability" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("words", size(filter(split(col("text"), "\\s+"),
+          x => length(x) > 0)).cast("long"))
+        .withColumn("sents", greatest(lit(1L),
+          size(filter(split(col("text"), "[.!?]+"),
+            x => length(trim(x)) > 0)).cast("long")))
+        .withColumn("syls", size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("long"))
+        .where(col("words") > 0)
+        .withColumn("flesch", expr(
+          "CAST(round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)" +
+            " - 84.6 * (CAST(syls AS DOUBLE) / words), 4) AS DECIMAL(18,4))"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("total_words"),
+          sum(col("syls")).as("total_syls"),
+          expr("round(CAST(sum(flesch) AS DOUBLE) / count(*), 6)")
+            .as("avg_flesch"))
+        .orderBy("source")),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         Tokenize.fingerprint(col("text")).as("fp"))
@@ -3063,7 +3122,7 @@ object LlmOps {
          |  FROM bands JOIN bsz USING (band, v) WHERE bsz.bn <= $BandBucketCap
          |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -3994,6 +4053,31 @@ object LlmOps {
          |  n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |        x -> trim(x) <> '')) AS BIGINT)) AS sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syls
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT source, words, syls,
+        |    CAST(round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+        |      - 84.6 * (CAST(syls AS DOUBLE) / words), 4)
+        |      AS DECIMAL(18,4)) AS flesch
+        |  FROM d WHERE words > 0
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS total_words,
+        |  CAST(sum(syls) AS BIGINT) AS total_syls,
+        |  round(CAST(sum(flesch) AS DOUBLE) / count(*), 6) AS avg_flesch
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "q_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(
@@ -4570,6 +4654,27 @@ s"""WITH $ToksSql
          |       CAST(sum(n_bigrams) AS BIGINT) AS kept_bigrams,
          |       min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM scores CROSS JOIN thr WHERE nll <= thr.thr + 1e-9""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH ${Reference.ToksSql},
+         |counts AS (
+         |  SELECT source, count(*) AS c
+         |  FROM toks JOIN documents USING (doc_id) GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM counts),
+         |q AS (
+         |  SELECT source, c,
+         |    (1000000 * c) // ctot AS base,
+         |    (1000000 * c) % ctot AS rem
+         |  FROM counts CROSS JOIN tot
+         |),
+         |x AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM q)
+         |SELECT source, CAST(c AS BIGINT) AS tokens,
+         |  CAST(base + CASE WHEN row_number()
+         |      OVER (ORDER BY rem DESC, source) <= extra
+         |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |FROM q CROSS JOIN x
+         |ORDER BY source""".stripMargin,
 
     "q_lm_kn" ->
       s"""WITH t AS (

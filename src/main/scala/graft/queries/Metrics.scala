@@ -63,7 +63,7 @@ object Metrics {
        |  FROM events GROUP BY 1
        |)""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // Sample autocorrelation of the daily event-count series at lags
     // 1..7 — the seasonality detector a forecasting pipeline runs first.
@@ -143,6 +143,84 @@ object Metrics {
         .withColumn("safe",
           expr(s"CAST(CASE WHEN ldiv >= $LDiv THEN 1 ELSE 0 END AS BIGINT)"))
         .orderBy("c_mktsegment", "region")
+    }),
+
+    // Freshness-decayed activity score: per event type, events weighted by
+    // 2^-(age_weeks) with a 7-day half-life — the recency prior a
+    // training-data mixer applies to crawl snapshots. Weights are DYADIC
+    // (age div 7 capped at 12), so the score is an exact BIGINT in units
+    // of 2⁻¹²: weighted_scaled = Σ n·2^(12−k) — no float decay drift, one
+    // division at the end for the human-readable column. One partial-agg'd
+    // daily shuffle; the decay arithmetic runs on the aggregate.
+    "q_decay_score" -> ((s, dir) => {
+      val d = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(unix_date(to_date(ts)) AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mx = broadcast(d.agg(max(col("day")).as("mxd")))
+      d.crossJoin(mx)
+        .withColumn("k", expr("least((mxd - day) div 7, 12)"))
+        .withColumn("ws", expr(
+          "n * shiftleft(CAST(1 AS BIGINT), CAST(12 - k AS INT))"))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"), sum(col("ws")).as("scaled"))
+        .withColumn("weighted",
+          expr("round(CAST(scaled AS DOUBLE) / 4096, 6)"))
+        .orderBy("event_type")
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013): per-user pre-period
+    // metric X and experiment-period metric Y (split at the corpus's
+    // midpoint day), variant = user_id parity; the adjusted mean is
+    // mean(Y) − θ·(mean(X) − mean_all(X)) with θ = cov(X,Y)/var(X) pooled.
+    // Per-user sums are DECIMAL(18,4)-exact, the θ power sums (Σxy, Σx²)
+    // are exact DECIMAL(38,8) cross-products — identical decimals reach
+    // the one double division in both engines, and the remaining scalar
+    // ops are the same expression tree, so the floats cannot drift. The
+    // only corpus-scale stage is the per-user aggregate (1 shuffle); all
+    // moment math runs on the |users| table and 1-row broadcasts.
+    "q_cuped" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"),
+          expr("CAST(unix_date(to_date(ts)) AS BIGINT)").as("day"),
+          expr("CAST(round(value, 4) AS DECIMAL(18,4))").as("v"))
+      val mid = broadcast(ev.agg(
+        expr("(min(day) + max(day)) div 2").as("mid")))
+      val u = ev.crossJoin(mid)
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("mid"), col("v"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("decimal(18,4)")
+            .as("x"),
+          sum(when(col("day") >= col("mid"), col("v"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("decimal(18,4)")
+            .as("y"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val theta = broadcast(u.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,8)").as("sx"),
+        sum(col("y")).cast("decimal(38,8)").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))"))
+          .cast("decimal(38,8)").as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))"))
+          .cast("decimal(38,8)").as("sxx"))
+        .withColumn("theta", expr(
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+        .withColumn("mx", expr("CAST(sx AS DOUBLE) / n"))
+        .select("theta", "mx"))
+      u.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).cast("decimal(38,4)").as("vx"),
+          sum(col("y")).cast("decimal(38,4)").as("vy"))
+        .crossJoin(theta)
+        .select(col("variant"), col("n_users"),
+          expr("round(CAST(vy AS DOUBLE) / n_users, 6)").as("mean_y"),
+          expr("round(CAST(vy AS DOUBLE) / n_users - theta * " +
+            "(CAST(vx AS DOUBLE) / n_users - mx), 6)").as("mean_y_cuped"),
+          expr("round(theta, 6)").as("theta"))
+        .orderBy("variant")
     }),
 
     // Dynamic time warping distance between each event type's daily
@@ -582,7 +660,7 @@ object Metrics {
             .as("modularity"))
     }))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
 
     "q_autocorr" ->
       s"""WITH $DailySql,
@@ -645,6 +723,73 @@ object Metrics {
          |FROM customer
          |GROUP BY 1, 2
          |ORDER BY c_mktsegment, region""".stripMargin,
+
+    "q_decay_score" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |mx AS (SELECT max(day) AS mxd FROM d),
+        |w AS (
+        |  SELECT event_type, n,
+        |    n * (1::BIGINT << CAST(12 - least((mxd - day) // 7, 12) AS INT))
+        |      AS ws
+        |  FROM d CROSS JOIN mx
+        |)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(ws) AS BIGINT) AS scaled,
+        |  round(CAST(sum(ws) AS DOUBLE) / 4096, 6) AS weighted
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(round(value, 4) AS DECIMAL(18,4)) AS v
+        |  FROM events
+        |),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day < mid THEN v
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4))
+        |      AS x,
+        |    CAST(sum(CASE WHEN day >= mid THEN v
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4))
+        |      AS y,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM ev CROSS JOIN mid GROUP BY user_id
+        |),
+        |t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS DECIMAL(38,8)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(38,8)) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+        |         AS DECIMAL(38,8)) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)))
+        |         AS DECIMAL(38,8)) AS sxx
+        |  FROM u
+        |),
+        |th AS (
+        |  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+        |    CAST(sx AS DOUBLE) / n AS mx
+        |  FROM t
+        |)
+        |SELECT variant, count(*) AS n_users,
+        |  round(CAST(CAST(sum(y) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / count(*), 6) AS mean_y,
+        |  round(CAST(CAST(sum(y) AS DECIMAL(38,4)) AS DOUBLE) / count(*)
+        |    - theta * (CAST(CAST(sum(x) AS DECIMAL(38,4)) AS DOUBLE)
+        |               / count(*) - mx), 6) AS mean_y_cuped,
+        |  round(theta, 6) AS theta
+        |FROM u CROSS JOIN th
+        |GROUP BY variant, theta, mx
+        |ORDER BY variant""".stripMargin,
 
     "q_dtw" ->
       """WITH RECURSIVE daily AS (

@@ -43,7 +43,7 @@ object Reference {
        |SELECT word, count(*) AS cnt FROM toks GROUP BY word
        |ORDER BY cnt DESC, word""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
     // O1: text scan — projection reaches the parquet reader (column pruning).
     "q_scan_text" -> ((s, dir) =>
       docs(s, dir).select("doc_id", "lang", "source", "n_chars", "text")
@@ -300,7 +300,7 @@ object Reference {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
     "q_scan_text" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents ORDER BY doc_id",
     "q_repartition" ->

@@ -138,7 +138,7 @@ object Relational {
     """round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) /
       | sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/CAST(nullif(n - 1, 0) AS DOUBLE)), 4)""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
     // → tiny shuffle regardless of input size (scales linearly to 100 TB).
     "q1_agg" -> ((s, dir) =>
@@ -673,7 +673,55 @@ object Relational {
     // state with CASE/WHERE set logic — no window, no feed — so the
     // latest-change-wins semantics are cross-checked by a different
     // algorithm.
-    "q_cdc_apply" -> ((s, dir) => {
+    // FIFO allocation (inventory/lot matching): per part, demand rows
+    // (lineitems in (orderkey, linenumber) order) consume synthetic supply
+    // lots in lot_seq order. The classic running-sum trick turns the
+    // sequential matching into pure interval arithmetic — supply lot i
+    // covers cumulative units [s_start, s_end), demand j covers
+    // [d_start, d_end), and the allocation is the interval OVERLAP — so
+    // the whole match is two per-key cumsum windows (partition-parallel,
+    // no cross-key data movement) + one equi-join on the part key with
+    // ≤3 lots per part bounding the fan-out. All quantities are DECIMAL —
+    // the overlap arithmetic is exact, one cast to DOUBLE at the end.
+    "q_fifo_alloc" -> ((s, dir) => {
+      val lots = table(s, dir, "part").where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("pk"),
+          explode(expr("sequence(1, 3)")).as("lot_seq"))
+        .withColumn("lot_qty", expr(
+          "CAST(5 + conv(substring(md5(CAST(pk AS STRING)), " +
+            "lot_seq * 2 - 1, 2), 16, 10) % 30 AS DECIMAL(12,2))"))
+      val wS = Window.partitionBy("pk").orderBy("lot_seq")
+      val supply = lots
+        .withColumn("s_end", sum(col("lot_qty")).over(wS))
+        .withColumn("s_start", col("s_end") - col("lot_qty"))
+      val wD = Window.partitionBy("pk").orderBy("l_orderkey", "l_linenumber")
+      val demand = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 10 === 0)
+        .select(col("l_partkey").as("pk"), col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast("decimal(12,2)").as("dq"))
+        .withColumn("d_end", sum(col("dq")).over(wD))
+        .withColumn("d_start", col("d_end") - col("dq"))
+      val alloc = demand.join(supply, Seq("pk"))
+        .withColumn("a",
+          least(col("s_end"), col("d_end")) -
+            greatest(col("s_start"), col("d_start")))
+        .where(col("a") > 0)
+      alloc.groupBy("pk")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("a")).cast("decimal(18,2)").as("filled_d"),
+          sum(col("a") * col("lot_seq")).cast("decimal(18,2)").as("lw_d"))
+        .join(demand.groupBy("pk")
+          .agg(sum(col("dq")).cast("decimal(18,2)").as("td_d")), Seq("pk"))
+        .select(col("pk"), col("n_matches"),
+          col("filled_d").cast("double").as("filled"),
+          col("lw_d").cast("double").as("lot_weighted"),
+          (col("td_d") - col("filled_d")).cast("decimal(18,2)")
+            .cast("double").as("unfilled"))
+        .orderBy("pk")
+    }),
+
+    "q_cdc_changes" -> ((s, dir) => {
       val o = table(s, dir, "orders")
       val dels = o.where(col("o_orderkey") % 7 === 0)
         .withColumn("op", lit("D")).withColumn("seq", lit(1L))
@@ -876,6 +924,56 @@ object Relational {
     // (q_fuzzy_match, q_dedup_components): no O(V²) compare, O(log n)
     // rounds. Vertex ids are md5-derived BIGINTs so the oracle (naive
     // lev join + recursive CTE — different algorithms) agrees on labels.
+    // Sorted-neighborhood blocking (Hernández-Stolfo) — the OTHER classic
+    // ER candidate generator beside SymSpell deletes: sort the vocabulary,
+    // compare each word only to its next 3 lexicographic neighbors, verify
+    // with the banded codegen'd lev_within. The global sort rank comes
+    // from operators.Ranks (range-partitioned — a 10⁷-word vocabulary
+    // never sits on one task) and the neighbor join is an EQUI-join on
+    // rank+d after a ×3 explode, so candidate volume is exactly 3·|V|.
+    // Recall differs from SymSpell by construction (a lexicographic
+    // blocker misses edits that change the first letters) — comparing the
+    // two channels is what q_dedup_agreement does for near-dup; here the
+    // output is the matched-pair table itself.
+    "q_er_sorted_neighborhood" -> ((s, dir) => {
+      val words = corpusToks(s, dir).select("word").distinct()
+        .where(col("word").rlike("^[ -~]+$"))
+        .withColumn("one", lit(1))
+      val ranked = graft.operators.Ranks
+        .withinKey(words, "one", Seq("word")).drop("one")
+      val probe = ranked.select(col("word").as("w1"), col("rk"),
+          explode(expr("sequence(1, 3)")).as("d"))
+        .select(col("w1"), (col("rk") + col("d")).as("rk2"))
+      probe.join(ranked.select(col("word").as("w2"), col("rk").as("rk2")),
+          Seq("rk2"))
+        .where(expr("lev_within(w1, w2, 2) <= 2"))
+        .select(col("w1"), col("w2"),
+          levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+        .orderBy("w1", "w2")
+    }),
+
+    // GDPR right-to-be-forgotten cascade audit: a deletion set of
+    // customers propagates through the foreign-key chain (orders →
+    // lineitems) with broadcast semi/anti joins — the deletion set is
+    // always small relative to the corpus, so no fact table shuffles; the
+    // report is what a compliance job emits before committing the purge.
+    "q_forget_cascade" -> ((s, dir) => {
+      val forget = table(s, dir, "customer")
+        .where(col("c_custkey") % 97 === 0).select("c_custkey")
+      val remOrders = table(s, dir, "orders")
+        .join(broadcast(forget), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+      val li = table(s, dir, "lineitem")
+      val remLi = li.join(remOrders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val kept = li.join(remOrders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      forget.agg(count(lit(1)).as("n_forgotten"))
+        .crossJoin(remOrders.agg(count(lit(1)).as("n_orders_removed")))
+        .crossJoin(remLi.agg(count(lit(1)).as("n_lineitems_removed")))
+        .crossJoin(kept.agg(dsum(col("l_extendedprice"), 2).as("kept_revenue")))
+    }),
+
     "q_entity_resolution" -> ((s, dir) => {
       val words = corpusToks(s, dir).select("word").distinct()
         .where(col("word").rlike("^[ -~]+$"))
@@ -2644,7 +2742,7 @@ object Relational {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty,
@@ -2950,7 +3048,59 @@ object Relational {
          |SELECT o_orderpriority, count(*) AS n,
          |  ${dsumSql("o_totalprice", 2)} AS total
          |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q_cdc_apply" ->
+    "q_fifo_alloc" -> {
+      val q1 = hexLongSql("h", 1, 2); val q2 = hexLongSql("h", 3, 2)
+      val q3 = hexLongSql("h", 5, 2)
+      s"""WITH lots AS (
+         |  SELECT pk, i AS lot_seq,
+         |    CAST(5 + (CASE i WHEN 1 THEN $q1 WHEN 2 THEN $q2
+         |              ELSE $q3 END) % 30 AS DECIMAL(12,2)) AS lot_qty
+         |  FROM (SELECT p_partkey AS pk,
+         |          md5(CAST(p_partkey AS VARCHAR)) AS h
+         |        FROM part WHERE p_partkey % 10 = 0),
+         |       (SELECT unnest([1, 2, 3]) AS i)
+         |),
+         |supply AS (
+         |  SELECT pk, lot_seq, lot_qty,
+         |    sum(lot_qty) OVER (PARTITION BY pk ORDER BY lot_seq) AS s_end,
+         |    sum(lot_qty) OVER (PARTITION BY pk ORDER BY lot_seq)
+         |      - lot_qty AS s_start
+         |  FROM lots
+         |),
+         |demand AS (
+         |  SELECT l_partkey AS pk, CAST(l_quantity AS DECIMAL(12,2)) AS dq,
+         |    sum(CAST(l_quantity AS DECIMAL(12,2)))
+         |      OVER w AS d_end,
+         |    sum(CAST(l_quantity AS DECIMAL(12,2)))
+         |      OVER w - CAST(l_quantity AS DECIMAL(12,2)) AS d_start
+         |  FROM lineitem WHERE l_partkey % 10 = 0
+         |  WINDOW w AS (PARTITION BY l_partkey
+         |               ORDER BY l_orderkey, l_linenumber)
+         |),
+         |alloc AS (
+         |  SELECT d.pk, s.lot_seq,
+         |    least(s.s_end, d.d_end) - greatest(s.s_start, d.d_start) AS a
+         |  FROM demand d JOIN supply s USING (pk)
+         |  WHERE least(s.s_end, d.d_end) - greatest(s.s_start, d.d_start) > 0
+         |),
+         |agg AS (
+         |  SELECT pk, count(*) AS n_matches,
+         |    CAST(sum(a) AS DECIMAL(18,2)) AS filled_d,
+         |    CAST(sum(a * lot_seq) AS DECIMAL(18,2)) AS lw_d
+         |  FROM alloc GROUP BY pk
+         |),
+         |dem AS (
+         |  SELECT pk, CAST(sum(dq) AS DECIMAL(18,2)) AS td_d
+         |  FROM demand GROUP BY pk
+         |)
+         |SELECT pk, n_matches, CAST(filled_d AS DOUBLE) AS filled,
+         |  CAST(lw_d AS DOUBLE) AS lot_weighted,
+         |  CAST(CAST(td_d - filled_d AS DECIMAL(18,2)) AS DOUBLE) AS unfilled
+         |FROM agg JOIN dem USING (pk)
+         |ORDER BY pk""".stripMargin
+    },
+
+    "q_cdc_changes" ->
       s"""WITH merged AS (
          |  SELECT CASE WHEN o_orderkey % 7 = 1 THEN '9-CDC'
          |         ELSE o_orderpriority END AS o_orderpriority,
@@ -3120,6 +3270,36 @@ object Relational {
     // Different algorithms on purpose: naive O(V²) levenshtein join (the
     // completeness proof for the blocked Spark-side candidates) and a
     // recursive-CTE reachability fixpoint vs pointer-doubling propagation.
+    "q_er_sorted_neighborhood" ->
+      s"""WITH ${Reference.ToksSql},
+         |words AS (SELECT DISTINCT word FROM toks
+         |          WHERE regexp_matches(word, '^[ -~]+$$')),
+         |r AS (SELECT word, row_number() OVER (ORDER BY word) AS rk
+         |      FROM words),
+         |cand AS (
+         |  SELECT a.word AS w1, b.word AS w2
+         |  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+         |)
+         |SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(w1, w2) <= 2
+         |ORDER BY w1, w2""".stripMargin,
+
+    "q_forget_cascade" ->
+      """WITH forget AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        |),
+        |ro AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+        |rl AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM ro)),
+        |kept AS (SELECT l_extendedprice FROM lineitem
+        |         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ro))
+        |SELECT (SELECT count(*) FROM forget) AS n_forgotten,
+        |  (SELECT count(*) FROM ro) AS n_orders_removed,
+        |  (SELECT count(*) FROM rl) AS n_lineitems_removed,
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM kept) AS kept_revenue""".stripMargin,
+
     "q_entity_resolution" ->
       s"""WITH RECURSIVE ${Reference.ToksSql},
          |words AS (SELECT DISTINCT word FROM toks

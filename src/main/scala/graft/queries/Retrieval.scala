@@ -120,7 +120,7 @@ object Retrieval {
        |)""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // Item-item collaborative filtering: cosine similarity on the
     // order-basket co-occurrence matrix (the classic "customers who
@@ -394,7 +394,7 @@ object Retrieval {
        |)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
 
     "q_rbo" ->
       s"""WITH ${Reference.ToksSql},

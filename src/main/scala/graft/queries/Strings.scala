@@ -47,7 +47,7 @@ object Strings {
        |  WHERE len(w) >= $MinLen
        |)""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = strictMap(
 
     // Fuzzy vocabulary alignment: all token pairs within a ±3 length band
     // scoring jaro_winkler ≥ 0.66 — the name/alias matcher of an
@@ -105,7 +105,7 @@ object Strings {
         .orderBy("a", "b")
     }))
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = strictMap(
 
     "q_jaro_align" ->
       s"""WITH $VocabSql

@@ -19,6 +19,18 @@ import org.apache.spark.sql.types.DecimalType
 package object queries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** A Map literal with duplicate keys silently keeps the LAST entry — a
+    * shadowed catalog query never reaches the gate (this happened: two
+    * `q_cdc_apply` definitions coexisted for several commits, one
+    * invisible). Build every per-file catalog map through this strict
+    * constructor so a duplicate key is a construction-time failure, and
+    * CatalogSpec exercises it by loading all the maps. */
+  def strictMap[V](pairs: (String, V)*): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
+    require(dups.isEmpty, s"duplicate catalog keys: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
   /** Load a harness table. `events.ts` is nanosecond parquet, which Spark
     * only reads as long (spark.sql.legacy.parquet.nanosAsLong) — convert to
     * a microsecond TimestampType here so queries see a timestamp column

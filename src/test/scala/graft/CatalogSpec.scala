@@ -12,6 +12,26 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
   }
 
+  test("no catalog key is shadowed across the per-file map merge") {
+    // within-file dups fail at construction (queries.strictMap); this
+    // catches a key defined in TWO files, where `++` keeps only the last
+    import graft.queries._
+    val files = Seq(
+      "Reference" -> Reference.queries.keySet,
+      "Relational" -> Relational.queries.keySet,
+      "LlmOps" -> LlmOps.queries.keySet,
+      "Analytics" -> Analytics.queries.keySet,
+      "Retrieval" -> Retrieval.queries.keySet,
+      "Geo" -> Geo.queries.keySet, "Graphs" -> Graphs.queries.keySet,
+      "Metrics" -> Metrics.queries.keySet,
+      "Strings" -> Strings.queries.keySet)
+    assert(files.map(_._2.size).sum == SparkEntry.queries.size,
+      s"cross-file duplicate keys: ${
+        files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
+          val i = ka & kb; if (i.nonEmpty) Some(s"$a∩$b=$i") else None
+        }.mkString("; ")}")
+  }
+
   test("bench headline set stays valid (all names resolve to queries)") {
     val missing = Bench.Headline -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"headline names with no query: $missing")
