@@ -1396,6 +1396,34 @@ object LlmOps {
 
     // Document fingerprint: md5 over the sorted distinct token set (bag-of-
     // words identity, robust to word order — catches shuffled duplicates).
+    // Greedy quality-density selection under a character budget — "take
+    // the best data until the budget runs out". Scale-honest formulation:
+    // instead of a global sort + running sum over the corpus (single-task
+    // window), docs are bucketed by integer type-token ratio (1000·u div w,
+    // ≤1001 buckets at ANY corpus size), the cumsum + cutoff run over the
+    // bounded bucket AGGREGATE, and whole buckets are taken while the
+    // cumulative cost fits. Corpus-scale work: one tokenize agg shuffle +
+    // one bucket agg; everything after is metadata-scale.
+    "q_budget_select" -> ((s, dir) => {
+      val B = 50000L
+      val per = toks(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("w"), countDistinct(col("word")).as("u"))
+        .join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("bucket", expr("(1000 * u) div w"))
+      val buckets = per.groupBy("bucket")
+        .agg(count(lit(1)).as("nd"),
+          sum(col("n_chars").cast("long")).as("cost"))
+      buckets
+        .withColumn("cum", sum(col("cost"))
+          .over(Window.orderBy(desc("bucket"))))
+        .where(col("cum") <= B)
+        .agg(count(lit(1)).as("n_buckets"),
+          coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("cost")), lit(0L)).as("total_cost"),
+          min(col("bucket")).as("cutoff_bucket"))
+        .withColumn("budget_left", lit(B) - col("total_cost"))
+    }),
+
     // Flesch reading-ease profile per source — the classic readability
     // quality signal. Sentences = non-empty [.!?]-delimited chunks
     // (floored at 1), words = whitespace tokens, syllables = vowel-group
@@ -4052,6 +4080,29 @@ object LlmOps {
          |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe,
          |  n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_budget_select" ->
+      s"""WITH ${Reference.ToksSql},
+         |per AS (
+         |  SELECT doc_id, count(*) AS w, count(DISTINCT word) AS u
+         |  FROM toks GROUP BY doc_id
+         |),
+         |b AS (
+         |  SELECT (1000 * u) // w AS bucket, count(*) AS nd,
+         |    CAST(sum(n_chars) AS BIGINT) AS cost
+         |  FROM per JOIN documents USING (doc_id) GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT bucket, nd, cost,
+         |    sum(cost) OVER (ORDER BY bucket DESC) AS cum
+         |  FROM b
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(cost), 0) AS BIGINT) AS total_cost,
+         |  CAST(min(bucket) AS BIGINT) AS cutoff_bucket,
+         |  CAST(50000 - coalesce(sum(cost), 0) AS BIGINT) AS budget_left
+         |FROM c WHERE cum <= 50000""".stripMargin,
 
     "q_readability" ->
       """WITH d AS (

@@ -169,6 +169,45 @@ object Metrics {
         .orderBy("event_type")
     }),
 
+    // Simpson's-paradox audit: per-segment vs pooled conversion rates for
+    // the user_id-parity split. All comparisons are integer
+    // CROSS-MULTIPLIED (c0·n1 vs c1·n0 — no rate floats decide anything);
+    // the two rounded divisions per row are display-only. One partial-agg
+    // count shuffle is the only corpus-scale stage; the pooled row folds
+    // from the same aggregate (rollup), not a second scan.
+    "q_simpson" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select((col("user_id") % 2).cast("int").as("variant"),
+          col("event_type").as("segment"),
+          when(col("value") > 500, 1L).otherwise(0L).as("conv"))
+        .groupBy("segment", "variant")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .groupBy("segment")
+        .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+        .select(col("segment"), col("n0"), col("c0"), col("n1"), col("c1"))
+        .unionByName(
+          table(s, dir, "events")
+            .select((col("user_id") % 2).cast("int").as("variant"),
+              when(col("value") > 500, 1L).otherwise(0L).as("conv"))
+            .groupBy("variant")
+            .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+            .groupBy()
+            .agg(sum(when(col("variant") === 0, col("n"))).as("n0"),
+              sum(when(col("variant") === 0, col("c"))).as("c0"),
+              sum(when(col("variant") === 1, col("n"))).as("n1"),
+              sum(when(col("variant") === 1, col("c"))).as("c1"))
+            .select(lit("__all__").as("segment"),
+              col("n0"), col("c0"), col("n1"), col("c1")))
+        .withColumn("rate0", expr("round(CAST(c0 AS DOUBLE) / n0, 6)"))
+        .withColumn("rate1", expr("round(CAST(c1 AS DOUBLE) / n1, 6)"))
+        .withColumn("winner", expr(
+          "CAST(CASE WHEN c0 * n1 > c1 * n0 THEN 0 " +
+            "WHEN c0 * n1 < c1 * n0 THEN 1 ELSE -1 END AS INT)"))
+        .orderBy("segment")),
+
     // CUPED variance reduction (Deng et al. 2013): per-user pre-period
     // metric X and experiment-period metric Y (split at the corpus's
     // midpoint day), variant = user_id parity; the adjusted mean is
@@ -742,6 +781,34 @@ object Metrics {
         |  CAST(sum(ws) AS BIGINT) AS scaled,
         |  round(CAST(sum(ws) AS DOUBLE) / 4096, 6) AS weighted
         |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_simpson" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS variant, event_type AS segment,
+        |    CASE WHEN value > 500 THEN 1 ELSE 0 END AS conv
+        |  FROM events
+        |),
+        |seg AS (
+        |  SELECT segment,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM e GROUP BY segment
+        |),
+        |allr AS (
+        |  SELECT '__all__' AS segment,
+        |    CAST(sum(n0) AS BIGINT) AS n0, CAST(sum(c0) AS BIGINT) AS c0,
+        |    CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(c1) AS BIGINT) AS c1
+        |  FROM seg
+        |),
+        |u AS (SELECT * FROM seg UNION ALL SELECT * FROM allr)
+        |SELECT segment, n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+        |  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+        |  CAST(CASE WHEN c0 * n1 > c1 * n0 THEN 0
+        |       WHEN c0 * n1 < c1 * n0 THEN 1 ELSE -1 END AS INT) AS winner
+        |FROM u ORDER BY segment""".stripMargin,
 
     "q_cuped" ->
       """WITH ev AS (
