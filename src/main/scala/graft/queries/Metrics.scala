@@ -169,6 +169,37 @@ object Metrics {
         .orderBy("event_type")
     }),
 
+    // Two-sample Kolmogorov-Smirnov distance between the event-value
+    // distributions of the two user_id-parity variants. Exact KS needs a
+    // cumulative count at every distinct value (a corpus-wide ordered
+    // cumsum); the scale-honest form quantizes to integer buckets
+    // (floor(value) — domain-bounded, ≤ \|value range\| rows at ANY corpus
+    // size) so the ECDF window runs over the bucket AGGREGATE. The gap is
+    // the cross-multiplied integer \|c0·n1 − c1·n0\| — one division for
+    // the reported D at the end; argmax ties break to the smallest bucket
+    // via max(struct(gap, −b)) both engines.
+    "q_ks_test" -> ((s, dir) => {
+      val g = table(s, dir, "events")
+        .select((col("user_id") % 2).cast("int").as("variant"),
+          expr("CAST(floor(value) AS BIGINT)").as("b"))
+        .groupBy("b")
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("d1"))
+      val tot = broadcast(g.agg(sum(col("d0")).as("n0"),
+        sum(col("d1")).as("n1")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      g.withColumn("c0", sum(col("d0")).over(w))
+        .withColumn("c1", sum(col("d1")).over(w))
+        .crossJoin(tot)
+        .withColumn("gap", abs(col("c0") * col("n1") - col("c1") * col("n0")))
+        .agg(max(struct(col("gap"), (-col("b")).as("nb"))).as("m"),
+          max(col("n0")).as("n0"), max(col("n1")).as("n1"))
+        .select((-col("m.nb")).as("ks_bucket"),
+          col("m.gap").as("gap_scaled"),
+          expr("round(CAST(m.gap AS DOUBLE) / (n0 * n1), 6)").as("ks_d"),
+          col("n0"), col("n1"))
+    }),
+
     // Simpson's-paradox audit: per-segment vs pooled conversion rates for
     // the user_id-parity split. All comparisons are integer
     // CROSS-MULTIPLIED (c0·n1 vs c1·n0 — no rate floats decide anything);
@@ -781,6 +812,33 @@ object Metrics {
         |  CAST(sum(ws) AS BIGINT) AS scaled,
         |  round(CAST(sum(ws) AS DOUBLE) / 4096, 6) AS weighted
         |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1
+        |  FROM events GROUP BY 1
+        |),
+        |t AS (
+        |  SELECT CAST(sum(d0) AS BIGINT) AS n0,
+        |    CAST(sum(d1) AS BIGINT) AS n1 FROM g
+        |),
+        |c AS (
+        |  SELECT b,
+        |    CAST(sum(d0) OVER (ORDER BY b) AS BIGINT) AS c0,
+        |    CAST(sum(d1) OVER (ORDER BY b) AS BIGINT) AS c1
+        |  FROM g
+        |),
+        |x AS (
+        |  SELECT b, abs(c0 * n1 - c1 * n0) AS gap, n0, n1
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT b AS ks_bucket, CAST(gap AS BIGINT) AS gap_scaled,
+        |  round(CAST(gap AS DOUBLE) / (n0 * n1), 6) AS ks_d, n0, n1
+        |FROM x ORDER BY gap DESC, b ASC LIMIT 1""".stripMargin,
 
     "q_simpson" ->
       """WITH e AS (
