@@ -119,6 +119,44 @@ def main():
             print(f"[FAIL] {name}: columns spark={sc} duck={dc}"); n_fail += 1
             write_diff(name, "columns", f"spark={sc} duck={dc}")
             continue
+        # PHYSICAL-TYPE drift check (the q_smoothed_rate class): the
+        # driver reads the Spark parquet with pyarrow and the oracle via
+        # its own DuckDB, so a decimal column on one side and a double on
+        # the other hash-mismatches even when every cell compares equal.
+        # Our pandas path coerces both sides identically and hides it —
+        # so compare the raw arrow types explicitly and fail on any
+        # decimal-vs-floating (or decimal-vs-anything-nonint) pairing.
+        try:
+            import pyarrow.parquet as pq
+            import glob as _glob
+            sp_schema = pq.ParquetDataset(
+                _glob.glob(f"{res_dir}/*.parquet")).schema
+            duck_schema = con.execute(sql).arrow().schema
+            def kind(t):
+                s = str(t)
+                if s.startswith("decimal"): return "decimal"
+                if s.startswith(("float", "double", "halffloat")): return "float"
+                if s.startswith(("int", "uint")): return "int"
+                return "other"
+            tbad = []
+            for cname in sc:
+                ks = kind(sp_schema.field(cname).type)
+                kd = kind(duck_schema.field(cname).type)
+                if ks != kd and "decimal" in (ks, kd) and "int" not in (ks, kd):
+                    tbad.append((cname, str(sp_schema.field(cname).type),
+                                 str(duck_schema.field(cname).type)))
+                elif "decimal" in (ks, kd):
+                    # integral-vs-decimal hashes fine at the driver today,
+                    # but a >2^53 decimal is an exactness hazard — warn
+                    print(f"[warn] {name}: {cname} spark="
+                          f"{sp_schema.field(cname).type} duck="
+                          f"{duck_schema.field(cname).type}")
+            if tbad:
+                print(f"[FAIL] {name}: type drift {tbad}"); n_fail += 1
+                write_diff(name, "types", f"decimal-vs-float drift: {tbad}")
+                continue
+        except Exception as e:
+            print(f"[warn] {name}: type check skipped: {e}")
         s = spark_df[sc].sort_values(sc, kind="mergesort").reset_index(drop=True)
         d = duck_df[dc].sort_values(dc, kind="mergesort").reset_index(drop=True)
         if len(s) != len(d):

@@ -23,8 +23,11 @@ object Verify {
         .orderBy(cols.map(col): _*)
         .limit(cap).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|"))
-      new java.io.File(s"$outDir/rows").mkdirs()
-      Files.writeString(Paths.get(s"$outDir/rows/$name.txt"),
+      // sibling of outDir, NOT inside it: the driver parquet-globs every
+      // entry under outDir, and a rows/ text dir there records a permanent
+      // failing "rows" entry in the correctness gate (r5 artifact)
+      new java.io.File(s"$outDir-rows").mkdirs()
+      Files.writeString(Paths.get(s"$outDir-rows/$name.txt"),
         s"rows=$n cols=${cols.mkString(",")}\n" +
           lines.mkString("", "\n", "\n"))
     } catch { case e: Throwable =>

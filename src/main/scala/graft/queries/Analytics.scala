@@ -356,7 +356,7 @@ object Analytics {
         .agg(count(lit(1)).as("n"), sum("y").as("x"))
         .selectExpr("cohort", "n", "x",
           "round(CAST(x AS DOUBLE) / n, 6) AS raw_rate",
-          "round((x + 2.0) / (n + 10.0), 6) AS smoothed_rate")
+          "round((CAST(x AS DOUBLE) + 2.0) / (n + 10.0), 6) AS smoothed_rate")
         .orderBy(desc("smoothed_rate"), asc("cohort"))),
 
     // Gini coefficient of user activity (the inequality/concentration

@@ -108,11 +108,16 @@ object Graphs {
       val os = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // the basket self-join is the expensive stage and feeds FOUR
+      // branches (deg ×2 unions, the withDeg join, the triangle-closing
+      // join) — materialize once or the whole projection re-executes
+      // per branch (plan audit r5: 52 Exchanges without this)
       val und = os.alias("a").join(os.alias("b"), Seq("ok"))
         .where(col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
         .agg(count(lit(1)).as("w"))
         .where(col("w") >= LccMinW).select("u", "v")
+        .ckpt()
       val deg = und.select(col("u").as("x"))
         .unionAll(und.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
@@ -124,6 +129,7 @@ object Graphs {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
         .select(col("e.s").as("s"), col("e.t").as("t"))
+        .ckpt() // self-joined ×2 below
       val tri = oriented.alias("e1").join(oriented.alias("e2"), Seq("s"))
         .where(col("e1.t") < col("e2.t"))
         .join(und, col("e1.t") === col("u") && col("e2.t") === col("v"))
@@ -144,8 +150,15 @@ object Graphs {
     // Adamic-Adar): candidates are 2-hop pairs enumerated as wedges
     // through degree-capped centers, |N(u) ∩ N(v)| is the wedge count per
     // pair, and |N(u) ∪ N(v)| = deg(u) + deg(v) − |∩| needs no second
-    // pass. Existing edges drop with one anti-join; all arithmetic is
-    // integer except the final correctly-rounded ratio.
+    // pass. BOTH terms are computed over the CAPPED adjacency (only
+    // neighbors whose own degree is in [2, AaMaxDeg] count): the wedge
+    // enumeration can only see common neighbors that survive the cap, so
+    // using full degrees in the union would bias jac low whenever a
+    // shared neighbor is a capped-out hub — with capped degrees, jac is
+    // the EXACT Jaccard of the capped graph (a well-defined contract,
+    // like q_ann_ivf's probe-subset recall). Existing edges drop with one
+    // anti-join; all arithmetic is integer except the final
+    // correctly-rounded ratio.
     "q_jaccard_sim" -> ((s, dir) => {
       val b = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -153,16 +166,23 @@ object Graphs {
       val small = b.groupBy("ok").agg(count(lit(1)).as("bs"))
         .where(col("bs") <= AaBasketCap).select("ok")
       val os = b.join(small, "ok")
+      // the basket self-join feeds adj (×2), and the anti-join —
+      // materialize once (plan audit r5: 100 Exchanges without this)
       val und = os.alias("a").join(os.alias("b"), Seq("ok"))
         .where(col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(count(lit(1)).as("w"))
         .where(col("w") >= AaMinW).select("u", "v")
+        .ckpt()
       val adj = und.select(col("u").as("ctr"), col("v").as("n"))
         .unionAll(und.select(col("v").as("ctr"), col("u").as("n")))
       val deg = adj.groupBy("ctr").agg(count(lit(1)).as("d"))
       val centers = adj.join(
-        deg.where(col("d") >= 2 && col("d") <= AaMaxDeg), "ctr")
+          deg.where(col("d") >= 2 && col("d") <= AaMaxDeg), "ctr")
+        .ckpt() // self-joined ×2 below + the capped-degree pass
+      // |N(x) ∩ capped centers| — the SAME neighborhood the wedge count
+      // sees, so inter ≤ min(du, dv) by construction
+      val degC = centers.groupBy("n").agg(count(lit(1)).as("d"))
       val wedges = centers.alias("x")
         .join(centers.alias("y"), Seq("ctr"))
         .where(col("x.n") < col("y.n"))
@@ -170,8 +190,8 @@ object Graphs {
       val inter = wedges.join(und, Seq("u", "v"), "left_anti")
         .groupBy("u", "v").agg(count(lit(1)).as("inter"))
       inter
-        .join(deg.select(col("ctr").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("ctr").as("v"), col("d").as("dv")), Seq("v"))
+        .join(degC.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(degC.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
         .withColumn("uni", col("du") + col("dv") - col("inter"))
         .withColumn("jac",
           expr("round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)"))
@@ -194,17 +214,21 @@ object Graphs {
       val small = b.groupBy("ok").agg(count(lit(1)).as("bs"))
         .where(col("bs") <= AaBasketCap).select("ok")
       val os = b.join(small, "ok")
+      // shared expensive projection — materialize once (r5 plan audit:
+      // 68 Exchanges without this; same fix as q_modularity)
       val und = os.alias("a").join(os.alias("b"), Seq("ok"))
         .where(col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(count(lit(1)).as("w"))
         .where(col("w") >= AaMinW).select("u", "v")
+        .ckpt()
       val adj = und.select(col("u").as("ctr"), col("v").as("n"))
         .unionAll(und.select(col("v").as("ctr"), col("u").as("n")))
       val deg = adj.groupBy("ctr").agg(count(lit(1)).as("d"))
       val centers = adj.join(
           deg.where(col("d") >= 2 && col("d") <= AaMaxDeg), "ctr")
         .withColumn("contrib", expr(AaContribExpr))
+        .ckpt() // self-joined ×2 in the wedge enumeration
       val wedges = centers.alias("x")
         .join(centers.alias("y"), Seq("ctr"))
         .where(col("x.n") < col("y.n"))
@@ -389,6 +413,7 @@ object Graphs {
          |  SELECT adj.ctr, adj.n FROM adj JOIN deg USING (ctr)
          |  WHERE deg.d BETWEEN 2 AND $AaMaxDeg
          |),
+         |degc AS (SELECT n AS x, count(*) AS d FROM centers GROUP BY n),
          |wedges AS (
          |  SELECT x.n AS u, y.n AS v
          |  FROM centers x JOIN centers y USING (ctr) WHERE x.n < y.n
@@ -404,8 +429,8 @@ object Graphs {
          |  round(CAST(i.inter AS DOUBLE)
          |        / CAST(d1.d + d2.d - i.inter AS DOUBLE), 6) AS jac
          |FROM inter i
-         |JOIN deg d1 ON d1.ctr = i.u
-         |JOIN deg d2 ON d2.ctr = i.v
+         |JOIN degc d1 ON d1.x = i.u
+         |JOIN degc d2 ON d2.x = i.v
          |ORDER BY jac DESC, u, v LIMIT 20""".stripMargin,
 
     "q_link_predict" ->

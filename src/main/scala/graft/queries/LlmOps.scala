@@ -1626,8 +1626,16 @@ object LlmOps {
         .groupBy("cid")
         .agg(count(lit(1)).as("n"),
           min(col("id")).as("min_vec"), max(col("id")).as("max_vec"),
+          // exact decimal sum (~2·10¹⁹ at sf0.01 — beyond float64
+          // exactness) emitted as its exact DIGIT STRING: a decimal128
+          // column here is the one value in the catalog whose pandas/
+          // pyarrow representation can drift between the oracle's DuckDB
+          // and the parquet reader (the r4/r5 driver-gate hash mismatch;
+          // same class as the q_smoothed_rate DECIMAL/DOUBLE drift). A
+          // VARCHAR of the exact integer has one representation everywhere.
           sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("inertia"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .cast("string").as("inertia"))
         .join(cents.select(col("cid"),
           expr("md5(array_join(transform(c1000, x -> CAST(x AS STRING)), ','))")
             .as("c_md5")), "cid")
@@ -2355,6 +2363,11 @@ object LlmOps {
     "q_lm_kn" -> ((s, dir) => {
       val bg = docs(s, dir)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("a"))
+        // size guard BEFORE the sequence: Spark's sequence(1, 0) steps
+        // BACKWARD to [1, 0], so a one-token doc would emit two bogus
+        // NULL-component bigrams while the oracle's generate_series(1, 0)
+        // is empty — same guard as bigramPairs / the oracle's len(a) >= 2
+        .where(expr("size(a) >= 2"))
         .select(col("doc_id"), col("source"),
           explode(expr(
             "transform(sequence(1, size(a) - 1)," +
@@ -4166,7 +4179,8 @@ object LlmOps {
     "q_kmeans" ->
       s"""WITH $KmeansCtes
          |SELECT af.cid, count(*) AS n, min(af.id) AS min_vec, max(af.id) AS max_vec,
-         |       CAST(sum(af.d2) AS DECIMAL(38,0)) AS inertia, any_value(cm.c_md5) AS c_md5
+         |       CAST(CAST(sum(af.d2) AS DECIMAL(38,0)) AS VARCHAR) AS inertia,
+         |       any_value(cm.c_md5) AS c_md5
          |FROM af JOIN cm USING (cid)
          |GROUP BY af.cid ORDER BY af.cid""".stripMargin,
 

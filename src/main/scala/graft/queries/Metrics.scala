@@ -416,8 +416,12 @@ object Metrics {
     // Chi-square independence statistic over the documents lang × source
     // contingency table: χ² = Σ (O − E)²/E with E = row·col/N, computed
     // as the cross-multiplied integer form (O·N − row·col)² / (row·col·N)
-    // so the numerator and denominator are EXACT BIGINTs (fits to ~10⁹
-    // observations; DECIMAL(38,0) beyond) and each cell pays exactly one
+    // with the residual, its square, and the denominator all computed in
+    // DECIMAL (Spark) / HUGEINT (DuckDB): the residual alone can reach
+    // ~N² and its square ~N⁴, which silently wraps int64 once the
+    // residual exceeds ~3·10⁹ (≈10⁵ skewed documents) — so every
+    // product is exact 128-bit on BOTH engines (good to ~10¹⁸ residual
+    // ⇒ ~10¹⁸ observations), and each cell pays exactly one
     // correctly-rounded division + round(8) before a decimal sum. The
     // contingency table is |langs|×|sources| — metadata-scale; the only
     // data-scale stage is the one partial-agg'd count shuffle.
@@ -433,10 +437,11 @@ object Metrics {
         .join(cell, Seq("lang", "source"), "left_outer")
         .withColumn("o", coalesce(col("o"), lit(0L)))
         .crossJoin(tot)
-        .withColumn("num", (col("o") * col("nn") - col("r") * col("cc")) *
-          (col("o") * col("nn") - col("r") * col("cc")))
+        .withColumn("res", expr(
+          "CAST(o AS DECIMAL(19,0)) * nn - CAST(r AS DECIMAL(19,0)) * cc"))
         .withColumn("cellchi",
-          expr("round(CAST(num AS DOUBLE) / CAST(r * cc * nn AS DOUBLE), 8)"))
+          expr("round(CAST(res * res AS DOUBLE)" +
+            " / CAST(CAST(r AS DECIMAL(19,0)) * cc * nn AS DOUBLE), 8)"))
         .agg(count(lit(1)).as("n_cells"),
           ((count_distinct(col("lang")) - 1) *
             (count_distinct(col("source")) - 1)).as("df"),
@@ -1032,8 +1037,9 @@ object Metrics {
         |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
         |    AS BIGINT) AS df,
         |  CAST(sum(CAST(round(
-        |    CAST((o * nn - r * cc) * (o * nn - r * cc) AS DOUBLE)
-        |    / CAST(r * cc * nn AS DOUBLE), 8) AS DECIMAL(18,8))) AS DOUBLE)
+        |    CAST((CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * cc)
+        |       * (CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * cc) AS DOUBLE)
+        |    / CAST(CAST(r AS HUGEINT) * cc * nn AS DOUBLE), 8) AS DECIMAL(18,8))) AS DOUBLE)
         |    AS chi2
         |FROM grid CROSS JOIN tot""".stripMargin,
 

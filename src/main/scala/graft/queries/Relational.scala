@@ -60,6 +60,12 @@ object Relational {
   private val PairMinSupport = 2
   private val BasketCap = 64
 
+  /** q_closeness: per-source BFS state is |seeds|·|3-hop ball|, so the
+    * seed set must be a CONSTANT — the top-k trusted suppliers by degree
+    * (not a constant fraction of the graph, which is Θ(|V|²) state at
+    * scale). */
+  private val CloseSeedK = 32
+
   /** q_luhn expression builder: Luhn digit sums over the 11 payload
     * digits (hex digit i of the md5, mod 10), doubling odd positions
     * (those an even distance from the rightmost check digit). Returns
@@ -1554,9 +1560,18 @@ object Relational {
       graft.operators.Bfs.run(edges, seeds, 3).orderBy("v")
     }),
 
-    // Harmonic closeness centrality from a seed set, on the per-source
-    // BFS (Bfs.perSource — all seeds advance in ONE frontier×edges join
-    // per round, batching k traversals into one job). Harmonic sum over
+    // Harmonic closeness centrality from a BOUNDED seed set, on the
+    // per-source BFS (Bfs.perSource — all seeds advance in ONE
+    // frontier×edges join per round, batching k traversals into one job).
+    // Per-source BFS state is Σ per-seed reachable sets ≈ |seeds|·|ball|,
+    // so the seed set MUST be a constant, not a constant FRACTION of the
+    // graph (a mod-7 filter alone would make state ~|V|²/7 at scale —
+    // the r5 plan audit's one real scale-killer): the contract here is
+    // the k = CloseSeedK highest-degree trusted suppliers (deterministic
+    // degree-desc, id-asc tie-break), the "closeness of the top hubs"
+    // question that k-source BFS is actually affordable for. Unbounded
+    // all-vertex closeness belongs to the HLL estimate machinery
+    // (q_hyperanf / Boldi-Vigna), not exact BFS. Harmonic sum over
     // d ∈ {1..3} is kept EXACT by scaling: h6 = Σ 6/d ∈ {6,3,2} is pure
     // integer; the display value divides once at the end. Bounded
     // 3-hop neighborhood — the documented contract, same as q_bfs.
@@ -1568,7 +1583,9 @@ object Relational {
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       val seeds = pairs.where(col("sv") % 7 === 0)
-        .select(col("sv").as("seed")).distinct()
+        .groupBy("sv").agg(count(lit(1)).as("dg"))
+        .orderBy(desc("dg"), asc("sv")).limit(CloseSeedK)
+        .select(col("sv").as("seed"))
       graft.operators.Bfs.perSource(edges, seeds, 3)
         .where(col("dist") > 0)
         .groupBy("seed")
@@ -3800,8 +3817,9 @@ object Relational {
          |  SELECT sv AS src, p AS dst FROM pairs
          |),
          |d0 AS (
-         |  SELECT DISTINCT sv AS seed, sv AS v, CAST(0 AS BIGINT) AS dist
-         |  FROM pairs WHERE sv % 7 = 0
+         |  SELECT sv AS seed, sv AS v, CAST(0 AS BIGINT) AS dist
+         |  FROM (SELECT sv, count(*) AS dg FROM pairs WHERE sv % 7 = 0
+         |        GROUP BY sv ORDER BY dg DESC, sv LIMIT $CloseSeedK)
          |),
          |$rounds
          |SELECT seed, count(*) AS n_reached,

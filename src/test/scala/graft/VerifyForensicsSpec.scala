@@ -15,8 +15,13 @@ class VerifyForensicsSpec extends AnyFunSuite with SparkFixture {
     Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("zz", "aa")
       .write.mode("overwrite").parquet(s"$out/q_demo")
     Verify.dumpCanonical(spark, out, "q_demo")
+    // the dump lives in a SIBLING dir ("<outDir>-rows"), never inside
+    // outDir: the driver parquet-globs every entry under outDir and a
+    // text dir there records a spurious failing gate row (r5 artifact)
+    assert(!new java.io.File(s"$out/rows").exists(),
+      "forensic dump must not be inside the driver-enumerated outDir")
     val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$out/rows/q_demo.txt")), "UTF-8")
+      java.nio.file.Paths.get(s"$out-rows/q_demo.txt")), "UTF-8")
     val lines = txt.linesIterator.toSeq
     assert(lines.head == "rows=3 cols=aa,zz", lines.head)
     // columns sorted by name (aa before zz), rows sorted by value

@@ -10,17 +10,29 @@ class Wave6OpsSpec extends AnyFunSuite with SparkFixture {
 
   test("fifo_alloc conserves quantity: filled + unfilled = total demand, " +
     "filled ≤ supply") {
+    import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_fifo_alloc")(spark, Sf).collect()
     assert(rows.nonEmpty)
+    // INDEPENDENT per-part demand, straight off lineitem — the invariant
+    // is checked against a quantity the query under test never computed
+    val demand = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .where(col("l_partkey") % 10 === 0)
+      .groupBy(col("l_partkey").cast("long").as("pk"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").as("td"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for (r <- rows) {
+      val pk = r.getLong(0)
       val (filled, unfilled) = (r.getDouble(2), r.getDouble(4))
-      val total = filled + unfilled
       assert(filled >= 0 && unfilled >= 0,
-        s"negative allocation for pk=${r.getLong(0)}")
+        s"negative allocation for pk=$pk")
       // supply per part is Σ lots = 3 lots of 5..34 units → ≤ 102
       assert(filled <= 102.0 + 1e-9, s"filled exceeds max supply: $filled")
-      assert(math.abs(total - (filled + unfilled)) < 1e-9 && total >= filled)
+      assert(math.abs(filled + unfilled - demand(pk)) < 1e-6,
+        s"pk=$pk: filled=$filled + unfilled=$unfilled != demand=${demand(pk)}")
     }
+    // every demanded part with a positive allocation appears exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
   test("token_budget quotas sum exactly to the budget") {
