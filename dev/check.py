@@ -142,10 +142,14 @@ def main():
             for cname in sc:
                 ks = kind(sp_schema.field(cname).type)
                 kd = kind(duck_schema.field(cname).type)
-                if ks != kd and "decimal" in (ks, kd) and "int" not in (ks, kd):
+                # decimal-vs-float (q_smoothed_rate) AND int-vs-float
+                # (q_mannwhitney's `/`-typed u1) both hash-differ at the
+                # driver even when every cell compares equal under
+                # pandas coercion — any cross-kind float pairing fails
+                if ks != kd and "float" in (ks, kd):
                     tbad.append((cname, str(sp_schema.field(cname).type),
                                  str(duck_schema.field(cname).type)))
-                elif "decimal" in (ks, kd):
+                elif ks != kd and "decimal" in (ks, kd):
                     # integral-vs-decimal hashes fine at the driver today,
                     # but a >2^53 decimal is an exactness hazard — warn
                     print(f"[warn] {name}: {cname} spark="

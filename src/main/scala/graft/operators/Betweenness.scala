@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
+
+/** Bounded-seed Brandes betweenness centrality (Brandes '01) — the
+  * "which vertices sit on the most shortest paths" primitive, restated
+  * as the two unrolled Pregel sweeps the algorithm actually is:
+  *
+  *  1. FORWARD (path counting): per round, the frontier joins the edge
+  *     list once and σ(seed, v) = Σ σ over in-neighbors at the previous
+  *     level accumulates as an exact BIGINT; the settled set drops
+  *     re-reached vertices with one anti-join (a vertex's shortest-path
+  *     predecessors are all exactly one level shallower, so level
+  *     sets ARE the shortest-path DAG).
+  *  2. BACKWARD (dependency accumulation): for levels ℓ = depth−1 … 1,
+  *     δ(v) = Σ over successors w at level ℓ+1 of (σv/σw)·(1 + δw).
+  *     Each per-edge term is one correctly-rounded division + multiply
+  *     rounded to 8 decimals from identical inputs in both engines, then
+  *     decimal-summed and re-rounded — so δ is partition- and
+  *     engine-invariant all the way up the DAG.
+  *
+  * Betweenness(v) = Σ over seeds of δ_seed(v), v ≠ seed.
+  *
+  * SCALE CONTRACT (same as q_closeness): per-seed state is the seed's
+  * ≤depth-hop ball, so the seed set must be a CONSTANT (top-k by degree,
+  * caller-chosen) — k·|ball| state, one frontier×edges join per round
+  * regardless of k. Exact all-pairs betweenness is O(V·E) and belongs to
+  * sampling estimators (Riondato-Kornaropoulos), not this operator.
+  */
+object Betweenness {
+
+  /** @param edges (src, dst) BIGINT pairs, both directions for undirected.
+    * @param seeds (seed) — the bounded source set.
+    * @param depth forward rounds (shortest-path DAG truncated at this
+    *   many hops — the documented contract, as in [[Bfs]]).
+    * @return (v, bc): Σ-over-seeds dependency of every non-seed vertex
+    *   on some truncated shortest path, 8-decimal deterministic. */
+  def run(edges0: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 6, s"depth must be in [1, 6], got $depth")
+    val edges = edges0.select(col("src"), col("dst")).ckpt()
+    // forward: (seed, v, dist, sig)
+    var st = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"),
+        lit(1L).as("sig"))
+      .ckpt()
+    for (i <- 1 to depth) {
+      val nxt = st.where(col("dist") === (i - 1).toLong)
+        .join(edges, col("v") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sig")).as("sig"))
+        .select(col("seed"), col("dst").as("v"), lit(i.toLong).as("dist"),
+          col("sig"))
+      st = st.unionByName(
+          nxt.join(st.select("seed", "v"), Seq("seed", "v"), "left_anti"))
+        .ckpt()
+    }
+    // backward: δ at the deepest level is 0; walk levels depth-1 … 1.
+    // delta holds (seed, v, delta) for levels already processed.
+    var delta = st.where(col("dist") === depth.toLong)
+      .select(col("seed"), col("v"), lit(0.0).as("delta"))
+      .ckpt()
+    for (lvl <- (depth - 1) to 1 by -1) {
+      val frontier = st.where(col("dist") === lvl.toLong)
+        .select(col("seed"), col("v"), col("sig"))
+      val succ = st.where(col("dist") === (lvl + 1).toLong)
+        .select(col("seed").as("sseed"), col("v").as("w"), col("sig").as("sigw"))
+        .join(delta.select(col("seed").as("sseed"), col("v").as("w"),
+          col("delta").as("dw")), Seq("sseed", "w"))
+      val contrib = frontier
+        .join(edges, col("v") === col("src"))
+        .join(succ, col("seed") === col("sseed") && col("dst") === col("w"))
+        .withColumn("c", expr(
+          "round((CAST(sig AS DOUBLE) / CAST(sigw AS DOUBLE)) * (1.0 + dw), 8)"))
+      val dLvl = frontier.join(
+          contrib.groupBy("seed", "v")
+            .agg(graft.queries.dsum(col("c"), 8).as("s")),
+          Seq("seed", "v"), "left_outer")
+        .select(col("seed"), col("v"),
+          expr("round(coalesce(s, 0.0), 8)").as("delta"))
+      delta = delta.unionByName(dLvl).ckpt()
+    }
+    // bc(v) = Σ over seeds of δ; the seed row itself (dist 0) never
+    // enters delta, so no v = seed exclusion is needed
+    delta.groupBy("v")
+      .agg(count(lit(1)).as("n_seeds"),
+        expr("round(CAST(sum(CAST(delta AS DECIMAL(18,8))) AS DOUBLE), 6)")
+          .as("bc"))
+  }
+}

@@ -35,6 +35,25 @@ object Wave7 {
     * ε = 0.5) — inlined as the literal 2.0 in both engines. */
   private val DpEps = "2.0"
 
+  /** q_betweenness: constant seed-set size (the q_closeness contract —
+    * per-seed state is the seed's ball, so |seeds| must not grow with
+    * the graph) and forward depth. */
+  private val BetwSeedK = 8
+  private val BetwDepth = 3
+
+  /** q_sprt: H0/H1 Bernoulli rates, their per-observation log-likelihood
+    * ratio terms pre-rounded to 8 decimals AT CATALOG BUILD TIME and
+    * inlined as DECIMAL literals in both engines — the whole walk is then
+    * exact decimal arithmetic (counts × 8-decimal constants), no float
+    * until the display column. Thresholds ±ln(19) (α = β = 0.05). */
+  private val SprtP0 = 0.10
+  private val SprtP1 = 0.12
+  private def r8(x: Double): String =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toString
+  private val SprtC1 = r8(math.log(SprtP1 / SprtP0))           // y = 1 term
+  private val SprtC0 = r8(math.log((1 - SprtP1) / (1 - SprtP0))) // y = 0 term
+  private val SprtA = r8(math.log(19.0))
+
   val queries: Map[String, Q] = strictMap(
 
     // SPEARMAN rank correlation between two per-user metrics (event
@@ -87,7 +106,10 @@ object Wave7 {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"),
           sum(when(col("event_type") === "click", col("rk"))
             .otherwise(0L)).as("r1"))
-        .withColumn("u1", col("r1") - col("n1") * (col("n1") + 1) / 2)
+        // DIV, not `/`: the Column `/` is DOUBLE division, which would
+        // ship u1 as a float while the oracle's `//` yields BIGINT —
+        // the exact representation-drift class the driver hash catches
+        .withColumn("u1", expr("r1 - n1 * (n1 + 1) DIV 2"))
         .selectExpr("n1", "n2", "r1", "u1",
           "round((CAST(u1 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)" +
             " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
@@ -142,7 +164,148 @@ object Wave7 {
         .selectExpr("k", "xk1", "round(s, 8) AS lnsum",
           "CASE WHEN s > 0 THEN round(CAST(k AS DOUBLE) / s, 6) END AS alpha")
     }),
+
+    // BETWEENNESS centrality (operators.Betweenness — bounded-seed
+    // Brandes): shortest-path dependency of every vertex on the truncated
+    // shortest-path DAGs of the BetwSeedK highest-degree trusted
+    // suppliers, on the same part↔supplier bipartite graph as
+    // q_closeness. Forward σ path counts are exact BIGINTs; backward δ
+    // accumulation follows the house float discipline (per-edge term
+    // rounded 8 from identical inputs, decimal-summed, re-rounded), so
+    // the DuckDB oracle unrolls both sweeps exactly. Constant seed set =
+    // k·|ball| state (the q_closeness scale contract); top-20 by
+    // dependency via TakeOrderedAndProject.
+    "q_betweenness" -> ((s, dir) => {
+      val pairs = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + 1000000L).as("sv"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
+        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
+      val seeds = pairs.where(col("sv") % 7 === 0)
+        .groupBy("sv").agg(count(lit(1)).as("dg"))
+        .orderBy(desc("dg"), asc("sv")).limit(BetwSeedK)
+        .select(col("sv").as("seed"))
+      graft.operators.Betweenness.run(edges, seeds, BetwDepth)
+        .orderBy(desc("bc"), asc("v")).limit(20)
+        .select(col("v").cast("long").as("v"), col("n_seeds"), col("bc"))
+    }),
+
+    // GROUP-SEQUENTIAL SPRT (Wald's sequential probability ratio test at
+    // daily interim analyses — the "stop the A/B test early" procedure):
+    // per variant, the cumulative log-likelihood ratio of H1 (p = 12%)
+    // vs H0 (p = 10%) purchase rates walks day by day; the first day the
+    // walk leaves (−ln 19, ln 19) decides. Scale shape: ONE partial-agg'd
+    // (variant, day) count shuffle over the events, then every window
+    // rides the |days|-row aggregate (calendar-bounded — never a
+    // whole-corpus window); the walk itself is exact DECIMAL (counts ×
+    // 8-decimal literal constants), so the crossing day is
+    // engine-invariant with no epsilon anywhere.
+    "q_sprt" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .selectExpr("user_id % 2 AS variant",
+          "unix_micros(ts) DIV 86400000000 AS day",
+          "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y")
+        .groupBy("variant", "day")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("variant").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val walk = daily
+        .withColumn("llr", expr(
+          s"conv * CAST($SprtC1 AS DECIMAL(10,8))" +
+            s" + (n - conv) * CAST($SprtC0 AS DECIMAL(10,8))"))
+        .withColumn("cum", sum(col("llr")).over(w))
+        .withColumn("cumn", sum(col("n")).over(w))
+      val crossed = walk.where(
+          col("cum") >= expr(s"CAST($SprtA AS DECIMAL(10,8))") ||
+          col("cum") <= expr(s"CAST(-$SprtA AS DECIMAL(10,8))"))
+        .groupBy("variant")
+        .agg(min(struct(col("day"), col("cum"), col("cumn"))).as("m"))
+      daily.groupBy("variant")
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total_obs"))
+        .join(crossed, Seq("variant"), "left_outer")
+        .selectExpr("variant", "n_days", "total_obs",
+          "m.day AS dec_day", "m.cumn AS n_obs",
+          "CASE WHEN m IS NULL THEN 'continue'" +
+            " WHEN m.cum > 0 THEN 'H1' ELSE 'H0' END AS decision",
+          "round(CAST(m.cum AS DOUBLE), 6) AS llr_at")
+        .orderBy("variant")
+    }),
   )
+
+  /** Unrolled Brandes replay (oracle twin of
+    * [[graft.operators.Betweenness]] at depth [[BetwDepth]]): forward
+    * f0…f3 (σ accumulation, settled-set anti-joins), then backward
+    * levels 2 and 1 with the identical per-edge round-8 / decimal-sum /
+    * re-round spelling. Ends with CTE `alldelta` = (seed, v, delta) over
+    * levels 1..3. */
+  private lazy val BetwCtes: String = {
+    // every f_i is referenced 2× by f_{i+1} and the final f another ~7×
+    // by the backward sweep — DuckDB's default CTE INLINING re-executes
+    // each reference, which compounds to an exponential plan (observed:
+    // 100+ GB grinding at sf0.01). MATERIALIZED pins one execution per
+    // CTE, which is also exactly the engine's ckpt-per-round shape.
+    val fwd = (1 to BetwDepth).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT f.seed, e.dst AS v, CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM f${i - 1} f JOIN e ON f.v = e.src
+         |  WHERE f.dist = ${i - 1} GROUP BY 1, 2
+         |),
+         |f$i AS MATERIALIZED (
+         |  SELECT * FROM f${i - 1}
+         |  UNION ALL
+         |  SELECT n$i.seed, n$i.v, CAST($i AS BIGINT) AS dist, n$i.sig
+         |  FROM n$i ANTI JOIN f${i - 1}
+         |    ON n$i.seed = f${i - 1}.seed AND n$i.v = f${i - 1}.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"f$BetwDepth"
+    val bwd = ((BetwDepth - 1) to 1 by -1).map { lvl =>
+      val prevDelta = if (lvl == BetwDepth - 1) s"b${BetwDepth}" else s"b${lvl + 1}"
+      s"""c$lvl AS MATERIALIZED (
+         |  SELECT x.seed, x.v,
+         |    round(CAST(sum(CAST(round(
+         |      (CAST(x.sig AS DOUBLE) / CAST(w.sig AS DOUBLE)) * (1.0 + b.delta),
+         |      8) AS DECIMAL(18,8))) AS DOUBLE), 8) AS delta
+         |  FROM $last x JOIN e ON x.v = e.src
+         |  JOIN $last w ON w.seed = x.seed AND w.v = e.dst
+         |    AND w.dist = ${lvl + 1}
+         |  JOIN $prevDelta b ON b.seed = x.seed AND b.v = e.dst
+         |  WHERE x.dist = $lvl
+         |  GROUP BY x.seed, x.v
+         |),
+         |b$lvl AS MATERIALIZED (
+         |  SELECT x.seed, x.v, coalesce(c$lvl.delta, 0.0) AS delta
+         |  FROM $last x LEFT JOIN c$lvl
+         |    ON c$lvl.seed = x.seed AND c$lvl.v = x.v
+         |  WHERE x.dist = $lvl
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to BetwDepth)
+      .map(l => s"SELECT seed, v, delta FROM b$l").mkString("\n  UNION ALL ")
+    s"""pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv
+       |  FROM lineitem
+       |),
+       |e AS MATERIALIZED (SELECT p AS src, sv AS dst FROM pairs
+       |      UNION ALL SELECT sv, p FROM pairs),
+       |f0 AS MATERIALIZED (
+       |  SELECT sv AS seed, sv AS v, CAST(0 AS BIGINT) AS dist,
+       |         CAST(1 AS BIGINT) AS sig
+       |  FROM (SELECT sv, count(*) AS dg FROM pairs WHERE sv % 7 = 0
+       |        GROUP BY sv ORDER BY dg DESC, sv LIMIT $BetwSeedK)
+       |),
+       |$fwd,
+       |b$BetwDepth AS (
+       |  SELECT seed, v, CAST(0.0 AS DOUBLE) AS delta
+       |  FROM $last WHERE dist = $BetwDepth
+       |),
+       |$bwd,
+       |alldelta AS (
+       |  $unionAll
+       |)""".stripMargin
+  }
 
   val oracle: Map[String, String] = strictMap(
 
@@ -232,5 +395,50 @@ object Wave7 {
          |SELECT CAST(k AS BIGINT) AS k, xk1, round(s, 8) AS lnsum,
          |  CASE WHEN s > 0 THEN round(CAST(k AS DOUBLE) / s, 6) END AS alpha
          |FROM agg""".stripMargin,
+
+    "q_betweenness" ->
+      s"""WITH $BetwCtes
+         |SELECT CAST(v AS BIGINT) AS v, count(*) AS n_seeds,
+         |  round(CAST(sum(CAST(delta AS DECIMAL(18,8))) AS DOUBLE), 6) AS bc
+         |FROM alldelta GROUP BY v
+         |ORDER BY bc DESC, v LIMIT 20""".stripMargin,
+
+    "q_sprt" ->
+      s"""WITH daily AS (
+         |  SELECT user_id % 2 AS variant, epoch_us(ts) // 86400000000 AS day,
+         |    count(*) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conv
+         |  FROM events GROUP BY 1, 2
+         |),
+         |walk AS (
+         |  SELECT variant, day, n, conv,
+         |    sum(conv * CAST($SprtC1 AS DECIMAL(10,8))
+         |        + (n - conv) * CAST($SprtC0 AS DECIMAL(10,8)))
+         |      OVER (PARTITION BY variant ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(n) OVER (PARTITION BY variant ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+         |  FROM daily
+         |),
+         |crossed AS (
+         |  SELECT variant, day, cum, cumn,
+         |    row_number() OVER (PARTITION BY variant ORDER BY day) AS rn
+         |  FROM walk
+         |  WHERE cum >= CAST($SprtA AS DECIMAL(10,8))
+         |     OR cum <= CAST(-$SprtA AS DECIMAL(10,8))
+         |),
+         |first AS (SELECT variant, day, cum, cumn FROM crossed WHERE rn = 1),
+         |tot AS (
+         |  SELECT variant, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total_obs
+         |  FROM daily GROUP BY variant
+         |)
+         |SELECT tot.variant, tot.n_days, tot.total_obs,
+         |  first.day AS dec_day, CAST(first.cumn AS BIGINT) AS n_obs,
+         |  CASE WHEN first.variant IS NULL THEN 'continue'
+         |       WHEN first.cum > 0 THEN 'H1' ELSE 'H0' END AS decision,
+         |  round(CAST(first.cum AS DOUBLE), 6) AS llr_at
+         |FROM tot LEFT JOIN first ON tot.variant = first.variant
+         |ORDER BY tot.variant""".stripMargin,
   )
 }
