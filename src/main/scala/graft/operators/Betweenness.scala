@@ -40,50 +40,54 @@ object Betweenness {
   def run(edges0: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= 6, s"depth must be in [1, 6], got $depth")
     val edges = edges0.select(col("src"), col("dst")).ckpt()
-    // forward: (seed, v, dist, sig)
-    var st = seeds.select(col("seed")).distinct()
-      .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"),
-        lit(1L).as("sig"))
+    // forward: one materialized LEVEL of (seed, v, sig) per round —
+    // "first reached this round" = σ-candidates anti-joined against the
+    // union of prior levels (the Bfs level discipline: each (seed, v) is
+    // materialized exactly once, never re-aggregated as a whole state)
+    var frontier = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("v"), lit(1L).as("sig"))
       .ckpt()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1 to depth) {
-      val nxt = st.where(col("dist") === (i - 1).toLong)
+      val settled = levels.map(_.select("seed", "v")).reduce(_ unionByName _)
+      frontier = frontier
         .join(edges, col("v") === col("src"))
         .groupBy(col("seed"), col("dst"))
         .agg(sum(col("sig")).as("sig"))
-        .select(col("seed"), col("dst").as("v"), lit(i.toLong).as("dist"),
-          col("sig"))
-      st = st.unionByName(
-          nxt.join(st.select("seed", "v"), Seq("seed", "v"), "left_anti"))
+        .select(col("seed"), col("dst").as("v"), col("sig"))
+        .join(settled, Seq("seed", "v"), "left_anti")
         .ckpt()
+      levels += frontier
     }
     // backward: δ at the deepest level is 0; walk levels depth-1 … 1.
-    // delta holds (seed, v, delta) for levels already processed.
-    var delta = st.where(col("dist") === depth.toLong)
+    // Each level's δ is its own materialized frame (index = dist) — the
+    // sweep at lvl reads exactly levels(lvl), levels(lvl+1), and the
+    // just-computed δ(lvl+1), never a growing union.
+    val deltas = new Array[DataFrame](depth + 1)
+    deltas(depth) = levels(depth)
       .select(col("seed"), col("v"), lit(0.0).as("delta"))
-      .ckpt()
     for (lvl <- (depth - 1) to 1 by -1) {
-      val frontier = st.where(col("dist") === lvl.toLong)
-        .select(col("seed"), col("v"), col("sig"))
-      val succ = st.where(col("dist") === (lvl + 1).toLong)
+      val fr = levels(lvl)
+      val succ = levels(lvl + 1)
         .select(col("seed").as("sseed"), col("v").as("w"), col("sig").as("sigw"))
-        .join(delta.select(col("seed").as("sseed"), col("v").as("w"),
-          col("delta").as("dw")), Seq("sseed", "w"))
-      val contrib = frontier
+        .join(deltas(lvl + 1).select(col("seed").as("sseed"),
+          col("v").as("w"), col("delta").as("dw")), Seq("sseed", "w"))
+      val contrib = fr
         .join(edges, col("v") === col("src"))
         .join(succ, col("seed") === col("sseed") && col("dst") === col("w"))
         .withColumn("c", expr(
           "round((CAST(sig AS DOUBLE) / CAST(sigw AS DOUBLE)) * (1.0 + dw), 8)"))
-      val dLvl = frontier.join(
+      deltas(lvl) = fr.join(
           contrib.groupBy("seed", "v")
             .agg(graft.queries.dsum(col("c"), 8).as("s")),
           Seq("seed", "v"), "left_outer")
         .select(col("seed"), col("v"),
           expr("round(coalesce(s, 0.0), 8)").as("delta"))
-      delta = delta.unionByName(dLvl).ckpt()
+        .ckpt()
     }
     // bc(v) = Σ over seeds of δ; the seed row itself (dist 0) never
     // enters delta, so no v = seed exclusion is needed
-    delta.groupBy("v")
+    (1 to depth).map(deltas).reduce(_ unionByName _).groupBy("v")
       .agg(count(lit(1)).as("n_seeds"),
         expr("round(CAST(sum(CAST(delta AS DECIMAL(18,8))) AS DOUBLE), 6)")
           .as("bc"))

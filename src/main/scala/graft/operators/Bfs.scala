@@ -18,6 +18,16 @@ import graft.operators.Ckpt._
   * per-round join |frontier|×deg instead of |settled|×deg — the difference
   * between O(E·rounds) and O(E·diameter) total work on a 100 TB graph.
   *
+  * State is kept as one materialized LEVEL per round, not a re-aggregated
+  * whole: a vertex's min distance IS the first level it appears in, so
+  * "new this round" = candidates anti-joined against the union of prior
+  * levels (all small LogicalRDDs), and the union of levels is the answer.
+  * This replaces the naive per-round union + min-regroup + re-checkpoint
+  * of the ENTIRE settled set — O(Σ|settled|) materialized bytes across
+  * the loop — with O(Σ|frontier|) = O(|reached|): each vertex is written
+  * exactly once, which is what keeps a deep traversal affordable when the
+  * settled set is most of a 100 TB graph.
+  *
   * Fixed round count (not fixpoint-tested): hop-distance consumers want a
   * bounded neighborhood (≤ k hops from seeds), and the unrolled loop gives
   * the DuckDB oracle an exact twin — one UNION + min-regroup per round.
@@ -33,18 +43,20 @@ object Bfs {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     // edges feed every round: truncate lineage once (PageRank discipline)
     val edges = edges0.select(col("src"), col("dst")).ckpt()
-    var dist = seeds.select(col("v")).distinct()
+    var frontier = seeds.select(col("v")).distinct()
       .withColumn("dist", lit(0L)).ckpt()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1 to rounds) {
-      val next = dist.where(col("dist") === (i - 1).toLong)
+      val settled = levels.map(_.select("v")).reduce(_ unionByName _)
+      frontier = frontier
         .join(edges, col("v") === col("src"))
-        .select(col("dst").as("v"), lit(i.toLong).as("dist"))
-      // min-regroup keeps the first (smallest) round each vertex was seen
-      dist = dist.unionByName(next)
-        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .select(col("dst").as("v")).distinct()
+        .join(settled, Seq("v"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
         .ckpt()
+      levels += frontier
     }
-    dist
+    levels.reduce(_ unionByName _)
   }
 
   /** Per-source BFS: like [[run]] but each seed keeps its OWN distance
@@ -58,20 +70,32 @@ object Bfs {
     *
     * @return (seed, v, dist): min hop distance of v from THAT seed, one
     *   row per (seed, reached vertex) within `rounds` hops. */
-  def perSource(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def perSource(edges0: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    perSourceLevels(edges0, seeds, rounds).reduce(_ unionByName _)
+
+  /** [[perSource]] with the per-round levels exposed (index = hop
+    * distance; each level is a materialized LogicalRDD of
+    * (seed, v, dist) rows) — consumers that sweep the levels again, such
+    * as [[Betweenness]]'s backward pass, read each level directly instead
+    * of re-filtering one big state table per sweep step. */
+  def perSourceLevels(edges0: DataFrame, seeds: DataFrame, rounds: Int)
+      : Seq[DataFrame] = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     val edges = edges0.select(col("src"), col("dst")).ckpt()
-    var dist = seeds.select(col("seed")).distinct()
+    var frontier = seeds.select(col("seed")).distinct()
       .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
       .ckpt()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1 to rounds) {
-      val next = dist.where(col("dist") === (i - 1).toLong)
+      val settled = levels.map(_.select("seed", "v")).reduce(_ unionByName _)
+      frontier = frontier
         .join(edges, col("v") === col("src"))
-        .select(col("seed"), col("dst").as("v"), lit(i.toLong).as("dist"))
-      dist = dist.unionByName(next)
-        .groupBy("seed", "v").agg(min(col("dist")).as("dist"))
+        .select(col("seed"), col("dst").as("v")).distinct()
+        .join(settled, Seq("seed", "v"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
         .ckpt()
+      levels += frontier
     }
-    dist
+    levels.toSeq
   }
 }
