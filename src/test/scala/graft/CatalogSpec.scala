@@ -24,7 +24,9 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Retrieval" -> Retrieval.queries.keySet,
       "Geo" -> Geo.queries.keySet, "Graphs" -> Graphs.queries.keySet,
       "Metrics" -> Metrics.queries.keySet,
-      "Strings" -> Strings.queries.keySet)
+      "Strings" -> Strings.queries.keySet,
+      "Wave7" -> Wave7.queries.keySet,
+      "Wave8" -> Wave8.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
