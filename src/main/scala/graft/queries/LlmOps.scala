@@ -314,6 +314,10 @@ object LlmOps {
   /** q_kmeans shape: k clusters, fixed Lloyd iterations (both unrolled
     * verbatim in the DuckDB oracle). */
   private val KmK = 8
+
+  /** q_semdedup: within-cluster cosine threshold above which the
+    * larger-id vector drops (keep-first). */
+  private val SemTau = 0.8
   private val KmIters = 2
 
   /** q_sample_diverse per-cluster quota. */
@@ -1672,6 +1676,43 @@ object LlmOps {
         .agg(count(lit(1)).as("n"), dsum(col("sc"), 6).as("ssum"))
         .select(col("cid"), col("n"),
           expr("round(ssum / n, 6)").as("mean_sil"))
+        .orderBy("cid")
+    }),
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. '23): k-means buckets the
+    // embedding space, then near-duplicates are pruned ONLY within each
+    // cluster — the clustering IS the blocking step, so the pair join is
+    // Σ|cluster|², never corpus², and in the real recipe k grows with
+    // the corpus to keep cluster sizes bounded (here k = KmK, the
+    // harness-scale contract; the same capped-bucket shape as LSH band
+    // dedup). Keep-first semantics: a vector drops iff some SMALLER id
+    // in its cluster has quantized cosine ≥ SemTau with it — exact
+    // integer dots, one identical float chain, no iteration. Zero-norm
+    // vectors are excluded up front (cosine undefined).
+    "q_semdedup" -> ((s, dir) => {
+      val vecs = quantized(s, dir).select(col("vec_id").as("id"),
+        col("q"), col("nq"))
+      val cents = graft.operators.KMeans.centroids(
+        vecs.select("id", "q"), KmK, KmIters)
+      val asg = graft.operators.KMeans.assign(
+        vecs.select(col("id"),
+          expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v")),
+        cents).select("id", "cid")
+      val qa = vecs.where(col("nq") > 0).join(asg, "id")
+      val dropped = qa.alias("x").join(qa.alias("y"),
+          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+        .select(col("y.id").as("id"),
+          expr("aggregate(zip_with(x.q, y.q, (p, r) -> p*r), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          col("x.nq").as("na"), col("y.nq").as("nb"))
+        .where(expr(CosExpr) >= SemTau)
+        .select("id").distinct().withColumn("drp", lit(1L))
+      qa.join(dropped, Seq("id"), "left_outer")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("drp").isNull, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("drp").isNull, col("id"))).as("min_kept"),
+          max(when(col("drp").isNull, col("id"))).as("max_kept"))
         .orderBy("cid")
     }),
 
@@ -4203,6 +4244,39 @@ object LlmOps {
          |SELECT cid, count(*) AS n,
          |  round(${dsumSql("sc", 6)} / count(*), 6) AS mean_sil
          |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // the kmeans chain's final assignment (af) is the blocking key; the
+    // pair scan mirrors q_dedup_embcos' exact-integer dot spelling
+    "q_semdedup" ->
+      s"""WITH $KmeansCtes,
+         |$QuantizedNormSql,
+         |qa AS (
+         |  SELECT e.vec_id AS id, e.embedding AS emb, qn.nq, af.cid
+         |  FROM embeddings e
+         |  JOIN qn ON qn.vec_id = e.vec_id AND qn.nq > 0
+         |  JOIN af ON af.id = e.vec_id
+         |),
+         |p AS (
+         |  SELECT x.id AS xid, y.id, x.nq AS na, y.nq AS nb,
+         |         x.emb AS ea, y.emb AS eb
+         |  FROM qa x JOIN qa y ON x.cid = y.cid AND x.id < y.id
+         |),
+         |dd AS (
+         |  SELECT xid, id, na, nb,
+         |    CAST(sum(${quantSqlElem("ea[i]")} * ${quantSqlElem("eb[i]")}) AS BIGINT) AS dot
+         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
+         |  GROUP BY xid, id, na, nb
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT id FROM dd WHERE $CosExpr >= $SemTau
+         |)
+         |SELECT qa.cid, count(*) AS n,
+         |  CAST(sum(CASE WHEN dropped.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  min(CASE WHEN dropped.id IS NULL THEN qa.id END) AS min_kept,
+         |  max(CASE WHEN dropped.id IS NULL THEN qa.id END) AS max_kept
+         |FROM qa LEFT JOIN dropped ON dropped.id = qa.id
+         |GROUP BY qa.cid ORDER BY qa.cid""".stripMargin,
 
     "q_sample_diverse" ->
       s"""WITH $KmeansCtes,
