@@ -29,7 +29,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave8" -> Wave8.queries.keySet,
       "Wave9" -> Wave9.queries.keySet,
       "Wave10" -> Wave10.queries.keySet,
-      "Wave11" -> Wave11.queries.keySet)
+      "Wave11" -> Wave11.queries.keySet,
+      "Wave12" -> Wave12.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
