@@ -101,7 +101,7 @@ object LlmOps {
   }
 
   // ---- language-ID stopword lists (tiny n-gram-free heuristic) ----
-  private val Stops: Seq[(String, Seq[String])] = Seq(
+  private[queries] val Stops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
@@ -119,7 +119,7 @@ object LlmOps {
     "es" -> "ll|el|la|os|as")
 
   /** Deterministic argmax chain over the four scores (ties → earlier lang). */
-  private val PredCase: String =
+  private[queries] val PredCase: String =
     """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
       |     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
       |     WHEN s_de >= s_es THEN 'de'
