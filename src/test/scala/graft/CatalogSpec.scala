@@ -30,7 +30,11 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave9" -> Wave9.queries.keySet,
       "Wave10" -> Wave10.queries.keySet,
       "Wave11" -> Wave11.queries.keySet,
-      "Wave12" -> Wave12.queries.keySet)
+      "Wave12" -> Wave12.queries.keySet,
+      "Wave13" -> Wave13.queries.keySet,
+      "Wave14" -> Wave14.queries.keySet,
+      "Wave15" -> Wave15.queries.keySet,
+      "Wave16" -> Wave16.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
