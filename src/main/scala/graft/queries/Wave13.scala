@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Wave-13 additions: epidemiology-grade comparison statistics and
   * corpus-estimation primitives —
@@ -66,14 +67,17 @@ object Wave13 {
             .as("dur"),
           when(col("ph").isNotNull && col("ph") - col("fh") <= Tau, 1L)
             .otherwise(0L).as("death"))
+      // ckpt: the duration grid has FIVE consumers (dur/arm distincts,
+      // the grid join, armTot, risk) — unmaterialized, each re-executes
+      // the per-user shuffle (plan audit: 27 Exchanges before)
       val byd = lab.groupBy("dur", "arm")
-        .agg(count(lit(1)).as("n_tot"), sum("death").as("d"))
+        .agg(count(lit(1)).as("n_tot"), sum("death").as("d")).ckpt()
       // full dur × arm grid: an arm absent at a duration still has an
       // at-risk count there, so the cumulative must see a 0 row
       val grid = byd.select("dur").distinct()
         .crossJoin(byd.select("arm").distinct())
         .join(byd, Seq("dur", "arm"), "left")
-        .na.fill(0L, Seq("n_tot", "d"))
+        .na.fill(0L, Seq("n_tot", "d")).ckpt()
       val armTot = grid.groupBy("arm").agg(sum("n_tot").as("n_arm"))
       val prev = Window.partitionBy("arm").orderBy("dur")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -112,6 +116,8 @@ object Wave13 {
     // audit. Per-stratum ORs ride along (NULL when a zero cell makes
     // them undefined). One count shuffle; the grid is |langs| rows.
     "q_mh_or" -> ((s, dir) => {
+      // ckpt below: the cell grid feeds pooled AND the final projection —
+      // unmaterialized, the corpus count shuffle runs twice
       val cell = table(s, dir, "documents")
         .select(col("lang"),
           expr("CAST(substring(source, 4) AS INT) % 2 = 0").as("ex"),
@@ -128,6 +134,7 @@ object Wave13 {
             " END"))
         .withColumn("rterm", expr("round(CAST(a AS DOUBLE) * d / n, 8)"))
         .withColumn("sterm", expr("round(CAST(b AS DOUBLE) * c / n, 8)"))
+        .ckpt()
       val pooled = cell
         .agg(dsum(col("rterm"), 8).as("rr"), dsum(col("sterm"), 8).as("ss"))
         .selectExpr("round(rr / ss, 6) AS or_mh")
@@ -192,7 +199,10 @@ object Wave13 {
           Tokenize.keep(col("w3")))
         .groupBy(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("g"))
         .agg(count(lit(1)).as("r"))
-      val fof = wc.groupBy("r").agg(count(lit(1)).as("n_r"))
+      // ckpt: fof has THREE consumers (tot, the r+1 self-join, the final
+      // projection) — unmaterialized, each re-runs the corpus trigram
+      // explode (plan audit: 8 Exchanges before)
+      val fof = wc.groupBy("r").agg(count(lit(1)).as("n_r")).ckpt()
       val tot = fof.agg(sum(expr("r * n_r")).cast("long").as("nn"),
         sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).cast("long")
           .as("n1"))
@@ -216,8 +226,10 @@ object Wave13 {
     // target-ratio mixing): this derives the ratios FROM the corpus.
     // One |langs|-row aggregate; everything else metadata.
     "q_alpha_sampling" -> ((s, dir) => {
+      // ckpt: nl feeds the weight sum, the total, and the final row —
+      // three corpus scans without it
       val nl = table(s, dir, "documents").groupBy("lang")
-        .agg(sum("n_chars").cast("long").as("n_l"))
+        .agg(sum("n_chars").cast("long").as("n_l")).ckpt()
       val wsum = nl
         .select(expr("round(sqrt(CAST(n_l AS DOUBLE)), 8)").as("w"))
         .agg(dsum(col("w"), 8).as("sw"))

@@ -69,15 +69,21 @@ object Wave14 {
         .selectExpr("lang", "par", "n",
           "round(CAST(n AS DOUBLE) / nn, 8) AS p")
         .crossJoin(broadcast(kl))
+      // ckpt each half-step: p feeds its margin agg AND the scale join
+      // (2 consumers per step) — unmaterialized, the round lineage
+      // multiplies 4× per round (plan audit: 225 Exchanges before, the
+      // q_markov_stationary lesson)
       for (_ <- 1 to IpfRounds) {
         val rs = p.groupBy("lang").agg(dsum(col("p"), 8).as("rs"))
         val rowStep = p.join(broadcast(rs), "lang")
           .selectExpr("lang", "par", "n", "k",
             "round(p * round(1.0 / k, 8) / rs, 8) AS p")
+          .ckpt()
         val cs = rowStep.groupBy("par").agg(dsum(col("p"), 8).as("cs"))
         p = rowStep.join(broadcast(cs), "par")
           .selectExpr("lang", "par", "n", "k",
             "round(p * 0.5 / cs, 8) AS p")
+          .ckpt()
       }
       p.crossJoin(broadcast(tot))
         .selectExpr("lang", "par", "n",
@@ -105,6 +111,8 @@ object Wave14 {
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("d0"),
           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"))
+        // ckpt: the bucket grid feeds the totals AND the ECDF windows
+        .ckpt()
       val tot = broadcast(g.agg(sum(col("d0")).cast("long").as("n0"),
         sum(col("d1")).cast("long").as("n1")))
       val w = Window.orderBy("b")
@@ -141,6 +149,8 @@ object Wave14 {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
         .groupBy("cohort")
         .agg(count(lit(1)).as("n"), sum("y").as("x"))
+        // ckpt: feeds the totals AND the scored grid
+        .ckpt()
       val tot = broadcast(c.agg(sum("n").cast("long").as("nn"),
         sum("x").cast("long").as("xx"),
         count(lit(1)).cast("long").as("m")))
@@ -154,6 +164,8 @@ object Wave14 {
         .withColumn("thr",
           expr(s"round(ln(rk * $BhQ / m), 8)"))
         .withColumn("pass", col("lnp") <= col("thr"))
+        // ckpt: feeds k_star AND the final projection
+        .ckpt()
       val kstar = scored
         .agg(coalesce(max(when(col("pass"), col("rk"))), lit(0))
           .cast("long").as("k_star"))
@@ -190,6 +202,8 @@ object Wave14 {
         .withColumn("srm_flag",
           expr(s"CAST(CASE WHEN chi2 > $SrmCrit THEN 1 ELSE 0 END" +
             " AS BIGINT)"))
+        // ckpt: the daily grid feeds the pooled row AND the final rows
+        .ckpt()
       val pooled = daily
         .agg(sum("o0").cast("long").as("t0"), sum("o1").cast("long").as("t1"))
         .selectExpr(

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Wave-15 additions: agreement / trend / paired-test statistics and
   * optimal sampling design —
@@ -66,9 +67,12 @@ object Wave15 {
         .agg(scoreAggs.head, scoreAggs.tail: _*)
         .withColumn("pred", expr(LlmOps.PredCase))
         .select("doc_id", "pred")
+      // ckpt: the confusion grid has FIVE consumers (total, row/col
+      // margins, diagonal, final projection) — unmaterialized, each
+      // re-runs the corpus tokenize (plan audit: 19 Exchanges before)
       val conf = table(s, dir, "documents").select("doc_id", "lang")
         .join(pred, Seq("doc_id"))
-        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n")).ckpt()
       val tot = conf.agg(sum("n").cast("long").as("nn"))
       val rows = conf.groupBy("lang").agg(sum("n").as("r"))
       val cols = conf.groupBy(col("pred").as("lang")).agg(sum("n").as("cc"))
@@ -102,10 +106,12 @@ object Wave15 {
         .agg(count(lit(1)).as("n_ev"),
           max(when(col("event_type") === "purchase" && col("value") > CaVal,
             1L).otherwise(0L)).as("y"))
+      // ckpt: the dose grid feeds the totals, the trend terms, and the
+      // final projection — three per-user shuffles without it
       val g = per
         .select(expr(s"least($CaCap, greatest(0, (n_ev - $CaLo)" +
           s" DIV $CaWidth))").as("d"), col("y"))
-        .groupBy("d").agg(count(lit(1)).as("n"), sum("y").as("x"))
+        .groupBy("d").agg(count(lit(1)).as("n"), sum("y").as("x")).ckpt()
       val tot = broadcast(g.agg(sum("n").cast("long").as("nt"),
         sum("x").cast("long").as("xt")))
       val terms = g.crossJoin(tot)
@@ -183,10 +189,14 @@ object Wave15 {
             " AS DOUBLE) / (CAST(n_h AS DOUBLE) * n_h)), 8)"))
         .withColumn("w", expr(
           "CAST(floor(n_h * sigma * 1000 + 0.5) AS BIGINT)"))
+        // ckpt: the weight grid feeds the weight total AND the quota rows
+        .ckpt()
       val tot = broadcast(g.agg(sum("w").as("wt")))
       val q = g.crossJoin(tot)
         .withColumn("base", expr(s"($NeyB * w) div wt"))
         .withColumn("rem", expr(s"($NeyB * w) % wt"))
+        // ckpt: feeds the leftover count AND the ranked distribution
+        .ckpt()
       val extra = broadcast(q.agg((lit(NeyB) - sum(col("base"))).as("ex")))
       q.withColumn("rnk", row_number()
           .over(Window.orderBy(desc("rem"), asc("lang"))).cast("long"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Wave-16 additions: robust effect sizes, uncertainty-aware ranking,
   * causal panels, and forecast benchmarking —
@@ -51,6 +52,8 @@ object Wave16 {
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("d0"),
           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("d1"))
+        // ckpt: the bucket grid feeds the totals AND the cumulative pass
+        .ckpt()
       val tot = broadcast(g.agg(sum("d0").cast("long").as("n0"),
         sum("d1").cast("long").as("n1")))
       val w = Window.orderBy("b")
@@ -123,6 +126,8 @@ object Wave16 {
         .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
         .withColumn("mean_cents",
           expr("round(CAST(sc AS DOUBLE) / n, 8)"))
+        // ckpt: the 2×2 panel feeds the DiD pick AND the final rows
+        .ckpt()
       // per-cell max PICKS (not a float sum over cells — a 4-term
       // double sum is partial-agg order-dependent in the last ulp)
       val did = cell.agg(
