@@ -199,7 +199,7 @@ object LlmOps {
     * boilerplate — it carries no dedup signal but contributes df² join
     * rows. Jaccard is computed over the df-filtered shingle set (both
     * engines). */
-  private val NgramDfCap = 64
+  private[queries] val NgramDfCap = 64
 
   /** Winnowing (q_winnow / q_winnow_pairs): char k-gram size, window
     * width, the same df-style bucket cap as minhash/ngram, and the
@@ -2954,11 +2954,17 @@ object LlmOps {
     * deterministic argmax → broadcast literal merge). Returns the final
     * sequence table and the 3 chosen merges. One definition so train and
     * apply cannot drift. */
-  private def bpeChain(s: SparkSession, dir: String)
+  private[queries] def bpeChain(s: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame]) = {
+    // ckpt per round: each vocabulary state feeds BOTH the pair-count
+    // argmax and the next merge — unmaterialized, the corpus tokenize
+    // re-executes ~2× per round (plan audit: 19 Exchanges on the
+    // fertility consumer before)
+    import graft.operators.Ckpt._
     val wc0 = toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("seq", concat(lit(" "),
         regexp_replace(col("word"), "(.)", "$1 ")))
+      .ckpt()
     def top1(wc: DataFrame): DataFrame = wc
       .where(expr("size(split(trim(seq), ' ')) >= 2"))
       .select(col("cnt"), split(trim(col("seq")), " ").as("syms"))
@@ -2973,6 +2979,7 @@ object LlmOps {
       .withColumn("seq", expr(
         "replace(seq, concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))"))
       .select("word", "cnt", "seq")
+      .ckpt()
     val t1 = top1(wc0); val wc1 = merge(wc0, t1)
     val t2 = top1(wc1); val wc2 = merge(wc1, t2)
     val t3 = top1(wc2); val wc3 = merge(wc2, t3)

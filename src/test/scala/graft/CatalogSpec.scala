@@ -34,7 +34,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave13" -> Wave13.queries.keySet,
       "Wave14" -> Wave14.queries.keySet,
       "Wave15" -> Wave15.queries.keySet,
-      "Wave16" -> Wave16.queries.keySet)
+      "Wave16" -> Wave16.queries.keySet,
+      "Wave17" -> Wave17.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
