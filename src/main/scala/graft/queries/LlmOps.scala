@@ -265,8 +265,8 @@ object LlmOps {
     * verify keep-rule 9·inter ≥ 4·(sz1+sz2) is t spelled in integers;
     * the prefix length |s| − ceil(t·|s|) + 1 uses ceil(4s/5) =
     * (4s+4) div 5. */
-  private val PrefixTNum = 4L
-  private val PrefixTDen = 5L
+  private[queries] val PrefixTNum = 4L
+  private[queries] val PrefixTDen = 5L
 
   /** q_ngram_topk: bigrams kept per head word. */
   private val NgramK = 3
@@ -429,8 +429,71 @@ object LlmOps {
       .distinct()
   }
 
-  private def minhashCandPairs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def minhashCandPairs(s: SparkSession, dir: String): DataFrame =
     cappedBandPairs(repShingles(s, dir))
+
+  /** The LOSSLESS Jaccard ≥ [[PrefixTNum]]/[[PrefixTDen]] pair set over
+    * exact-dup representatives via prefix filtering (the q_prefix_join
+    * chain, factored): (d1 < d2, inter, sz1, sz2). Recall is GUARANTEED
+    * by the pigeonhole bound, so this is exact ground truth for the
+    * probabilistic LSH channel (q_minhash_recall measures that). */
+  private[queries] def prefixTruePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ckpt._
+    // ONE eagerly-checkpointed mid-table carries everything every later
+    // stage needs (doc, shingle, set size, rarity rank): candidates
+    // filter it, and both verify sides re-read it. A LAZY persist is
+    // not enough here — the final single action reads the table from
+    // parallel stages that would each race to populate the cache,
+    // duplicating the wide upstream (distinct + two shuffled joins + a
+    // window); eager localCheckpoint (the PageRank/BFS discipline)
+    // materializes once and truncates the lineage (38→~10 s at sf0.1).
+    val sh = shinglesOf(repDocs(s, dir)).distinct().ckpt()
+    val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val ranked = sh.join(dfq, "sh").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select("doc_id", "sh", "sz", "rn")
+      .ckpt()
+    val pref = ranked
+      .where(col("rn") <=
+        col("sz") - expr(s"($PrefixTNum*sz + $PrefixTNum) div $PrefixTDen") + 1)
+      .select(col("doc_id"), col("sh"), col("sz"), col("rn"))
+    // candidate pairs with PPJoin's LOSSLESS prunes folded into the
+    // aggregation (a templated corpus can push raw prefix candidates
+    // to ~n²/12 — 1M pairs at sf0.1): (a) length ratio — J ≥ t needs
+    // t·max ≤ min; (b) positional upper bound — overlap ≤ 1 +
+    // min(sz−rn) at the FIRST shared prefix position, which must reach
+    // α = ceil(t/(1+t)·(sz1+sz2)). Both bounds overestimate the true
+    // overlap, so no qualifying pair is lost (the brute-force equality
+    // spec pins it).
+    val cand = pref.select(col("doc_id").as("d1"), col("sh"),
+        col("sz").as("sz1"), col("rn").as("rn1"))
+      .join(pref.select(col("doc_id").as("d2"), col("sh"),
+        col("sz").as("sz2"), col("rn").as("rn2")), "sh")
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(min(col("rn1")).as("r1"),
+        min(col("rn2")).as("r2"),
+        max(col("sz1")).as("sz1"), max(col("sz2")).as("sz2"))
+      .where(expr(s"$PrefixTDen*least(sz1, sz2) >= $PrefixTNum*greatest(sz1, sz2)"))
+      .where(expr(s"1 + least(sz1 - r1, sz2 - r2) >= " +
+        s"($PrefixTNum*(sz1+sz2) + ${PrefixTDen + PrefixTNum - 1}) div ${PrefixTDen + PrefixTNum}"))
+    // verify: exact intersection via array_intersect over the per-doc
+    // sorted set arrays — one row per surviving candidate, never a
+    // |cand|·|set| fan-out shuffle. The arrays table is |docs| rows and
+    // broadcasts at bench scale; when candidates ≪ sets at corpus
+    // scale, flip to the equi-join fan-out shape instead of the
+    // broadcast (SCALE.md).
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("arr"))
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("d1"), col("arr").as("a1"))), "d1")
+      .join(broadcast(sets.select(col("doc_id").as("d2"), col("arr").as("a2"))), "d2")
+      .withColumn("inter",
+        expr("CAST(size(array_intersect(a1, a2)) AS BIGINT)"))
+      .where(expr(s"${PrefixTDen + PrefixTNum}*inter >= $PrefixTNum*(sz1+sz2)"))
+      .select("d1", "d2", "inter", "sz1", "sz2")
+  }
 
   /** The Jaccard-LSH candidate channel alone, over an arbitrary (doc_id,
     * text) corpus — exposed so specs can demonstrate what it MISSES. */
@@ -2761,65 +2824,14 @@ object LlmOps {
     // the prefix bound cannot prevent. Verify = exact integer Jaccard on
     // candidates only (9·inter ≥ 4·(sz1+sz2) — no float at the
     // threshold).
-    "q_prefix_join" -> ((s, dir) => {
-      // ONE eagerly-checkpointed mid-table carries everything every later
-      // stage needs (doc, shingle, set size, rarity rank): candidates
-      // filter it, and both verify sides re-read it. A LAZY persist is
-      // not enough here — the final single action reads the table from
-      // parallel stages that would each race to populate the cache,
-      // duplicating the wide upstream (distinct + two shuffled joins + a
-      // window); eager localCheckpoint (the PageRank/BFS discipline)
-      // materializes once and truncates the lineage (38→~10 s at sf0.1).
-      val sh = shinglesOf(repDocs(s, dir)).distinct().ckpt()
-      val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val w = Window.partitionBy("doc_id").orderBy("df", "sh")
-      val ranked = sh.join(dfq, "sh").join(sz, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .select("doc_id", "sh", "sz", "rn")
-        .ckpt()
-      val pref = ranked
-        .where(col("rn") <=
-          col("sz") - expr(s"($PrefixTNum*sz + $PrefixTNum) div $PrefixTDen") + 1)
-        .select(col("doc_id"), col("sh"), col("sz"), col("rn"))
-      // candidate pairs with PPJoin's LOSSLESS prunes folded into the
-      // aggregation (a templated corpus can push raw prefix candidates
-      // to ~n²/12 — 1M pairs at sf0.1): (a) length ratio — J ≥ t needs
-      // t·max ≤ min; (b) positional upper bound — overlap ≤ 1 +
-      // min(sz−rn) at the FIRST shared prefix position, which must reach
-      // α = ceil(t/(1+t)·(sz1+sz2)). Both bounds overestimate the true
-      // overlap, so no qualifying pair is lost (the brute-force equality
-      // spec pins it).
-      val cand = pref.select(col("doc_id").as("d1"), col("sh"),
-          col("sz").as("sz1"), col("rn").as("rn1"))
-        .join(pref.select(col("doc_id").as("d2"), col("sh"),
-          col("sz").as("sz2"), col("rn").as("rn2")), "sh")
-        .where(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(min(col("rn1")).as("r1"),
-          min(col("rn2")).as("r2"),
-          max(col("sz1")).as("sz1"), max(col("sz2")).as("sz2"))
-        .where(expr(s"$PrefixTDen*least(sz1, sz2) >= $PrefixTNum*greatest(sz1, sz2)"))
-        .where(expr(s"1 + least(sz1 - r1, sz2 - r2) >= " +
-          s"($PrefixTNum*(sz1+sz2) + ${PrefixTDen + PrefixTNum - 1}) div ${PrefixTDen + PrefixTNum}"))
-      // verify: exact intersection via array_intersect over the per-doc
-      // sorted set arrays — one row per surviving candidate, never a
-      // |cand|·|set| fan-out shuffle. The arrays table is |docs| rows and
-      // broadcasts at bench scale; when candidates ≪ sets at corpus
-      // scale, flip to the equi-join fan-out shape instead of the
-      // broadcast (SCALE.md).
-      val sets = sh.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("sh"))).as("arr"))
-      cand
-        .join(broadcast(sets.select(col("doc_id").as("d1"), col("arr").as("a1"))), "d1")
-        .join(broadcast(sets.select(col("doc_id").as("d2"), col("arr").as("a2"))), "d2")
-        .withColumn("inter",
-          expr("CAST(size(array_intersect(a1, a2)) AS BIGINT)"))
-        .where(expr(s"${PrefixTDen + PrefixTNum}*inter >= $PrefixTNum*(sz1+sz2)"))
+    "q_prefix_join" -> ((s, dir) =>
+      // the factored [[prefixTruePairs]] chain (shared with
+      // q_minhash_recall, which grades the LSH channel against it)
+      prefixTruePairs(s, dir)
         .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
           round(expr("CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE)"), 4)
             .as("jac"))
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
 
     // Top-K bigrams per head word on the NATIVE TopKPerKey operator (the
     // n-gram language-model seed): adjacent token pairs from the SAME
@@ -3105,7 +3117,7 @@ object LlmOps {
       |  FROM t GROUP BY doc_id
       |)""".stripMargin
 
-  private val MinhashSigSql: String = {
+  private[queries] val MinhashSigSql: String = {
     val mins = (0 until H)
       .map(i => s"min((a + $i*b) % $Mod) AS h$i").mkString(",\n    ")
     s"""reps AS (
@@ -3198,7 +3210,7 @@ object LlmOps {
   /** Band rows + the bucket-size cap: `cbands` is `bands` minus buckets
     * holding more than [[BandBucketCap]] docs (twin of the Spark-side
     * `smallBuckets` join in `minhashCandPairs`). */
-  private val BandsSql: String =
+  private[queries] val BandsSql: String =
     (0 until Bands).map { b =>
       val v = (0 until R).map(r => s"CAST(h${b * R + r} AS VARCHAR)")
         .mkString(" || '-' || ")
