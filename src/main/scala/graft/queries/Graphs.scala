@@ -249,7 +249,13 @@ object Graphs {
     // dense zero-run folds into the harmonic sum arithmetically). The
     // distance-distribution / effective-diameter primitive at
     // O(rounds·|E|·m) instead of all-pairs BFS.
-    "q_hyperanf" -> ((s, dir) => {
+    "q_hyperanf" -> ((s, dir) => anfNf(s, dir).orderBy("t")))
+
+  /** The HyperANF neighborhood-function chain — (t, n_verts, sum_est)
+    * for rounds 0..[[AnfRounds]], unordered. Factored so
+    * q_effective_diameter (Wave20) derives the distance statistics from
+    * the SAME register machinery q_hyperanf pins. */
+  private[queries] def anfNf(s: SparkSession, dir: String): DataFrame = {
       val p0 = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"), (col("l_suppkey") + 1000000L).as("sv"))
         .distinct()
@@ -290,8 +296,8 @@ object Graphs {
           .withColumn("est", expr(AnfEstExpr))
           .agg(count(lit(1)).as("n_verts"), dsum(col("est"), 2).as("sum_est"))
           .select(lit(t.toLong).as("t"), col("n_verts"), col("sum_est"))
-      }.reduce(_ unionByName _).orderBy("t")
-    }))
+      }.reduce(_ unionByName _)
+  }
 
   private def anfRoundSql(i: Int): String =
     s"""r$i AS (
@@ -464,23 +470,30 @@ object Graphs {
          |ORDER BY aa DESC, u, v LIMIT 20""".stripMargin,
 
     "q_hyperanf" ->
-      s"""WITH p0 AS (
-         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv
-         |  FROM lineitem
-         |),
-         |e AS (SELECT p AS src, sv AS dst FROM p0
-         |      UNION ALL SELECT sv, p FROM p0),
-         |verts AS (SELECT DISTINCT p AS v FROM p0
-         |          UNION SELECT DISTINCT sv FROM p0),
-         |r0 AS (
-         |  SELECT v, h % $AnfM AS bucket,
-         |    CAST(CASE WHEN h // $AnfM = 0 THEN $AnfRhoMax
-         |         ELSE $AnfRhoMax - length(bin(h // $AnfM)) END AS BIGINT) AS rho
-         |  FROM (SELECT v,
-         |          ${hexLongSql("md5('anf-' || CAST(v AS VARCHAR))", 1, 15)} AS h
-         |        FROM verts)
-         |),
-         |${(1 to AnfRounds).map(anfRoundSql).mkString(",\n")}
-         |${(0 to AnfRounds).map(anfEstSql).mkString("", "\nUNION ALL\n", "")}
-         |ORDER BY t""".stripMargin)
+      s"""WITH $anfNfSql
+         |SELECT t, n_verts, sum_est FROM nf ORDER BY t""".stripMargin)
+
+  /** Oracle twin of [[anfNf]] — CTE chain ending in
+    * `nf(t, n_verts, sum_est)`. */
+  private[queries] def anfNfSql: String =
+    s"""p0 AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv
+       |  FROM lineitem
+       |),
+       |e AS (SELECT p AS src, sv AS dst FROM p0
+       |      UNION ALL SELECT sv, p FROM p0),
+       |verts AS (SELECT DISTINCT p AS v FROM p0
+       |          UNION SELECT DISTINCT sv FROM p0),
+       |r0 AS (
+       |  SELECT v, h % $AnfM AS bucket,
+       |    CAST(CASE WHEN h // $AnfM = 0 THEN $AnfRhoMax
+       |         ELSE $AnfRhoMax - length(bin(h // $AnfM)) END AS BIGINT) AS rho
+       |  FROM (SELECT v,
+       |          ${hexLongSql("md5('anf-' || CAST(v AS VARCHAR))", 1, 15)} AS h
+       |        FROM verts)
+       |),
+       |${(1 to AnfRounds).map(anfRoundSql).mkString(",\n")},
+       |nf AS (
+       |${(0 to AnfRounds).map(anfEstSql).mkString("", "\nUNION ALL\n", "")}
+       |)""".stripMargin
 }
