@@ -35,7 +35,12 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave14" -> Wave14.queries.keySet,
       "Wave15" -> Wave15.queries.keySet,
       "Wave16" -> Wave16.queries.keySet,
-      "Wave17" -> Wave17.queries.keySet)
+      "Wave17" -> Wave17.queries.keySet,
+      "Wave18" -> Wave18.queries.keySet,
+      "Wave19" -> Wave19.queries.keySet,
+      "Wave20" -> Wave20.queries.keySet,
+      "Wave21" -> Wave21.queries.keySet,
+      "Wave22" -> Wave22.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
