@@ -512,7 +512,7 @@ object LlmOps {
     * by the q_dedup_minhash_verified catalog query (which rounds for
     * display) and [[verifiedPairs]] (which thresholds). Candidates with
     * zero shared shingles keep jac = 0 (left-outer co-count). */
-  private def verifiedJaccard(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def verifiedJaccard(s: SparkSession, dir: String): DataFrame = {
     // pairs has two consumers; measured BOTH ways at sf0.1 — persisting it
     // loses (5.1 s vs 3.3 s median): the block-manager materialization
     // costs more than re-running the capped band join, the same
