@@ -41,7 +41,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave20" -> Wave20.queries.keySet,
       "Wave21" -> Wave21.queries.keySet,
       "Wave22" -> Wave22.queries.keySet,
-      "Wave23" -> Wave23.queries.keySet)
+      "Wave23" -> Wave23.queries.keySet,
+      "Wave24" -> Wave24.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
