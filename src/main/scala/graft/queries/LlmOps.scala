@@ -390,6 +390,75 @@ object LlmOps {
   private def repShingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(repDocs(s, dir))
 
+  /** Positional rep shingles (doc_id, i, sh), occurrences per (doc, sh)
+    * capped at [[ShPosCap]] smallest positions — a shingle repeated r
+    * times in BOTH docs of a pair yields r² matched positions, so
+    * highly repetitive text (the "aaaa…" hazard) is bounded at
+    * [[ShPosCap]]² per shingle value while non-repetitive runs (distinct
+    * shingles) pass through untouched. Window is per (doc, shingle) —
+    * bounded groups, any corpus size. */
+  private[queries] def repShinglesPos(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "sh").orderBy("i")
+    repDocs(s, dir).where(length(col("text")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
+          .as("i"), col("text"))
+      .select(col("doc_id"), col("i"), expr(s"substring(text, i, $K)").as("sh"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= ShPosCap).drop("rn")
+  }
+
+  private[queries] val ShPosCap = 4
+
+  /** Shingle geometry shared with oracles of positional-run queries. */
+  private[queries] val ShingleK: Int = K
+  private[queries] val ShingleStride: Int = Stride
+
+  /** Oracle twin of [[repShinglesPos]]; requires the `reps` CTE (from
+    * [[MinhashSigSql]]) upstream. Defines CTE `shp`. */
+  private[queries] def repShinglesPosSql: String =
+    s"""shp AS (
+       |  SELECT doc_id, i, sh FROM (
+       |    SELECT doc_id, i, sh,
+       |      row_number() OVER (PARTITION BY doc_id, sh ORDER BY i) AS rn
+       |    FROM (SELECT doc_id, i, substr(text, i, $K) AS sh
+       |          FROM (SELECT doc_id, text,
+       |                  unnest(generate_series(1, length(text) - ${K - 1},
+       |                    $Stride)) AS i
+       |                FROM reps WHERE length(text) >= $K)))
+       |  WHERE rn <= $ShPosCap
+       |)""".stripMargin
+
+  /** Oracle twin of [[verifiedJaccard]]; requires the [[MinhashSigSql]] +
+    * [[BandsSql]] CTEs upstream. Defines CTEs `pairs`, `sets`, `sz`,
+    * `co`, `vj` — vj(d1, d2, jac) is every capped-bucket LSH candidate
+    * pair with its exact shingle Jaccard (0 for zero-overlap pairs). */
+  private[queries] val VerifiedJacSql: String =
+    """pairs AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM cbands x JOIN cbands y
+      |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+      |),
+      |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+      |co AS (
+      |  SELECT p.d1, p.d2, count(*) AS co
+      |  FROM pairs p
+      |  JOIN sets a ON a.doc_id = p.d1
+      |  JOIN sets b ON b.doc_id = p.d2 AND b.sh = a.sh
+      |  GROUP BY p.d1, p.d2
+      |),
+      |vj AS (
+      |  SELECT p.d1, p.d2,
+      |    CAST(coalesce(co.co, 0) AS DOUBLE)
+      |      / (za.sz + zb.sz - coalesce(co.co, 0)) AS jac
+      |  FROM pairs p
+      |  LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
+      |  JOIN sz za ON za.doc_id = p.d1
+      |  JOIN sz zb ON zb.doc_id = p.d2
+      |)""".stripMargin
+
   /** LSH band rows (doc_id, band, v) from a shingle multiset: shingle →
     * [[H]] minhashes from one md5 (Kirsch-Mitzenmacher) → [[Bands]] bands
     * of [[R]] rows. Shared by the corpus self-dedup (q_dedup_minhash*) and

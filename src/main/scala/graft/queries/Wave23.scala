@@ -126,29 +126,7 @@ object Wave23 {
     "q_split_leakage" ->
       s"""WITH ${LlmOps.MinhashSigSql},
          |${LlmOps.BandsSql},
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM cbands x JOIN cbands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |co AS (
-         |  SELECT p.d1, p.d2, count(*) AS co
-         |  FROM pairs p
-         |  JOIN sets a ON a.doc_id = p.d1
-         |  JOIN sets b ON b.doc_id = p.d2 AND b.sh = a.sh
-         |  GROUP BY p.d1, p.d2
-         |),
-         |vj AS (
-         |  SELECT p.d1, p.d2,
-         |    CAST(coalesce(co.co, 0) AS DOUBLE)
-         |      / (za.sz + zb.sz - coalesce(co.co, 0)) AS jac
-         |  FROM pairs p
-         |  LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |  JOIN sz za ON za.doc_id = p.d1
-         |  JOIN sz zb ON zb.doc_id = p.d2
-         |),
+         |${LlmOps.VerifiedJacSql},
          |sp AS (
          |  SELECT doc_id,
          |    CASE WHEN b < 80 THEN 'train'
