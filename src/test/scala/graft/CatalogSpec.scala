@@ -43,7 +43,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave22" -> Wave22.queries.keySet,
       "Wave23" -> Wave23.queries.keySet,
       "Wave24" -> Wave24.queries.keySet,
-      "Wave25" -> Wave25.queries.keySet)
+      "Wave25" -> Wave25.queries.keySet,
+      "Wave26" -> Wave26.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
