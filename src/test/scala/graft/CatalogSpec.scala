@@ -47,7 +47,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave26" -> Wave26.queries.keySet,
       "Wave27" -> Wave27.queries.keySet,
       "Wave28" -> Wave28.queries.keySet,
-      "Wave29" -> Wave29.queries.keySet)
+      "Wave29" -> Wave29.queries.keySet,
+      "Wave30" -> Wave30.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
