@@ -7,7 +7,8 @@ object Verify {
 
   /** Forensic record of what THIS run produced: the dumped parquet read
     * back, columns sorted by name, rows totally ordered, first `cap` rows
-    * as one pipe-joined line each → `outDir/rows/<name>.txt`. A later
+    * as one pipe-joined line each → `outDir-rows/<name>.txt` (deliberately
+    * a SIBLING of outDir — see the in-body comment). A later
     * hash-mismatch report (driver or dev/check.py) can then be diagnosed
     * against the exact rows of the failing run instead of a re-run that
     * may no longer reproduce (the round-4 q_kmeans episode). Never fatal:

@@ -139,6 +139,12 @@ object LlmOps {
   private[queries] val CosExpr = // over exact-integer dot & norms, identical both engines
     "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
 
+  /** q_ann_topk query-set size: the brute-force exactness baseline scans
+    * k·n candidate pairs, so k must be a CONSTANT (top-k by exact integer
+    * self-norm, tie-break vec_id), never a fraction of the corpus — a
+    * fractional query set makes the join Θ(n²) (the q_closeness lesson). */
+  private[queries] val AnnQueryK = 32
+
   // ---- random-hyperplane LSH (deterministic, engine-independent) ----
   // 8 hyperplanes of 64 integer weights in [-1000, 1000], derived from md5
   // of "lsh:p:i" at catalog-build time and inlined as LITERALS into both
@@ -1041,12 +1047,18 @@ object LlmOps {
 
     // Brute-force cosine top-k ANN for sampled query vectors: the exactness
     // baseline; rank by unrounded (but deterministic) cosine, tie-break id.
+    // The query set is a CONSTANT k = AnnQueryK vectors (largest exact
+    // integer self-norm, tie-break vec_id — a deterministic selection both
+    // engines can replay), NOT a constant fraction of the corpus: with a
+    // fractional query set the brute-force join is Θ(n²), while k·n scans
+    // stay linear in the corpus and the k-row query side broadcasts.
     "q_ann_topk" -> ((s, dir) => {
       val all = quantized(s, dir)
-      val qs = all.where(col("vec_id") % 20 === 0)
+      val qs = all.where(col("nq") > 0)
+        .orderBy(desc("nq"), asc("vec_id")).limit(AnnQueryK)
         .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nq").as("na"))
-      val scored = qs.join(all.where(col("nq") > 0), col("q_id") =!= col("vec_id"))
-        .where(col("na") > 0)
+      val scored = broadcast(qs)
+        .join(all.where(col("nq") > 0), col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
           expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
             .as("dot"),
@@ -3742,7 +3754,8 @@ object LlmOps {
       s"""WITH $QuantizedNormSql,
          |qs AS (SELECT e.vec_id AS q_id, e.embedding AS eq, qn.nq AS na
          |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |       WHERE e.vec_id % 20 = 0 AND qn.nq > 0),
+         |       WHERE qn.nq > 0
+         |       ORDER BY qn.nq DESC, e.vec_id LIMIT $AnnQueryK),
          |cand AS (SELECT e.vec_id AS cand_id, e.embedding AS ec, qn.nq AS nb
          |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
          |         WHERE qn.nq > 0),

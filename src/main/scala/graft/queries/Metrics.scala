@@ -420,8 +420,10 @@ object Metrics {
     // DECIMAL (Spark) / HUGEINT (DuckDB): the residual alone can reach
     // ~N² and its square ~N⁴, which silently wraps int64 once the
     // residual exceeds ~3·10⁹ (≈10⁵ skewed documents) — so every
-    // product is exact 128-bit on BOTH engines (good to ~10¹⁸ residual
-    // ⇒ ~10¹⁸ observations), and each cell pays exactly one
+    // product is exact 128-bit on BOTH engines. The residual is O(N²)
+    // and its square must fit DECIMAL(38,0)/HUGEINT (~10³⁸), so the
+    // exactness bound is residual ≲ 10¹⁹ ⇒ N ≲ ~3·10⁹ observations —
+    // ample for a contingency table, not unbounded. Each cell pays one
     // correctly-rounded division + round(8) before a decimal sum. The
     // contingency table is |langs|×|sources| — metadata-scale; the only
     // data-scale stage is the one partial-agg'd count shuffle.

@@ -35,6 +35,11 @@ object Retrieval {
 
   private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 
+  /** q_item2item basket-size cap: baskets larger than this are dropped
+    * before the within-basket self-join, bounding the pair fan-out at
+    * C(cap,2) per basket (same discipline as `Relational.BasketCap`). */
+  private val ItemBasketCap = 64
+
   /** The evaluation query set: qid → terms (all inside the harness
     * vocabulary; q1 is [[LlmOps.BmTerms]] with its one rare term). */
   private[queries] val QuerySets: Seq[(Long, Seq[String])] = Seq(
@@ -125,17 +130,27 @@ object Retrieval {
     // Item-item collaborative filtering: cosine similarity on the
     // order-basket co-occurrence matrix (the classic "customers who
     // bought X also bought Y" recommender). Pairs are generated WITHIN
-    // baskets only — the self-join shuffles on the order key and its
-    // fan-out is C(basket,2), bounded by basket size, never item×item
-    // or corpus×corpus. cos = co/√(nᵢ·nⱼ) is two IEEE ops (sqrt and one
-    // division — both correctly rounded, so cross-engine exact) over
-    // exact BIGINT counts; the co ≥ 2 support floor is part of the
-    // semantics (mirrored in the oracle) and is what keeps the pair
-    // table sparse at scale. Top-50 by (cos desc, ia, ib).
+    // baskets only — the self-join shuffles on the order key — and
+    // baskets larger than ItemBasketCap=64 are dropped BEFORE the
+    // self-join (mirrored in the oracle), so the fan-out is hard-bounded
+    // at C(64,2) per basket regardless of corpus size: one degenerate
+    // million-item basket (a bot account) would otherwise emit ~10¹²
+    // join rows, and oversized baskets carry no co-purchase signal
+    // anyway (same cap discipline as q_freq_pairs and the LSH band
+    // buckets). nᵢ counts ride the capped basket table too, so cos stays
+    // a pure function of the capped matrix. cos = co/√(nᵢ·nⱼ) is two
+    // IEEE ops (sqrt and one division — both correctly rounded, so
+    // cross-engine exact) over exact BIGINT counts; the co ≥ 2 support
+    // floor is part of the semantics (mirrored in the oracle) and is
+    // what keeps the pair table sparse at scale. Top-50 by
+    // (cos desc, ia, ib).
     "q_item2item" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
+      val b0 = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
         .distinct()
+      val small = b0.groupBy("o").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= ItemBasketCap).select("o")
+      val b = b0.join(small, "o").ckpt()
       val ni = b.groupBy("i").agg(count(lit(1)).as("n"))
       val co = b.alias("a")
         .join(b.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
@@ -425,19 +440,23 @@ object Retrieval {
          |FROM ov""".stripMargin,
 
     "q_item2item" ->
-      """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
-        |),
-        |ni AS (SELECT i, count(*) AS n FROM b GROUP BY 1),
-        |co AS (
-        |  SELECT a.i AS ia, c.i AS ib, count(*) AS co
-        |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |)
-        |SELECT ia, ib, co,
-        |  round(co / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cos
-        |FROM co JOIN ni na ON na.i = co.ia JOIN ni nb ON nb.i = co.ib
-        |ORDER BY cos DESC, ia, ib LIMIT 50""".stripMargin,
+      s"""WITH b0 AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+         |),
+         |small AS (
+         |  SELECT o FROM b0 GROUP BY o HAVING count(*) <= $ItemBasketCap
+         |),
+         |b AS (SELECT b0.o, b0.i FROM b0 JOIN small USING (o)),
+         |ni AS (SELECT i, count(*) AS n FROM b GROUP BY 1),
+         |co AS (
+         |  SELECT a.i AS ia, c.i AS ib, count(*) AS co
+         |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT ia, ib, co,
+         |  round(co / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cos
+         |FROM co JOIN ni na ON na.i = co.ia JOIN ni nb ON nb.i = co.ib
+         |ORDER BY cos DESC, ia, ib LIMIT 50""".stripMargin,
 
     "q_mmr" -> {
       val terms = LlmOps.inList(LlmOps.BmTerms)

@@ -101,10 +101,18 @@ object Wave29 {
         .groupBy("w", "blk")
         .agg(first(col("ss")).as("ss"), first(col("s2")).as("s2"),
           max("d").as("dmx"), min("d").as("dmn"))
+        // the variance argument w·Σc² − S² is ~N² in the block's event
+        // count, so it wraps int64 once a block passes ~3·10⁹ events —
+        // plausible for an 8–64-day block of a 100 TB events table. Both
+        // products run 128-bit (Spark DECIMAL ↔ DuckDB HUGEINT, the
+        // chi-square discipline) and only the exact difference is cast
+        // to DOUBLE for the sqrt.
         .withColumn("rs", expr("round(CAST(greatest(dmx, CAST(0 AS BIGINT))" +
           " - least(dmn, CAST(0 AS BIGINT)) AS DOUBLE)" +
-          " / sqrt(CAST(w * s2 - ss * ss AS DOUBLE)), 8)"))
-        .where(expr("w * s2 - ss * ss > 0"))
+          " / sqrt(CAST(CAST(w AS DECIMAL(19,0)) * s2" +
+          " - CAST(ss AS DECIMAL(19,0)) * ss AS DOUBLE)), 8)"))
+        .where(expr("CAST(w AS DECIMAL(19,0)) * s2" +
+          " - CAST(ss AS DECIMAL(19,0)) * ss > 0"))
       val per = dev.groupBy("w")
         .agg(count(lit(1)).as("n_blocks"), dsum(col("rs"), 8).as("srs"))
         .withColumn("mean_rs", expr("srs / n_blocks"))
@@ -216,10 +224,12 @@ object Wave29 {
          |  SELECT w, blk,
          |    round(CAST(greatest(max(d), CAST(0 AS BIGINT))
          |      - least(min(d), CAST(0 AS BIGINT)) AS DOUBLE)
-         |      / sqrt(CAST(w * max(s2) - max(ss) * max(ss) AS DOUBLE)), 8)
+         |      / sqrt(CAST(CAST(w AS HUGEINT) * max(s2)
+         |        - CAST(max(ss) AS HUGEINT) * max(ss) AS DOUBLE)), 8)
          |      AS rs
          |  FROM dev GROUP BY w, blk, ss, s2
-         |  HAVING w * max(s2) - max(ss) * max(ss) > 0
+         |  HAVING CAST(w AS HUGEINT) * max(s2)
+         |    - CAST(max(ss) AS HUGEINT) * max(ss) > 0
          |),
          |per AS (
          |  SELECT w, count(*) AS n_blocks,
