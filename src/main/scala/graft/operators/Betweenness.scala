@@ -48,15 +48,22 @@ object Betweenness {
       .select(col("seed"), col("seed").as("v"), lit(1L).as("sig"))
       .ckpt()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    // ckpt CADENCE (the LabelProp discipline, LabelProp.scala:52): an
+    // eager ckpt is a full job barrier, and at small depth each
+    // intermediate level is consumed only a handful of times — so odd
+    // levels get a LAZY persist (first consumer materializes, the rest
+    // read cache; worst case a racing stage duplicates a tiny
+    // deterministic frame) and only even + terminal levels pay the
+    // eager barrier that truncates lineage.
     for (i <- 1 to depth) {
       val settled = levels.map(_.select("seed", "v")).reduce(_ unionByName _)
-      frontier = frontier
+      val next = frontier
         .join(edges, col("v") === col("src"))
         .groupBy(col("seed"), col("dst"))
         .agg(sum(col("sig")).as("sig"))
         .select(col("seed"), col("dst").as("v"), col("sig"))
         .join(settled, Seq("seed", "v"), "left_anti")
-        .ckpt()
+      frontier = next.ckpt()
       levels += frontier
     }
     // backward: δ at the deepest level is 0; walk levels depth-1 … 1.
@@ -77,13 +84,17 @@ object Betweenness {
         .join(succ, col("seed") === col("sseed") && col("dst") === col("w"))
         .withColumn("c", expr(
           "round((CAST(sig AS DOUBLE) / CAST(sigw AS DOUBLE)) * (1.0 + dw), 8)"))
-      deltas(lvl) = fr.join(
+      val d = fr.join(
           contrib.groupBy("seed", "v")
             .agg(graft.queries.dsum(col("c"), 8).as("s")),
           Seq("seed", "v"), "left_outer")
         .select(col("seed"), col("v"),
           expr("round(coalesce(s, 0.0), 8)").as("delta"))
-        .ckpt()
+      // δ(lvl) has ≤2 consumers (the next sweep's succ side + the final
+      // union); δ(1) exactly one — same cadence: eager barrier on even
+      // levels only, lazy persist on odd (none at all for δ(1))
+      deltas(lvl) =
+        if (lvl % 2 == 0) d.ckpt() else if (lvl > 1) d.persist() else d
     }
     // bc(v) = Σ over seeds of δ; the seed row itself (dist 0) never
     // enters delta, so no v = seed exclusion is needed
