@@ -47,12 +47,21 @@ object Bfs {
       .withColumn("dist", lit(0L)).ckpt()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1 to rounds) {
+      // candidate dedup + settled-membership test FUSED into ONE shuffle:
+      // union the tagged settled set under the raw candidates and keep
+      // keys whose max tag is 0 (never settled). The partial aggregate
+      // collapses duplicate candidates map-side exactly as distinct()
+      // would, and the same reduce answers the membership test — where
+      // distinct + left_anti paid a second full sort-merge-join shuffle
+      // over the deduped frontier and the settled union.
       val settled = levels.map(_.select("v")).reduce(_ unionByName _)
       frontier = frontier
         .join(edges, col("v") === col("src"))
-        .select(col("dst").as("v")).distinct()
-        .join(settled, Seq("v"), "left_anti")
-        .withColumn("dist", lit(i.toLong))
+        .select(col("dst").as("v"), lit(0).as("tag"))
+        .unionByName(settled.withColumn("tag", lit(1)))
+        .groupBy("v").agg(max(col("tag")).as("mt"))
+        .where(col("mt") === 0)
+        .select(col("v"), lit(i.toLong).as("dist"))
         .ckpt()
       levels += frontier
     }
@@ -87,12 +96,15 @@ object Bfs {
       .ckpt()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1 to rounds) {
+      // same fused single-shuffle dedup + membership as [[run]]
       val settled = levels.map(_.select("seed", "v")).reduce(_ unionByName _)
       frontier = frontier
         .join(edges, col("v") === col("src"))
-        .select(col("seed"), col("dst").as("v")).distinct()
-        .join(settled, Seq("seed", "v"), "left_anti")
-        .withColumn("dist", lit(i.toLong))
+        .select(col("seed"), col("dst").as("v"), lit(0).as("tag"))
+        .unionByName(settled.withColumn("tag", lit(1)))
+        .groupBy("seed", "v").agg(max(col("tag")).as("mt"))
+        .where(col("mt") === 0)
+        .select(col("seed"), col("v"), lit(i.toLong).as("dist"))
         .ckpt()
       levels += frontier
     }
