@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt._
 
 /** Round-5 wave-3 additions: weighted graph analytics (SSSP, k-core,
   * deterministic random walks) and Spark-4 SQL-surface coverage
@@ -262,14 +263,19 @@ object Analytics {
       val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= 64).select("ok")
       val bb = b.join(small, "ok")
+      // und has three consumers (degree build + the two-sided join back)
+      // — materialize the capped basket self-join once instead of
+      // re-executing it per consumer (plan audit r7: 40 Exchanges before)
       val und = bb.select(col("ok"), col("pk").as("u"))
         .join(bb.select(col("ok"), col("pk").as("v")), "ok")
         .where(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
         .where(col("support") >= 2).select("u", "v")
+        .ckpt()
       val deg = und.select(col("u").as("x"))
         .unionByName(und.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
+        .ckpt()
       und
         .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
         .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))

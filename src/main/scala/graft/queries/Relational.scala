@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.operators.Ckpt._
 
 /** Standard relational coverage over the TPC-H-ish harness tables — the
   * categories the reference lacks entirely (SURVEY.md §2b): joins of every
@@ -1346,14 +1347,20 @@ object Relational {
       val os = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // und has THREE consumers (degree build, orientation, the closing
+      // edge join) and oriented/deg two each — materialize the shared
+      // subplans once (the q_jaccard_sim discipline) instead of
+      // re-executing the co-purchase projection per consumer
       val und = os.alias("a").join(os.alias("b"), Seq("ok"))
         .where(col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
         .agg(count(lit(1)).as("w"))
         .where(col("w") >= TriangleMinW).select("u", "v")
+        .ckpt()
       val deg = und.select(col("u").as("x"))
         .unionAll(und.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
+        .ckpt()
       val withDeg = und
         .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
         .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
@@ -1362,6 +1369,7 @@ object Relational {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
         .select(col("e.s").as("s"), col("e.t").as("t"))
+        .ckpt()
       // apex wedges (s; t1 < t2 by id) closed by the canonical u<v edge set
       val tri = oriented.alias("e1").join(oriented.alias("e2"), Seq("s"))
         .where(col("e1.t") < col("e2.t"))
@@ -1526,9 +1534,14 @@ object Relational {
       val med = graft.operators.Percentiles
         .exact(ev, "event_type", "value", Seq(0.5))
         .select(col("event_type"), col("q").as("med"))
+      // dev feeds BOTH the second Percentiles selection (which itself
+      // reads it twice: rank pass + count pass) and the final aggregate —
+      // materialize once instead of re-running the events scan + med join
+      // per consumer (plan audit r7: 51 Exchanges before, mostly repeats)
       val dev = ev.join(broadcast(med), "event_type")
         .select(col("event_type"), col("med"),
           abs(col("value") - col("med")).as("d"))
+        .ckpt()
       val mad = graft.operators.Percentiles
         .exact(dev, "event_type", "d", Seq(0.5))
         .select(col("event_type"), col("q").as("mad"))
@@ -1842,12 +1855,17 @@ object Relational {
         .distinct()
       val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= BasketCap).select("ok")
-      val bb = b.join(small, "ok")
+      // bb has FIVE consumers (both l2 self-join sides + three basket
+      // equi-joins) and l2 three (both candidate sides + the prune
+      // semi-join) — materialize each once (plan audit r7: 34 Exchanges
+      // before, mostly replays of the capped-basket join)
+      val bb = b.join(small, "ok").ckpt()
       val l2 = bb.select(col("ok"), col("pk").as("p1"))
         .join(bb.select(col("ok"), col("pk").as("p2")), "ok")
         .where(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("w"))
         .where(col("w") >= PairMinSupport).select("p1", "p2")
+        .ckpt()
       val c3 = l2.alias("x")
         .join(l2.alias("y"),
           col("x.p1") === col("y.p1") && col("x.p2") < col("y.p2"))

@@ -325,10 +325,15 @@ object Retrieval {
         .ckpt()
       val c0 = cand.select("doc_id", "nrel")
       // round 1: empty selected set => msim = 0, score = λ·nrel
+      // sel is ≤ r rows but read 3× per round (anti-join, sim filter,
+      // union) — without the per-round ckpt the unrolled greedy loop
+      // nests every prior round's plan inside the next (O(K²) replayed
+      // selections; plan audit r7: 40 Exchanges / 120 broadcast joins)
       var sel = c0.withColumn("msim", lit(0.0))
         .withColumn("mmr", expr(MmrScoreExpr))
         .orderBy(desc("mmr"), asc("doc_id")).limit(1)
         .select(col("doc_id"), lit(1L).as("rank"), col("mmr"))
+        .ckpt()
       for (r <- 2 to MmrK) {
         val rest = c0.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
         val scored = rest
@@ -341,6 +346,7 @@ object Retrieval {
         sel = sel.unionByName(
           scored.orderBy(desc("mmr"), asc("doc_id")).limit(1)
             .select(col("doc_id"), lit(r.toLong).as("rank"), col("mmr")))
+          .ckpt()
       }
       sel.select(col("rank"), col("doc_id"), col("mmr")).orderBy("rank")
     }),
