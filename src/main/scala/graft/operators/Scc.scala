@@ -122,6 +122,8 @@ object Scc {
     }
     require(active.isEmpty,
       s"SCC peeling did not converge in $maxOuter outer rounds")
-    settled.reduce(_ unionByName _)
+    if (settled.isEmpty) // no non-self-loop edges → no vertices
+      active.select(col("v"), col("v").as("scc"))
+    else settled.reduce(_ unionByName _)
   }
 }

@@ -33,10 +33,14 @@ object Wave26 {
     // SCC: the flow aggregation is the only data-scale stage (3 joins
     // sharing the TPC-H key shuffles, partial-agg'd counts). The graph
     // itself is the nations dimension (≤ 25² edge rows — metadata), so
-    // closure-by-doubling costs 5 self-joins of a tiny frame. A
-    // user-scale SCC would swap this closure for forward/backward label
-    // propagation on the Bfs/Ckpt machinery — documented contract, same
-    // output schema.
+    // closure-by-doubling costs 5 self-joins of a tiny frame AND gives
+    // the DuckDB oracle an exact recursive twin — which is why this
+    // query deliberately STAYS dimension-scale. The user-scale path is
+    // [[graft.operators.Scc]] (forward/backward min-label peeling on the
+    // Bfs/Ckpt machinery — O(V) state, O(E) per round, same output
+    // schema), cross-checked against an in-memory Kosaraju and a planted
+    // 10⁵-edge digraph in SccSpec; its driver-side fixpoint loop has no
+    // oracle-SQL twin, so it is spec-gated rather than catalog-gated.
     "q_scc" -> ((s, dir) => {
       val f = table(s, dir, "orders").select("o_orderkey", "o_custkey")
         .join(table(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
