@@ -139,11 +139,26 @@ object LlmOps {
   private[queries] val CosExpr = // over exact-integer dot & norms, identical both engines
     "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
 
-  /** q_ann_topk query-set size: the brute-force exactness baseline scans
-    * k·n candidate pairs, so k must be a CONSTANT (top-k by exact integer
+  /** ANN-family query-set size: every ANN query (brute force, IVF, PQ,
+    * LSH, recall calibration, hard negatives) scans k·|probe| candidate
+    * pairs per query, so k must be a CONSTANT (top-k by exact integer
     * self-norm, tie-break vec_id), never a fraction of the corpus — a
-    * fractional query set makes the join Θ(n²) (the q_closeness lesson). */
+    * fractional query set makes even the bucketed probes Θ(n²/const)
+    * (the q_closeness lesson, applied family-wide in round 7). */
   private[queries] val AnnQueryK = 32
+
+  /** The deterministic constant ANN query-id set over a `quantized`
+    * frame: the [[AnnQueryK]] largest self-norms, tie-break vec_id. */
+  private[queries] def annQueryIds(all: DataFrame): DataFrame =
+    broadcast(all.where(col("nq") > 0)
+      .orderBy(desc("nq"), asc("vec_id")).limit(AnnQueryK)
+      .select("vec_id"))
+
+  /** DuckDB twin of [[annQueryIds]] — a CTE body over the `qn` norms
+    * CTE ([[QuantizedNormSql]]). */
+  private[queries] val AnnQidsSql: String =
+    s"""qids AS (SELECT vec_id FROM qn WHERE nq > 0
+       |         ORDER BY nq DESC, vec_id LIMIT $AnnQueryK)""".stripMargin
 
   // ---- random-hyperplane LSH (deterministic, engine-independent) ----
   // 8 hyperplanes of 64 integer weights in [-1000, 1000], derived from md5
@@ -1078,13 +1093,14 @@ object LlmOps {
     // Hard-negative mining for contrastive training: for each query
     // vector, the top-5 most-similar candidates with a DIFFERENT label —
     // the "looks alike, isn't" pairs a retrieval/embedding trainer feeds
-    // as negatives. Same exact-integer cosine machinery as q_ann_topk
-    // (small query side broadcasts against the corpus; the label
-    // inequality rides the join), per-query top-5 via a window over the
-    // bounded query set.
+    // as negatives. Same exact-integer cosine machinery as q_ann_topk,
+    // including its CONSTANT k = AnnQueryK query set (a fractional set
+    // makes this full-corpus join Θ(n²)); the k-row query side
+    // broadcasts, the label inequality rides the join, per-query top-5
+    // via a window over the bounded query set.
     "q_hard_negatives" -> ((s, dir) => {
       val all = quantized(s, dir)
-      val qs = all.where(col("vec_id") % 20 === 0 && col("nq") > 0)
+      val qs = all.join(annQueryIds(all), "vec_id")
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
           col("q").as("qq"), col("nq").as("na"))
       val scored = qs
@@ -1166,7 +1182,7 @@ object LlmOps {
       val cent = all.select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
         .groupBy("label", "pos")
         .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-      val qd = all.where(col("vec_id") % 20 === 0)
+      val qd = all.join(annQueryIds(all), "vec_id")
         .select(col("vec_id").as("q_id"), posexplode(col("q")).as(Seq("pos", "qv")))
       // dist² to centroid, scaled by n²: Σ(qv·n − s)² — exact BIGINTs
       val dist = qd.join(cent, "pos")
@@ -1228,7 +1244,7 @@ object LlmOps {
           .orderBy(expr("CAST(dn AS DOUBLE) / (cn * cn)").asc, col("clabel").asc)))
         .where(col("rn") === 1)
         .select(col("vec_id").as("cand_id"), col("m"), col("clabel").as("code"))
-      val adc = comp.where(col("vec_id") % 20 === 0)
+      val adc = comp.join(annQueryIds(all), "vec_id")
         .join(cb, Seq("m", "d"))
         .groupBy(col("vec_id").as("q_id"), col("m"), col("clabel"))
         .agg(sum(expr("qv * s")).as("dotnum"), max("n").as("n"))
@@ -1254,7 +1270,7 @@ object LlmOps {
     "q_ann_lsh" -> ((s, dir) => {
       val all = quantized(s, dir).where(col("nq") > 0)
         .withColumn("bucket", expr(lshBucketSparkExpr("q")).cast("long"))
-      val qs = all.where(col("vec_id") % 20 === 0)
+      val qs = all.join(annQueryIds(all), "vec_id")
         .select(col("vec_id").as("q_id"), col("q").as("qq"),
           col("nq").as("na"), col("bucket"))
       val scored = qs.join(
@@ -3778,10 +3794,12 @@ object LlmOps {
 
     "q_hard_negatives" ->
       s"""WITH $QuantizedNormSql,
+         |$AnnQidsSql,
          |qs AS (SELECT e.vec_id AS q_id, e.label AS q_label,
          |              e.embedding AS eq, qn.nq AS na
          |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |       WHERE e.vec_id % 20 = 0 AND qn.nq > 0),
+         |       WHERE qn.nq > 0
+         |         AND e.vec_id IN (SELECT vec_id FROM qids)),
          |cand AS (SELECT e.vec_id AS cand_id, e.label, e.embedding AS ec,
          |                qn.nq AS nb
          |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
@@ -3834,6 +3852,7 @@ object LlmOps {
 
     "q_ann_ivf" ->
       s"""WITH $QuantizedNormSql,
+         |$AnnQidsSql,
          |pe AS (
          |  SELECT vec_id, label, i AS pos, ${quantSqlElem("embedding[i]")} AS qv
          |  FROM (SELECT e.vec_id, e.label, e.embedding,
@@ -3850,7 +3869,7 @@ object LlmOps {
          |    CAST(sum((pe.qv * c.n - c.s) * (pe.qv * c.n - c.s)) AS BIGINT) AS dist_num,
          |    max(c.n) AS n
          |  FROM pe JOIN cent c ON pe.pos = c.pos
-         |  WHERE pe.vec_id % 20 = 0
+         |  WHERE pe.vec_id IN (SELECT vec_id FROM qids)
          |  GROUP BY q_id, c.label
          |),
          |best AS (
@@ -3895,6 +3914,10 @@ object LlmOps {
          |              FROM embeddings))
          |),
          |nz AS (SELECT vec_id FROM comp GROUP BY vec_id HAVING sum(qv*qv) > 0),
+         |qids AS (SELECT vec_id FROM comp GROUP BY vec_id
+         |         HAVING sum(qv*qv) > 0
+         |         ORDER BY CAST(sum(qv*qv) AS BIGINT) DESC, vec_id
+         |         LIMIT $AnnQueryK),
          |compz AS (SELECT comp.* FROM comp JOIN nz USING (vec_id)),
          |cb AS (
          |  SELECT label AS clabel, m, d, CAST(sum(qv) AS BIGINT) AS s,
@@ -3918,7 +3941,7 @@ object LlmOps {
          |  SELECT c.vec_id AS q_id, c.m, cb.clabel AS code,
          |    CAST(sum(c.qv * cb.s) AS BIGINT) AS dotnum, max(cb.n) AS n
          |  FROM compz c JOIN cb ON c.m = cb.m AND c.d = cb.d
-         |  WHERE c.vec_id % 20 = 0
+         |  WHERE c.vec_id IN (SELECT vec_id FROM qids)
          |  GROUP BY 1, 2, 3
          |),
          |adc AS (
@@ -3943,6 +3966,7 @@ object LlmOps {
 
     "q_ann_lsh" ->
       s"""WITH $QuantizedNormSql,
+         |$AnnQidsSql,
          |$lshBucketSql,
          |sel AS (SELECT e.vec_id, e.embedding, qn.nq, b.bucket
          |        FROM embeddings e
@@ -3955,7 +3979,7 @@ object LlmOps {
          |         q.nq AS na, s.nq AS nb
          |  FROM sel q JOIN sel s
          |    ON q.bucket = s.bucket AND s.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 20 = 0
+         |  WHERE q.vec_id IN (SELECT vec_id FROM qids)
          |),
          |d AS (
          |  SELECT q_id, bucket, cand_id, na, nb,

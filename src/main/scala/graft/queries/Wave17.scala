@@ -47,7 +47,10 @@ object Wave17 {
     "q_ann_recall" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val all = LlmOps.quantized(s, dir).where(col("nq") > 0).ckpt()
-      val qs = all.where(col("vec_id") % 20 === 0)
+      // constant k = AnnQueryK ground-truth query set (round-7 family
+      // rule: a constant-FRACTION query set makes the exact side Θ(n²))
+      val qids = LlmOps.annQueryIds(all)
+      val qs = all.join(qids, "vec_id")
         .select(col("vec_id").as("q_id"), col("q").as("qq"),
           col("nq").as("na"))
       val dot = "aggregate(zip_with(qq, q, (p, r) -> p*r)," +
@@ -68,7 +71,7 @@ object Wave17 {
         .select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
         .groupBy("label", "pos")
         .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-      val qd = all.where(col("vec_id") % 20 === 0)
+      val qd = all.join(qids, "vec_id")
         .select(col("vec_id").as("q_id"),
           posexplode(col("q")).as(Seq("pos", "qv")))
       val best = qd.join(cent, "pos")
@@ -211,9 +214,11 @@ object Wave17 {
 
     "q_ann_recall" ->
       s"""WITH ${LlmOps.QuantizedNormSql},
+         |${LlmOps.AnnQidsSql},
          |qs AS (SELECT e.vec_id AS q_id, e.embedding AS eq, qn.nq AS na
          |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |       WHERE e.vec_id % 20 = 0 AND qn.nq > 0),
+         |       WHERE qn.nq > 0
+         |         AND e.vec_id IN (SELECT vec_id FROM qids)),
          |cand AS (SELECT e.vec_id AS cand_id, e.embedding AS ec, qn.nq AS nb
          |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
          |         WHERE qn.nq > 0),
@@ -251,7 +256,7 @@ object Wave17 {
          |      AS dist_num,
          |    max(c.n) AS n
          |  FROM pe JOIN cent c ON pe.pos = c.pos
-         |  WHERE pe.vec_id % 20 = 0
+         |  WHERE pe.vec_id IN (SELECT vec_id FROM qids)
          |  GROUP BY q_id, c.label
          |),
          |best AS (
