@@ -50,7 +50,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave29" -> Wave29.queries.keySet,
       "Wave30" -> Wave30.queries.keySet,
       "Wave31" -> Wave31.queries.keySet,
-      "Wave32" -> Wave32.queries.keySet)
+      "Wave32" -> Wave32.queries.keySet,
+      "Wave33" -> Wave33.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
