@@ -51,7 +51,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave30" -> Wave30.queries.keySet,
       "Wave31" -> Wave31.queries.keySet,
       "Wave32" -> Wave32.queries.keySet,
-      "Wave33" -> Wave33.queries.keySet)
+      "Wave33" -> Wave33.queries.keySet,
+      "Wave34" -> Wave34.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
