@@ -213,7 +213,7 @@ object LlmOps {
     * docs a bucket is boilerplate, not dedup signal — bounding pairs per
     * bucket at C(cap,2) ≈ 2·10³ regardless of corpus size. Mirrored in the
     * oracle SQL ([[BandsSql]]). */
-  private val BandBucketCap = 64
+  private[queries] val BandBucketCap = 64
 
   /** Per-(source, trigram) document-frequency cap for q_dedup_ngram: a
     * shingle shared by more than this many docs in a block is corpus
@@ -484,13 +484,27 @@ object LlmOps {
     * [[H]] minhashes from one md5 (Kirsch-Mitzenmacher) → [[Bands]] bands
     * of [[R]] rows. Shared by the corpus self-dedup (q_dedup_minhash*) and
     * the base×delta incremental dedup (q_delta_dedup). */
-  private def bandRowsFromShingles(sh: DataFrame): DataFrame = {
+  /** The [[H]]-minhash signature table (doc_id, h0..h{H-1}) over a
+    * shingle stream — shared by [[bandRowsFromShingles]] and the
+    * banding-config planner (q_lsh_planner). */
+  private[queries] def minhashSignatures(sh: DataFrame): DataFrame = {
     val ab = sh.select(col("doc_id"),
       expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)").as("a"),
       expr("CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT)").as("b"))
     val aggs = (0 until H).map(i =>
       min((col("a") + lit(i.toLong) * col("b")) % lit(Mod)).as(s"h$i"))
-    val sig = ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    ab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Corpus-representative signatures for the planner. */
+  private[queries] def repSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(repShingles(s, dir))
+
+  /** Minhash family size — exposed with [[repSignatures]]. */
+  private[queries] val MinhashH: Int = H
+
+  private def bandRowsFromShingles(sh: DataFrame): DataFrame = {
+    val sig = minhashSignatures(sh)
     val bandCols = (0 until Bands).map(b =>
       concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
     sig.select(col("doc_id") +: bandCols: _*)
