@@ -56,13 +56,22 @@ object Betweenness {
     // deterministic frame) and only even + terminal levels pay the
     // eager barrier that truncates lineage.
     for (i <- 1 to depth) {
+      // σ-aggregation and settled-membership FUSED into ONE shuffle (the
+      // Bfs discipline): settled rows ride the same groupBy tagged 1 with
+      // a zero σ contribution; keys whose max tag is 0 are genuinely new
+      // and their sum IS σ — where agg + left_anti paid a second full
+      // sort-merge-join shuffle per round.
       val settled = levels.map(_.select("seed", "v")).reduce(_ unionByName _)
       val next = frontier
         .join(edges, col("v") === col("src"))
-        .groupBy(col("seed"), col("dst"))
-        .agg(sum(col("sig")).as("sig"))
-        .select(col("seed"), col("dst").as("v"), col("sig"))
-        .join(settled, Seq("seed", "v"), "left_anti")
+        .select(col("seed"), col("dst").as("v"), col("sig"),
+          lit(0).as("tag"))
+        .unionByName(settled
+          .select(col("seed"), col("v"), lit(0L).as("sig"), lit(1).as("tag")))
+        .groupBy("seed", "v")
+        .agg(sum(col("sig")).as("sig"), max(col("tag")).as("mt"))
+        .where(col("mt") === 0)
+        .select(col("seed"), col("v"), col("sig"))
       frontier = next.ckpt()
       levels += frontier
     }
