@@ -44,25 +44,31 @@ object Sssp {
     // round 0's improved set
     var frontier = dist
     for (i <- 1 to rounds) {
-      val cand = frontier
+      // candidate min-aggregation, improvement detection, and the dist
+      // regroup FUSED into ONE shuffle (the Bfs/Betweenness discipline):
+      // old dist rows ride the same groupBy tagged 1; per vertex the
+      // merged min IS the new dist, and "improved" = the candidate min
+      // beats the (possibly absent) old min — where the join-based
+      // spelling paid a second and third shuffle per round.
+      val merged0 = frontier
         .join(edges, col("v") === col("src"))
-        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
-        .groupBy("v").agg(min(col("dist")).as("dist"))
-      // vertices the candidates actually improve — next round's frontier
-      val improved = cand.as("c")
-        .join(dist.select(col("v"), col("dist").as("old")), Seq("v"), "left")
-        .where(col("old").isNull || col("c.dist") < col("old"))
-        .select(col("v"), col("c.dist").as("dist"))
-      dist = dist.unionByName(improved)
-        .groupBy("v").agg(min(col("dist")).as("dist"))
-      frontier = improved
-      // truncate lineage on alternating rounds; the FINAL round skips the
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"),
+          lit(0).as("tag"))
+        .unionByName(dist.select(col("v"), col("dist"), lit(1).as("tag")))
+        .groupBy("v")
+        .agg(min(col("dist")).as("dist"),
+          min(when(col("tag") === 1, col("dist"))).as("old"),
+          min(when(col("tag") === 0, col("dist"))).as("cand"))
+      // truncate lineage on alternating rounds, ON THE SHARED FRAME (both
+      // dist and frontier project from it); the FINAL round skips the
       // checkpoint — its consumer evaluates the last regroup directly, so
       // a materialization pass over |V| rows is saved
-      if (i % 2 == 0 && i != rounds) {
-        dist = dist.ckpt()
-        frontier = frontier.ckpt()
-      }
+      val merged = if (i % 2 == 0 && i != rounds) merged0.ckpt() else merged0
+      dist = merged.select(col("v"), col("dist"))
+      frontier = merged
+        .where(col("cand").isNotNull &&
+          (col("old").isNull || col("cand") < col("old")))
+        .select(col("v"), col("cand").as("dist"))
     }
     dist
   }
