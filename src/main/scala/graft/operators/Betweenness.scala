@@ -51,10 +51,17 @@ object Betweenness {
     // ckpt CADENCE (the LabelProp discipline, LabelProp.scala:52): an
     // eager ckpt is a full job barrier, and at small depth each
     // intermediate level is consumed only a handful of times — so odd
-    // levels get a LAZY persist (first consumer materializes, the rest
-    // read cache; worst case a racing stage duplicates a tiny
-    // deterministic frame) and only even + terminal levels pay the
-    // eager barrier that truncates lineage.
+    // non-terminal levels (forward σ frames AND backward δ frames alike)
+    // get a LAZY persist (first consumer materializes, the rest read
+    // cache; worst case a racing stage duplicates a tiny deterministic
+    // frame) and only even + terminal levels pay the eager barrier that
+    // truncates lineage. Every persisted frame is tracked and unpersisted
+    // once the final union has materialized — lazy caches must not
+    // accumulate across repeated run() invocations in one session.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def lazyPersist(df: DataFrame): DataFrame = {
+      val p = df.persist(); persisted += p; p
+    }
     for (i <- 1 to depth) {
       // σ-aggregation and settled-membership FUSED into ONE shuffle (the
       // Bfs discipline): settled rows ride the same groupBy tagged 1 with
@@ -72,7 +79,8 @@ object Betweenness {
         .agg(sum(col("sig")).as("sig"), max(col("tag")).as("mt"))
         .where(col("mt") === 0)
         .select(col("seed"), col("v"), col("sig"))
-      frontier = next.ckpt()
+      frontier = if (i % 2 == 0 || i == depth) next.ckpt()
+                 else lazyPersist(next)
       levels += frontier
     }
     // backward: δ at the deepest level is 0; walk levels depth-1 … 1.
@@ -103,13 +111,20 @@ object Betweenness {
       // union); δ(1) exactly one — same cadence: eager barrier on even
       // levels only, lazy persist on odd (none at all for δ(1))
       deltas(lvl) =
-        if (lvl % 2 == 0) d.ckpt() else if (lvl > 1) d.persist() else d
+        if (lvl % 2 == 0) d.ckpt() else if (lvl > 1) lazyPersist(d) else d
     }
     // bc(v) = Σ over seeds of δ; the seed row itself (dist 0) never
-    // enters delta, so no v = seed exclusion is needed
-    (1 to depth).map(deltas).reduce(_ unionByName _).groupBy("v")
+    // enters delta, so no v = seed exclusion is needed. The final union
+    // is ckpt'd (eagerly materialized — it is ball-sized, tiny) so every
+    // lazily persisted σ/δ frame can be released HERE: their last
+    // consumer is this union, and without the unpersist the cached
+    // blocks would pile up on executors across run() invocations.
+    val out = (1 to depth).map(deltas).reduce(_ unionByName _).groupBy("v")
       .agg(count(lit(1)).as("n_seeds"),
         expr("round(CAST(sum(CAST(delta AS DECIMAL(18,8))) AS DOUBLE), 6)")
           .as("bc"))
+      .ckpt()
+    persisted.foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -40,14 +40,32 @@ import graft.operators.Ckpt._
 object ConnectedComponents {
 
   /** @param edges (a, b) pairs, either direction, BIGINT vertex ids.
+    * @param requireConverged when true, hitting the round cap with labels
+    *   still moving THROWS instead of warning — for callers that build on
+    *   the labels (e.g. [[Mst]], where a partial merge would let a later
+    *   Borůvka round silently close a cycle).
+    * @param seed optional initial labels (v, l): every seed label must be
+    *   a vertex id inside v's own component (e.g. the converged labels of
+    *   a SUBGRAPH of `edges`, the q_percolation nested-threshold case) —
+    *   then the fixpoint refines the seed partition instead of starting
+    *   from singletons and the final min-labels are IDENTICAL to a cold
+    *   run, just reached in fewer rounds.
     * @return (labels DataFrame with columns (v, l) — l = component min —
     *         and the number of propagation rounds run). */
-  def labels(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+  def labels(edges: DataFrame, maxRounds: Int = 50,
+             requireConverged: Boolean = false,
+             seed: DataFrame = null): (DataFrame, Int) = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .ckpt()
-    var cur = sym.select(col("a").as("v")).distinct()
-      .withColumn("l", col("v")).ckpt()
+    val verts = sym.select(col("a").as("v")).distinct()
+    var cur = (if (seed == null) verts.withColumn("l", col("v"))
+               else verts
+                 .join(seed.select(col("v"), col("l").as("sl")),
+                   Seq("v"), "left_outer")
+                 .select(col("v"),
+                   least(col("v"), coalesce(col("sl"), col("v"))).as("l")))
+      .ckpt()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -77,10 +95,15 @@ object ConnectedComponents {
       changed = next.where(col("l") =!= col("lo")).count()
       cur = next.select("v", "l")
     }
-    if (changed > 0)
+    if (changed > 0) {
+      if (requireConverged)
+        throw new IllegalStateException(
+          s"ConnectedComponents did not converge in $maxRounds rounds " +
+            s"($changed labels still moving)")
       System.err.println(
         s"[graft] ConnectedComponents: round cap $maxRounds hit with " +
           s"$changed labels still moving — returning partial labels")
+    }
     (cur, round)
   }
 }

@@ -74,7 +74,13 @@ object Mst {
           .join(comp.select(col("vx").as("u"), col("c").as("a")), "u")
           .join(comp.select(col("vx").as("v"), col("c").as("b")), "v")
           .select("a", "b")
-        val (lbl, _) = ConnectedComponents.labels(cedges)
+        // requireConverged: a PARTIAL merge would leave two already-
+        // connected components under distinct labels, letting a later
+        // round nominate an edge between them — a silent cycle in the
+        // "forest". Fail loudly instead (the operator's own maxRounds
+        // contract).
+        val (lbl, _) = ConnectedComponents.labels(cedges,
+          requireConverged = true)
         comp = comp
           .join(lbl.select(col("v").as("c"), col("l")), Seq("c"), "left_outer")
           .select(col("vx"), coalesce(col("l"), col("c")).as("c"))

@@ -9,7 +9,7 @@ import graft.operators.Ckpt._
   * by DuckDB recursive CTEs — the q_dedup_components precedent):
   *
   *  - q_percolation: component structure under an edge-weight threshold
-  *    sweep (w ≥ 3/5/10) — how the giant component dissolves as the
+  *    sweep (w ≥ 5/8/12) — how the giant component dissolves as the
   *    co-purchase evidence bar rises; the bond-percolation view of
   *    "how much of this graph is real signal".
   *  - q_robustness: targeted-attack robustness — the giant component

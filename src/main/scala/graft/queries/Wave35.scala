@@ -84,10 +84,10 @@ object Wave35 {
            |    CAST(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END) AS BIGINT)
            |      AS n_over_cap,
            |    CAST(sum(CASE WHEN n <= $cap
-           |      THEN CAST(n AS HUGEINT) * (n - 1) / 2
+           |      THEN CAST(n AS HUGEINT) * (n - 1) // 2
            |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS cand_pairs,
            |    CAST(sum(CASE WHEN n > $cap
-           |      THEN CAST(n AS HUGEINT) * (n - 1) / 2
+           |      THEN CAST(n AS HUGEINT) * (n - 1) // 2
            |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS dropped_pairs
            |  FROM buckets${b}
            |)""".stripMargin
