@@ -35,9 +35,25 @@ object Mst {
     * @param maxRounds Borůvka round bound (≥ log₂ V; loud failure).
     * @return (u, v, w) — the canonical (u < v) edges of the minimum
     *   spanning forest under the deterministic (w, u, v) total order. */
-  def run(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
-    require(maxRounds >= 1 && maxRounds <= 40,
-      s"maxRounds must be in [1, 40], got $maxRounds")
+  def run(edges0: DataFrame, maxRounds: Int = 20): DataFrame =
+    boruvka(edges0, maxRounds, requireDone = true)
+      .select("u", "v", "w").distinct()
+
+  /** Exactly-`rounds` Borůvka rounds, each chosen edge tagged with the
+    * round that picked it — the bounded-round view whose per-round
+    * selections are deterministic min-(w, u, v) picks, so an engine
+    * without a driver loop (the DuckDB oracle of q_mst) can replay them
+    * as `rounds` unrolled CTE stages (the q_matching precedent). Early
+    * exit on an already-spanning forest cannot change the output.
+    * @return (u, v, w, round) — a PARTIAL forest if the graph needs more
+    *   rounds; [[run]] is the converged full-forest contract. */
+  def runRounds(edges0: DataFrame, rounds: Int): DataFrame =
+    boruvka(edges0, rounds, requireDone = false)
+
+  private def boruvka(edges0: DataFrame, bound: Int,
+                      requireDone: Boolean): DataFrame = {
+    require(bound >= 1 && bound <= 40,
+      s"round bound must be in [1, 40], got $bound")
     val edges = edges0
       .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v", "w")
       .where(col("u") =!= col("v"))
@@ -45,18 +61,17 @@ object Mst {
       .ckpt()
     var comp = edges.select(explode(array(col("u"), col("v"))).as("x"))
       .distinct().select(col("x").as("vx"), col("x").as("c")).ckpt()
+    def crossEdges(): DataFrame = edges
+      .join(comp.select(col("vx").as("u"), col("c").as("cu")), "u")
+      .join(comp.select(col("vx").as("v"), col("c").as("cv")), "v")
+      .where(col("cu") =!= col("cv"))
+      .ckpt() // emptiness probe + both nomination sides
     val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
-    while (!done) {
+    while (!done && round < bound) {
       round += 1
-      require(round <= maxRounds,
-        s"Boruvka did not converge in $maxRounds rounds")
-      val ec = edges
-        .join(comp.select(col("vx").as("u"), col("c").as("cu")), "u")
-        .join(comp.select(col("vx").as("v"), col("c").as("cv")), "v")
-        .where(col("cu") =!= col("cv"))
-        .ckpt() // emptiness probe + both nomination sides
+      val ec = crossEdges()
       if (ec.isEmpty) done = true
       else {
         val chosen = ec
@@ -66,6 +81,7 @@ object Mst {
           .groupBy("comp").agg(min("k").as("k"))
           .select(col("k.u").as("u"), col("k.v").as("v"), col("k.w").as("w"))
           .distinct()
+          .withColumn("round", lit(round.toLong))
           .ckpt() // forest output + the merge graph
         forest += chosen
         // merge: chosen edges connect component LABELS; CC over that
@@ -87,7 +103,14 @@ object Mst {
           .ckpt()
       }
     }
-    if (forest.isEmpty) edges.select("u", "v", "w").where(lit(false))
-    else forest.reduce(_ unionByName _).distinct()
+    // a bound hit with cross-component edges still present is only legal
+    // for the bounded-round (runRounds) contract
+    if (requireDone && !done)
+      require(crossEdges().isEmpty,
+        s"Boruvka did not converge in $bound rounds")
+    if (forest.isEmpty)
+      edges.select("u", "v", "w")
+        .withColumn("round", lit(1L)).where(lit(false))
+    else forest.reduce(_ unionByName _)
   }
 }

@@ -181,7 +181,7 @@ object LlmOps {
   /** SQL/expr fragment: the bucket of a quantized vector expression where
     * element i is `qElem(i)` (1-based i). Generated identically for Spark
     * (over an array column) and DuckDB (over unnested elements). */
-  private def lshBucketSparkExpr(qCol: String): String = {
+  private[queries] def lshBucketSparkExpr(qCol: String): String = {
     // dot_p via aggregate over zip_with(q, literal array)
     val bits = (0 until LshPlanes).map { p =>
       val arr = LshW(p).mkString("array(", ", ", ")")
@@ -191,7 +191,7 @@ object LlmOps {
   }
 
   /** DuckDB bucket CTE over (vec_id, i, q) long-format rows. */
-  private def lshBucketSql: String = {
+  private[queries] def lshBucketSql: String = {
     val sums = (0 until LshPlanes).map { p =>
       val arr = LshW(p).mkString("[", ", ", "]")
       s"(CASE WHEN sum(q * ($arr)[i]) > 0 THEN ${1 << p} ELSE 0 END)"
@@ -1053,15 +1053,29 @@ object LlmOps {
         .orderBy("d1")
     }),
 
-    // Embedding-cosine near-dup: exact-integer cosine over label-blocked,
-    // sampled pairs (the brute-force correctness baseline for LSH/IVF).
+    // Embedding-cosine near-dup — BUCKETED, never all-pairs: candidates
+    // come from the random-hyperplane LSH buckets (the q_ann_lsh
+    // machinery — 8 md5-seeded integer hyperplanes → one 8-bit bucket per
+    // vector), buckets over BandBucketCap docs are DROPPED before the
+    // self-join (the minhash band-join discipline: an oversized bucket is
+    // boilerplate, not dedup signal), and the exact-integer cosine
+    // verifies inside each surviving bucket. Pairs per bucket are bounded
+    // at C(cap,2) ≈ 2·10³ REGARDLESS of corpus size, so total candidate
+    // volume is O(#buckets·cap²) = O(n·cap) — where the previous
+    // constant-fraction self-join paid Θ((n/10)²/|labels|).
     "q_dedup_embcos" -> ((s, dir) => {
-      val q = quantized(s, dir).where(col("vec_id") % 10 === 0)
-      val pairs = q.alias("x")
-        .join(q.alias("y"),
-          col("x.label") === col("y.label") &&
+      // bucketed feeds the cap filter and BOTH self-join sides — ckpt so
+      // the bucket computation runs once, not three times
+      val bucketed = quantized(s, dir).where(col("nq") > 0)
+        .withColumn("bucket", expr(lshBucketSparkExpr("q")).cast("long"))
+        .ckpt()
+      val ok = bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= BandBucketCap).select("bucket")
+      val b = bucketed.join(ok, Seq("bucket"))
+      val pairs = b.alias("x")
+        .join(b.alias("y"),
+          col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
-        .where(col("x.nq") > 0 && col("y.nq") > 0)
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
           expr("aggregate(zip_with(x.q, y.q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
             .as("dot"),
@@ -3760,13 +3774,20 @@ object LlmOps {
 
     "q_dedup_embcos" ->
       s"""WITH $QuantizedNormSql,
-         |sel AS (SELECT e.vec_id, e.embedding, qn.label, qn.nq
-         |        FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |        WHERE e.vec_id % 10 = 0 AND qn.nq > 0),
+         |$lshBucketSql,
+         |sel AS (SELECT e.vec_id, e.embedding, qn.nq, b.bucket
+         |        FROM embeddings e
+         |        JOIN qn ON e.vec_id = qn.vec_id
+         |        JOIN buckets b ON e.vec_id = b.vec_id
+         |        WHERE qn.nq > 0),
+         |ok AS (SELECT bucket FROM sel
+         |       GROUP BY bucket HAVING count(*) <= $BandBucketCap),
+         |sb AS (SELECT sel.* FROM sel JOIN ok USING (bucket)),
          |p AS (
          |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.nq AS na, y.nq AS nb,
          |         x.embedding AS ea, y.embedding AS eb
-         |  FROM sel x JOIN sel y ON x.label = y.label AND x.vec_id < y.vec_id
+         |  FROM sb x JOIN sb y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |),
          |d AS (
          |  SELECT d1, d2, na, nb,

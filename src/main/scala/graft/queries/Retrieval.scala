@@ -354,14 +354,32 @@ object Retrieval {
     // Mutual nearest neighbors (reciprocal best match) — the embedding-
     // alignment primitive (MUSE-style lexicon induction, entity
     // alignment): pairs (v, u) where each is the other's top-1 neighbor.
-    // Candidates are IVF-label-blocked (the q_ann_ivf discipline: within-
-    // label pairs only, never corpus×corpus), top-1 per vector rides the
-    // native bounded-heap TopKPerKey, and mutuality is one self-join on
-    // the |V|-row nn table. Exact-integer cosine, ties to smaller id.
+    // Candidate generation is BUCKETED, never all-pairs-within-label:
+    // per-vector candidates are its label block ∩ its random-hyperplane
+    // LSH bucket (the q_dedup_embcos machinery — one 8-bit bucket per
+    // vector), and (label, bucket) groups over BandBucketCap vectors are
+    // DROPPED before the self-join (the minhash band-join discipline), so
+    // candidate volume is O(#groups·cap²) = O(n·cap) at any corpus size —
+    // where blocking on label alone paid Θ(Σ n_label²) = Θ(n²/L) for a
+    // constant label count. Top-1 per vector rides the native
+    // bounded-heap TopKPerKey, and mutuality is one self-join on the
+    // O(V)-row nn table. Exact-integer cosine, ties to smaller id; a
+    // planted mutual pair survives because identical/near-identical
+    // vectors land in the same hyperplane bucket (Wave36OpsSpec pins it).
     "q_mutual_knn" -> ((s, dir) => {
-      val all = LlmOps.quantized(s, dir).where(col("nq") > 0)
-      val cand = all.alias("a")
-        .join(all.alias("b"), col("a.label") === col("b.label")
+      // bucketed feeds the group-cap filter and BOTH self-join sides
+      val bucketed = LlmOps.quantized(s, dir).where(col("nq") > 0)
+        .withColumn("bucket",
+          expr(LlmOps.lshBucketSparkExpr("q")).cast("long"))
+        .ckpt()
+      val ok = bucketed.groupBy("label", "bucket")
+        .agg(count(lit(1)).as("gsz"))
+        .where(col("gsz") <= LlmOps.BandBucketCap)
+        .select("label", "bucket")
+      val b = bucketed.join(ok, Seq("label", "bucket"))
+      val cand = b.alias("a")
+        .join(b.alias("b"), col("a.label") === col("b.label")
+          && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("u"),
           expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
@@ -598,13 +616,21 @@ object Retrieval {
 
     "q_mutual_knn" ->
       s"""WITH ${LlmOps.QuantizedNormSql},
-         |qv AS (SELECT e.vec_id, e.label, e.embedding, qn.nq
-         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
+         |${LlmOps.lshBucketSql},
+         |qv AS (SELECT e.vec_id, e.label, e.embedding, qn.nq, b.bucket
+         |       FROM embeddings e
+         |       JOIN qn ON e.vec_id = qn.vec_id
+         |       JOIN buckets b ON e.vec_id = b.vec_id
          |       WHERE qn.nq > 0),
+         |ok AS (SELECT label, bucket FROM qv
+         |       GROUP BY label, bucket
+         |       HAVING count(*) <= ${LlmOps.BandBucketCap}),
+         |qb AS (SELECT qv.* FROM qv JOIN ok USING (label, bucket)),
          |p AS (
          |  SELECT a.vec_id AS v, b.vec_id AS u, a.embedding AS ea,
          |         b.embedding AS eb, a.nq AS na, b.nq AS nb
-         |  FROM qv a JOIN qv b ON a.label = b.label
+         |  FROM qb a JOIN qb b ON a.label = b.label
+         |                     AND a.bucket = b.bucket
          |                     AND a.vec_id <> b.vec_id
          |),
          |d AS (

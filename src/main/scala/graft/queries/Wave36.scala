@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave-36 addition — the oracle-gated Borůvka view:
+  *
+  *  - q_mst: 3 bounded Borůvka rounds ([[graft.operators.Mst.runRounds]])
+  *    over the weight-thresholded supplier co-purchase graph, each chosen
+  *    edge tagged with the round that picked it. This closes the last
+  *    oracle-coverage gap in the graph-operator family (r7 verdict):
+  *    [[graft.operators.Mst]] itself was spec-gated only (MstSpec pins
+  *    run() against a driver-side Kruskal on 150k random edges) because
+  *    its driver-loop fixpoint has no oracle-SQL equivalent — but the
+  *    ROUNDS are deterministic min-(w, u, v) selections, so a bounded
+  *    3-round unroll is DuckDB-writable (the q_matching precedent): per
+  *    round the oracle re-labels components via a recursive min-label
+  *    closure over the forest-so-far and replays the per-component min
+  *    pick with a window.
+  *
+  * Determinism: the (w, u, v) total order makes every per-component pick
+  * unique (no float, no hash, no partition dependence); component labels
+  * are min vertex ids — pure integer algebra in both engines. */
+object Wave36 {
+
+  /** Co-purchase noise floor (the q_matching / q_percolation semantics). */
+  private val MstMinW = 5
+  /** Bounded unrolled rounds — components at least halve per round, so 3
+    * rounds build ≥ 7/8 of the forest; the oracle replays exactly 3. */
+  private val MstRounds = 3
+
+  val queries: Map[String, Q] = strictMap(
+
+    // MST: per round ONE partial-agg'd min-(w,u,v) nomination shuffle
+    // (both endpoint components nominate through the same groupBy) + the
+    // O(log)-hooking CC merge over the COMPONENT-label graph (component-
+    // count-sized, not vertex-count-sized). The 3-round bound is the
+    // contract; the operator's early exit on an already-spanning forest
+    // cannot change the output.
+    "q_mst" -> ((s, dir) => {
+      val os = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = os.alias("a").join(os.alias("b"), Seq("ok"))
+        .where(col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= MstMinW)
+        .selectExpr("CAST(u AS BIGINT) AS src", "CAST(v AS BIGINT) AS dst",
+          "CAST(w AS BIGINT) AS w")
+      graft.operators.Mst.runRounds(e, MstRounds)
+        .selectExpr("CAST(u AS BIGINT) AS u", "CAST(v AS BIGINT) AS v",
+          "CAST(w AS BIGINT) AS w", "CAST(round AS BIGINT) AS round")
+        .orderBy("round", "u", "v")
+    }),
+  )
+
+  /** Unrolled hooking CC stages for the oracle's component merge. A
+    * recursive min-label CTE would be the natural spelling, but DuckDB
+    * re-evaluates every CTE referenced from a recursive branch ON EVERY
+    * fixpoint iteration (MATERIALIZED hints are not honored there), and
+    * 1-hop label spreading needs diameter-many iterations over the MST's
+    * long tree paths — measured 15-25 s at sf0.01 vs 0.14 s for this
+    * unrolled form. So the oracle mirrors the Spark operator instead:
+    * [[CcStages]] chained MATERIALIZED stages, each taking per vertex the
+    * min of (own label, neighbors' labels, HOOK — label(a) hears
+    * label(b) across each edge, and pointer jump — label's label): the
+    * exact candidate set of `operators.ConnectedComponents`, which
+    * collapses label trees geometrically (the repo's adversarial
+    * 1000-link chain converges ≤ 12 rounds; 16 stages is comfortable
+    * margin for the ≤ few-hundred-vertex co-purchase forests). */
+  private val CcStages = 16
+
+  /** The stage chain: labels seeded from `$seed`, closed over edge CTE
+    * `$sym` (columns a, b, symmetric); emits CTE fragments and returns
+    * (fragments, name of the converged labels CTE). */
+  private def ccStageSql(pfx: String, sym: String,
+                         seed: String): (Seq[String], String) = {
+    val frags = (1 to CcStages).map { k =>
+      val prev = if (k == 1) seed else s"${pfx}c${k - 1}"
+      s"""${pfx}c$k AS MATERIALIZED (
+         |  SELECT v, min(l) AS l FROM (
+         |    SELECT v, l FROM $prev
+         |    UNION ALL
+         |    SELECT s.a AS v, p.l FROM $sym s JOIN $prev p ON p.v = s.b
+         |    UNION ALL
+         |    SELECT pa.l AS v, pb.l AS l
+         |    FROM $sym s JOIN $prev pa ON pa.v = s.a
+         |                JOIN $prev pb ON pb.v = s.b
+         |    UNION ALL
+         |    SELECT x.v, y.l FROM $prev x JOIN $prev y ON x.l = y.v
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }
+    (frags, s"${pfx}c$CcStages")
+  }
+
+  /** One unrolled Borůvka round: cross edges under the previous labels,
+    * both endpoint components nominate, min-(w, u, v) per component via a
+    * window, then labels re-converge over the forest-so-far (seeded from
+    * the previous round's labels, so the stages only have to absorb the
+    * just-chosen merges). */
+  private def mstRoundSql(i: Int, prevComp: String): (String, String) = {
+    val forestSoFar = (1 to i).map(j => s"SELECT u, v FROM m$j")
+      .mkString(" UNION ALL ")
+    val (ccFrags, last) = ccStageSql(s"r$i", s"sym$i", prevComp)
+    val frag =
+      s"""x$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w, cu.l AS cu, cv.l AS cv
+         |  FROM e
+         |  JOIN $prevComp cu ON e.u = cu.v
+         |  JOIN $prevComp cv ON e.v = cv.v
+         |  WHERE cu.l <> cv.l
+         |),
+         |m$i AS MATERIALIZED (
+         |  SELECT DISTINCT u, v, w FROM (
+         |    SELECT comp, u, v, w,
+         |      row_number() OVER (PARTITION BY comp ORDER BY w, u, v) AS rn
+         |    FROM (SELECT cu AS comp, u, v, w FROM x$i
+         |          UNION ALL SELECT cv, u, v, w FROM x$i)
+         |  ) WHERE rn = 1
+         |),
+         |sym$i AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM ($forestSoFar)
+         |  UNION ALL
+         |  SELECT v, u FROM ($forestSoFar)
+         |),
+         |${ccFrags.mkString(",\n")},
+         |comp$i AS MATERIALIZED (SELECT v, l FROM $last)""".stripMargin
+    (frag, s"comp$i")
+  }
+
+  val oracle: Map[String, String] = strictMap(
+
+    "q_mst" -> {
+      val rounds = (1 to MstRounds).map { i =>
+        mstRoundSql(i, if (i == 1) "comp0" else s"comp${i - 1}")._1
+      }.mkString(",\n")
+      val out = (1 to MstRounds).map(i =>
+        s"SELECT u, v, w, CAST($i AS BIGINT) AS round FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH os AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+         |),
+         |e AS MATERIALIZED (
+         |  SELECT CAST(a.sk AS BIGINT) AS u, CAST(b.sk AS BIGINT) AS v,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING count(*) >= $MstMinW
+         |),
+         |verts AS MATERIALIZED (SELECT u AS x FROM e UNION SELECT v FROM e),
+         |comp0 AS MATERIALIZED (SELECT x AS v, x AS l FROM verts),
+         |$rounds
+         |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+         |       CAST(w AS BIGINT) AS w, round
+         |FROM ($out) ORDER BY round, u, v""".stripMargin
+    },
+  )
+}

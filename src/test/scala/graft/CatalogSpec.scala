@@ -53,7 +53,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave32" -> Wave32.queries.keySet,
       "Wave33" -> Wave33.queries.keySet,
       "Wave34" -> Wave34.queries.keySet,
-      "Wave35" -> Wave35.queries.keySet)
+      "Wave35" -> Wave35.queries.keySet,
+      "Wave36" -> Wave36.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
