@@ -44,28 +44,15 @@ object ConnectedComponents {
     *   still moving THROWS instead of warning — for callers that build on
     *   the labels (e.g. [[Mst]], where a partial merge would let a later
     *   Borůvka round silently close a cycle).
-    * @param seed optional initial labels (v, l): every seed label must be
-    *   a vertex id inside v's own component (e.g. the converged labels of
-    *   a SUBGRAPH of `edges`, the q_percolation nested-threshold case) —
-    *   then the fixpoint refines the seed partition instead of starting
-    *   from singletons and the final min-labels are IDENTICAL to a cold
-    *   run, just reached in fewer rounds.
     * @return (labels DataFrame with columns (v, l) — l = component min —
     *         and the number of propagation rounds run). */
   def labels(edges: DataFrame, maxRounds: Int = 50,
-             requireConverged: Boolean = false,
-             seed: DataFrame = null): (DataFrame, Int) = {
+             requireConverged: Boolean = false): (DataFrame, Int) = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .ckpt()
-    val verts = sym.select(col("a").as("v")).distinct()
-    var cur = (if (seed == null) verts.withColumn("l", col("v"))
-               else verts
-                 .join(seed.select(col("v"), col("l").as("sl")),
-                   Seq("v"), "left_outer")
-                 .select(col("v"),
-                   least(col("v"), coalesce(col("sl"), col("v"))).as("l")))
-      .ckpt()
+    var cur = sym.select(col("a").as("v")).distinct()
+      .withColumn("l", col("v")).ckpt()
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -105,5 +92,41 @@ object ConnectedComponents {
           s"$changed labels still moving — returning partial labels")
     }
     (cur, round)
+  }
+
+  /** Labels of `edges` given the CONVERGED labels of a SUBGRAPH of it
+    * (the q_percolation nested-threshold / q_robustness hub-cut case):
+    * rather than seeding the full-size fixpoint — which still pays
+    * whole-edge-set rounds just to detect convergence — CONTRACT the
+    * graph by the seed partition (the [[Mst]] merge trick), run the
+    * fixpoint on the component-count-sized contracted graph, and relabel
+    * through one join. Seed labels must each lie inside their vertex's
+    * own component of `edges` (guaranteed when the seed is a converged
+    * labeling of any edge-subset); then the result is IDENTICAL to a
+    * cold `labels(edges)` run — min vertex id per component — at
+    * O(E) contraction + O(components) fixpoint cost.
+    *
+    * @param seed (v, l) converged subgraph labels; vertices of `edges`
+    *   absent from the seed start as their own singleton.
+    * @return (labels (v, l), inner fixpoint rounds). */
+  def refine(edges: DataFrame, seed: DataFrame,
+             maxRounds: Int = 50): (DataFrame, Int) = {
+    val verts = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v"))).distinct()
+    val vl = verts
+      .join(seed.select(col("v"), col("l").as("sl")), Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("sl"), col("v")).as("l0"))
+      .ckpt() // consumed by the contraction join AND the final relabel
+    val cedges = edges
+      .join(vl.select(col("v").as("a"), col("l0").as("la")), "a")
+      .join(vl.select(col("v").as("b"), col("l0").as("lb")), "b")
+      .where(col("la") =!= col("lb"))
+      .select(col("la").as("a"), col("lb").as("b")).distinct()
+    val (clbl, rounds) = labels(cedges, maxRounds)
+    val out = vl
+      .join(clbl.select(col("v").as("l0"), col("l")), Seq("l0"), "left_outer")
+      .select(col("v"), coalesce(col("l"), col("l0")).as("l"))
+      .ckpt()
+    (out, rounds)
   }
 }

@@ -39,9 +39,9 @@ object Wave34 {
       .agg(count(lit(1)).as("w"))
   }
 
-  private def summary(s: SparkSession, e: DataFrame,
+  /** Summary row over an edge set and its (already converged) labels. */
+  private def summary(labels: DataFrame, e: DataFrame,
                       tag: org.apache.spark.sql.Column): DataFrame = {
-    val (labels, _) = graft.operators.ConnectedComponents.labels(e)
     val sizes = labels.groupBy("l").agg(count(lit(1)).as("sz"))
     sizes.agg(count(lit(1)).as("nc"), max("sz").as("g"), sum("sz").as("nv"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("ne"))))
@@ -56,19 +56,33 @@ object Wave34 {
 
     // PERCOLATION: ONE weighted-projection shuffle (ckpt'd — all three
     // thresholds read it), then per threshold a filter + the O(log)
-    // hooking CC; summaries are metadata.
+    // hooking CC; summaries are metadata. The thresholds are NESTED
+    // (τ₁ < τ₂ < τ₃ ⇒ E₃ ⊆ E₂ ⊆ E₁), so the sweep runs τ DESCENDING and
+    // each coarser graph's CONVERGED labels REFINE the next denser one
+    // (ConnectedComponents.refine: contract by the labels, fixpoint on
+    // the component-count-sized graph, relabel) — identical min-labels,
+    // but only ONE full-size cold fixpoint instead of r7's three (the
+    // r7 verdict task 5).
     "q_percolation" -> ((s, dir) => {
       val wt = coPurchase(s, dir).ckpt()
-      PercThresholds.map { thr =>
+      var seed: DataFrame = null
+      PercThresholds.sorted.reverse.map { thr =>
         val e = wt.where(col("w") >= thr)
           .select(col("u").as("a"), col("v").as("b"))
-        summary(s, e, lit(thr).as("threshold"))
+        val (labels, _) =
+          if (seed == null) graft.operators.ConnectedComponents.labels(e)
+          else graft.operators.ConnectedComponents.refine(e, seed)
+        seed = labels
+        summary(labels, e, lit(thr).as("threshold"))
       }.reduce(_ unionByName _).orderBy("threshold")
     }),
 
     // ROBUSTNESS: degrees from the thresholded edge list, a constant
     // top-8 hub selection (TakeOrderedAndProject — never a fraction of
-    // the graph), two anti-joins drop hub-incident edges, CC twice.
+    // the graph), two anti-joins drop hub-incident edges, CC twice —
+    // the CUT graph runs first (cold) and its labels REFINE the base CC
+    // (E_cut ⊆ E_base, the same contract-and-relabel trick; the reverse
+    // direction would be unsound — base components are coarser).
     "q_robustness" -> ((s, dir) => {
       val e0 = coPurchase(s, dir).where(col("w") >= 5L)
         .select("u", "v").ckpt()
@@ -81,10 +95,13 @@ object Wave34 {
         .join(hubs.select(col("x").as("u")), Seq("u"), "left_anti")
         .join(hubs.select(col("x").as("v")), Seq("v"), "left_anti")
         .select("u", "v")
-      summary(s, e0.select(col("u").as("a"), col("v").as("b")),
-          lit("base").as("stage"))
-        .unionByName(summary(s,
-          e1.select(col("u").as("a"), col("v").as("b")),
+      val eCut = e1.select(col("u").as("a"), col("v").as("b"))
+      val eBase = e0.select(col("u").as("a"), col("v").as("b"))
+      val (cutLabels, _) = graft.operators.ConnectedComponents.labels(eCut)
+      val (baseLabels, _) =
+        graft.operators.ConnectedComponents.refine(eBase, cutLabels)
+      summary(baseLabels, eBase, lit("base").as("stage"))
+        .unionByName(summary(cutLabels, eCut,
           lit("hubs_removed").as("stage")))
         .orderBy("stage")
     }),

@@ -31,4 +31,26 @@ class Wave34OpsSpec extends AnyFunSuite with SparkFixture {
     assert(cut.getLong(4) < base.getLong(4),
       "removing 8 hubs from a connected co-purchase graph must drop edges")
   }
+
+  test("ConnectedComponents.refine ≡ cold labels on a planted nested graph") {
+    // full graph: 3 chains of 60 bridged into one 180-vertex component
+    // plus a 20-vertex ring; subgraph: drop the two bridge edges and the
+    // ring — refine(full, labels(sub)) must equal labels(full) exactly
+    import spark.implicits._
+    val chains = (0 until 3).flatMap { c =>
+      (0 until 59).map(i => (c * 60L + i, c * 60L + i + 1))
+    }
+    val bridges = Seq((59L, 60L), (119L, 120L))
+    val ring = (0 until 20).map(i => (200L + i, 200L + (i + 1) % 20))
+    val full = (chains ++ bridges ++ ring).toDF("a", "b")
+    val sub = chains.toDF("a", "b")
+    val (subL, _) = graft.operators.ConnectedComponents.labels(sub)
+    val (cold, _) = graft.operators.ConnectedComponents.labels(full)
+    val (warm, _) = graft.operators.ConnectedComponents.refine(full, subL)
+    val coldM = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warmM = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmM == coldM)
+    assert(warmM.values.toSet == Set(0L, 200L), "two components, min labels")
+    spark.catalog.clearCache()
+  }
 }
