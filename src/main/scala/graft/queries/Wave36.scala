@@ -74,8 +74,8 @@ object Wave36 {
   /** The stage chain: labels seeded from `$seed`, closed over edge CTE
     * `$sym` (columns a, b, symmetric); emits CTE fragments and returns
     * (fragments, name of the converged labels CTE). */
-  private def ccStageSql(pfx: String, sym: String,
-                         seed: String): (Seq[String], String) = {
+  private[queries] def ccStageSql(pfx: String, sym: String,
+                                  seed: String): (Seq[String], String) = {
     val frags = (1 to CcStages).map { k =>
       val prev = if (k == 1) seed else s"${pfx}c${k - 1}"
       s"""${pfx}c$k AS MATERIALIZED (
