@@ -61,15 +61,37 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     val pairs = rows("q_mutual_knn")
     assert(pairs.nonEmpty)
     pairs.foreach(p => assert(p.getLong(0) < p.getLong(1), p))
-    // recompute each vector's label-blocked top-1 by brute force and
-    // confirm both directions for every emitted pair
+    // recompute each vector's top-1 within the query's candidate geometry
+    // — label block ∩ random-hyperplane LSH bucket, over-cap groups
+    // dropped (r8 rebuild) — by brute force from an INDEPENDENT
+    // reimplementation of the md5 plane constants, and confirm both
+    // directions for every emitted pair
+    val planes = (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lsh:$p:$i".getBytes("UTF-8"))
+        (java.lang.Long.parseLong(
+          md.take(4).map("%02x".format(_)).mkString, 16) % 2001L) - 1000L
+      }
+    }
+    val bucketExpr = (0 until 8).map { p =>
+      val arr = planes(p).mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with(q, $arr, (x, y) -> x*y), " +
+        s"CAST(0 AS BIGINT), (a, v) -> a + v) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
     val all = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))").as("q"))
       .withColumn("nq", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x*x)"))
       .where(col("nq") > 0)
-    val cand = all.alias("a").join(all.alias("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("bucket", expr(bucketExpr))
+    val okg = all.groupBy("label", "bucket").agg(count(lit(1)).as("g"))
+      .where(col("g") <= 64).select("label", "bucket")
+    val bl = all.join(okg, Seq("label", "bucket"))
+    val cand = bl.alias("a").join(bl.alias("b"),
+        col("a.label") === col("b.label")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("v"), col("b.vec_id").as("u"),
         expr("round(CAST(aggregate(zip_with(a.q, b.q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)" +
           " / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)), 6)").as("cos"))
