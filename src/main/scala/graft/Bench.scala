@@ -35,7 +35,14 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () } // failures surface in timed reps
+      } catch {
+        // NonFatal only: an OutOfMemoryError / dead SparkContext here would
+        // poison every timed rep — let it propagate instead of discarding
+        // it with no log pointing at the warmup. Non-fatal failures still
+        // surface as penalties in the timed reps; log the name for traceability.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
       spark.catalog.clearCache()
     }
     var gcDone = false

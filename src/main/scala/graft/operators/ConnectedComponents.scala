@@ -122,7 +122,11 @@ object ConnectedComponents {
       .join(vl.select(col("v").as("b"), col("l0").as("lb")), "b")
       .where(col("la") =!= col("lb"))
       .select(col("la").as("a"), col("lb").as("b")).distinct()
-    val (clbl, rounds) = labels(cedges, maxRounds)
+    // requireConverged: a round-cap bailout here would return silently
+    // partial labels, breaking the documented "identical to a cold
+    // labels() run" contract that q_percolation/q_robustness hash-gates
+    // build on — fail loudly instead.
+    val (clbl, rounds) = labels(cedges, maxRounds, requireConverged = true)
     val out = vl
       .join(clbl.select(col("v").as("l0"), col("l")), Seq("l0"), "left_outer")
       .select(col("v"), coalesce(col("l"), col("l0")).as("l"))

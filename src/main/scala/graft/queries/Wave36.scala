@@ -73,7 +73,12 @@ object Wave36 {
 
   /** The stage chain: labels seeded from `$seed`, closed over edge CTE
     * `$sym` (columns a, b, symmetric); emits CTE fragments and returns
-    * (fragments, name of the converged labels CTE). */
+    * (fragments, name of the converged labels CTE). The returned CTE is
+    * GUARDED: if stage 16 still differs from stage 15 (a graph that needs
+    * more hooking stages than the fixed unroll — larger oracle SF,
+    * adversarial structure), it raises a loud DuckDB error instead of
+    * silently emitting under-converged labels that would surface only as
+    * an opaque downstream hash mismatch. */
   private[queries] def ccStageSql(pfx: String, sym: String,
                                   seed: String): (Seq[String], String) = {
     val frags = (1 to CcStages).map { k =>
@@ -92,7 +97,17 @@ object Wave36 {
          |  ) GROUP BY v
          |)""".stripMargin
     }
-    (frags, s"${pfx}c$CcStages")
+    val guard =
+      s"""${pfx}cg AS MATERIALIZED (
+         |  SELECT v, CASE WHEN (
+         |      SELECT count(*) FROM ${pfx}c$CcStages a
+         |      JOIN ${pfx}c${CcStages - 1} b ON a.v = b.v AND a.l <> b.l
+         |    ) > 0
+         |    THEN CAST(error('graft oracle: $pfx CC stages under-converged after $CcStages rounds') AS BIGINT)
+         |    ELSE l END AS l
+         |  FROM ${pfx}c$CcStages
+         |)""".stripMargin
+    (frags :+ guard, s"${pfx}cg")
   }
 
   /** One unrolled Borůvka round: cross edges under the previous labels,

@@ -32,14 +32,18 @@ object Wave38 {
   private val KnnK = 3
   private val MisRounds = 3
 
-  /** Unique MIS priority: 8 md5 hex chars × 10⁶ + v (vertex ids are far
-    * below 10⁶ at harness scale; the `require` in the query guards it).
-    * Uniqueness makes the strict `<` comparison a total order — no
-    * (priority, id) tuple compares needed. */
+  /** Unique MIS priority: 6 md5 hex chars (< 2²⁴) × 10¹¹ + v — max value
+    * ≈ 1.7e18, inside int64, and vertex ids up to 10¹¹ keep priorities
+    * unique (l_partkey at sf=10 is ~2e7; 10¹¹ covers any plausible SF).
+    * A raise_error column in the initial active-set plan guards the
+    * precondition in-plan — no driver collect, no job, no NPE on an
+    * empty edge set. Uniqueness makes the strict `<` comparison a total
+    * order — no (priority, id) tuple compares needed. */
+  private val PriorityStride = 100000000000L // 10^11
   private def prioritySpark(v: String): String =
-    s"CAST(conv(substring(md5(concat('mis:', CAST($v AS STRING))), 1, 8), 16, 10) AS BIGINT) * 1000000 + $v"
+    s"CAST(conv(substring(md5(concat('mis:', CAST($v AS STRING))), 1, 6), 16, 10) AS BIGINT) * $PriorityStride + $v"
   private def prioritySql(v: String): String =
-    s"${hex2longSql(s"md5('mis:' || CAST($v AS VARCHAR))", 1)} * 1000000 + $v"
+    s"${hexLongSql(s"md5('mis:' || CAST($v AS VARCHAR))", 1, 6)} * $PriorityStride + $v"
 
   val queries: Map[String, Q] = strictMap(
 
@@ -136,11 +140,16 @@ object Wave38 {
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
         .where(col("support") >= 2L)
         .selectExpr("CAST(u AS BIGINT) AS u", "CAST(v AS BIGINT) AS v")
+      // in-plan precondition: ids must stay below the priority stride so
+      // priorities are unique; fires during the eager ckpt materialization
+      // (zero extra jobs, trivially true on an empty edge set)
       var active = e0.select(explode(array(col("u"), col("v"))).as("x"))
-        .distinct().ckpt()
-      // vertex ids must stay far below the 10^6 priority stride
-      require(active.agg(max("x")).collect()(0).getLong(0) < 1000000L,
-        "MIS priority stride assumes vertex ids < 10^6")
+        .distinct()
+        .select(when(col("x") >= lit(PriorityStride),
+          raise_error(concat(lit("MIS priority stride assumes vertex ids < 10^11, got "),
+            col("x").cast("string"))).cast("long"))
+          .otherwise(col("x")).as("x"))
+        .ckpt()
       var edges = e0.ckpt()
       val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (r <- 1 to MisRounds) {
