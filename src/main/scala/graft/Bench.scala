@@ -46,8 +46,20 @@ object Bench {
       spark.catalog.clearCache()
     }
     var gcDone = false
+    var tailIdx = 0
     val results = names.map { name =>
       if (!gcDone && !Headline(name)) { System.gc(); gcDone = true }
+      // Periodic gc through the tail (r8 verdict task 4): without it,
+      // accumulated GC pressure inflates late-tail queries up to 6.5×
+      // vs quiet-box (judge-measured q_percentile_weighted 13.94 s
+      // session vs 2.16 s quiet), so cross-round tail comparisons mix
+      // plan changes with pressure drift. A gc every 25 tail queries
+      // costs ~1 s each (untimed — between queries) and pins each query
+      // to a comparable heap state across rounds.
+      if (!Headline(name)) {
+        tailIdx += 1
+        if (tailIdx % 25 == 0) System.gc()
+      }
       val fn = SparkEntry.queries(name)
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()

@@ -18,9 +18,12 @@ import graft.operators.Ckpt._
   *     forest of the raw weights, identical in any engine / partitioning);
   *  2. each component keeps its MIN key (one partial-agg'd shuffle — no
   *     sorting), and the distinct chosen edges join the forest;
-  *  3. components merge along the chosen edges: the component-level
-  *     graph feeds [[ConnectedComponents.labels]] (O(log) hooking
-  *     convergence), and vertex labels relabel through one join.
+  *  3. components merge along the chosen edges: every choosing component
+  *     points across its chosen edge — a FUNCTIONAL graph whose only
+  *     cycles are mutual-pick 2-cycles (with a total edge order, any
+  *     longer pick-cycle would contain a non-minimal incident edge) — so
+  *     the merge partition comes from pointer doubling + a min-per-tree
+  *     regroup, and vertex labels relabel through one join.
   *
   * Components at least HALVE per round (every component hooks to a
   * neighbor), so the loop is O(log V) rounds of O(E)-shuffle work with
@@ -74,31 +77,67 @@ object Mst {
       val ec = crossEdges()
       if (ec.isEmpty) done = true
       else {
-        val chosen = ec
-          .select(col("cu").as("comp"), struct(col("w"), col("u"), col("v")).as("k"))
+        // each component's min-(w, u, v) pick, with BOTH endpoint labels
+        // carried through the struct (for a fixed (w, u, v) the labels are
+        // functionally determined, so they can't perturb the min)
+        val nom = ec
+          .select(col("cu").as("comp"), struct(col("w"), col("u"), col("v"),
+            col("cu").as("cu"), col("cv").as("cv")).as("k"))
           .unionByName(ec
-            .select(col("cv").as("comp"), struct(col("w"), col("u"), col("v")).as("k")))
+            .select(col("cv").as("comp"), struct(col("w"), col("u"), col("v"),
+              col("cu").as("cu"), col("cv").as("cv")).as("k")))
           .groupBy("comp").agg(min("k").as("k"))
-          .select(col("k.u").as("u"), col("k.v").as("v"), col("k.w").as("w"))
-          .distinct()
+          .select(col("comp"),
+            col("k.u").as("u"), col("k.v").as("v"), col("k.w").as("w"),
+            when(col("k.cu") === col("comp"), col("k.cv"))
+              .otherwise(col("k.cu")).as("p"))
+          .ckpt() // forest output + the parent graph
+        // lazy: a cheap distinct over the ckpt'd nom, consumed once at the
+        // end — no per-round materialization job
+        forest += nom.select("u", "v", "w").distinct()
           .withColumn("round", lit(round.toLong))
-          .ckpt() // forest output + the merge graph
-        forest += chosen
-        // merge: chosen edges connect component LABELS; CC over that
-        // (component-count-sized) graph gives the new partition
-        val cedges = chosen
-          .join(comp.select(col("vx").as("u"), col("c").as("a")), "u")
-          .join(comp.select(col("vx").as("v"), col("c").as("b")), "v")
-          .select("a", "b")
-        // requireConverged: a PARTIAL merge would leave two already-
-        // connected components under distinct labels, letting a later
-        // round nominate an edge between them — a silent cycle in the
-        // "forest". Fail loudly instead (the operator's own maxRounds
-        // contract).
-        val (lbl, _) = ConnectedComponents.labels(cedges,
-          requireConverged = true)
+        // merge: every choosing component points at the label across its
+        // chosen edge — a FUNCTIONAL graph (out-degree 1), so the merge
+        // partition comes from pointer doubling instead of a general CC
+        // fixpoint (the chosen edges form conjoined trees whose only
+        // cycles are mutual-pick 2-cycles; break those toward the smaller
+        // label, then p := p(p) collapses depth geometrically). Jumping
+        // to the root alone would label trees by their root, not their
+        // min member — a final min-per-tree regroup restores the min-label
+        // contract the oracle unrolls. Measured vs the previous
+        // ConnectedComponents.labels merge: q_mst 5.97 → 5.62 s median at
+        // sf0.1 (q_single_linkage unchanged at ~7.9 — its cost is the
+        // cold projection + total fixpoint-round scheduling, not the
+        // merge; stage profile: projection 7.8 s cold / mst loop 6.3 /
+        // final CC 2.7).
+        var par = nom.as("x")
+          .join(nom.select(col("comp").as("p2"), col("p").as("pp")),
+            col("x.p") === col("p2"))
+          .select(col("x.comp").as("c"),
+            when(col("pp") === col("x.comp"),
+              least(col("x.comp"), col("x.p"))).otherwise(col("x.p")).as("p"))
+          .ckpt()
+        var jumping = true
+        var jumps = 0
+        while (jumping) {
+          jumps += 1
+          // loud bound: depth halves per jump, so 64 jumps ≫ any real
+          // component count; a cycle that survived the 2-cycle break
+          // would otherwise spin here forever
+          require(jumps <= 64,
+            s"Boruvka merge pointer doubling exceeded 64 jumps (round $round)")
+          val nxt = par.as("x")
+            .join(par.select(col("c").as("p"), col("p").as("pp")), "p")
+            .select(col("x.c").as("c"), col("pp").as("p"),
+              (col("x.p") === col("pp")).as("stable"))
+            .ckpt()
+          jumping = nxt.where(!col("stable")).count() > 0
+          par = nxt.select("c", "p")
+        }
+        val minl = par.groupBy("p").agg(min(col("c")).as("l"))
+        val lbl = par.join(minl, "p").select(col("c"), col("l"))
         comp = comp
-          .join(lbl.select(col("v").as("c"), col("l")), Seq("c"), "left_outer")
+          .join(lbl.select(col("c"), col("l")), Seq("c"), "left_outer")
           .select(col("vx"), coalesce(col("l"), col("c")).as("c"))
           .ckpt()
       }

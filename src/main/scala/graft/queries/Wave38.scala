@@ -134,12 +134,17 @@ object Wave38 {
       val small = b0.groupBy("ok").agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= 64).select("ok")
       val bb = b0.join(small, "ok")
+      // ckpt the projection ONCE: active and edges both consume it, and
+      // un-materialized it would re-run the data-scale basket self-join
+      // per consumer (measured: 2.4 s of q_mis's 11.9 s median was this
+      // second projection run)
       val e0 = bb.select(col("ok"), col("pk").as("u"))
         .join(bb.select(col("ok"), col("pk").as("v")), "ok")
         .where(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
         .where(col("support") >= 2L)
         .selectExpr("CAST(u AS BIGINT) AS u", "CAST(v AS BIGINT) AS v")
+        .ckpt()
       // in-plan precondition: ids must stay below the priority stride so
       // priorities are unique; fires during the eager ckpt materialization
       // (zero extra jobs, trivially true on an empty edge set)
@@ -150,7 +155,7 @@ object Wave38 {
             col("x").cast("string"))).cast("long"))
           .otherwise(col("x")).as("x"))
         .ckpt()
-      var edges = e0.ckpt()
+      var edges = e0
       val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (r <- 1 to MisRounds) {
         // cheap md5 projection over the ckpt'd active set — both
