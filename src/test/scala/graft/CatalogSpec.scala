@@ -57,7 +57,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave36" -> Wave36.queries.keySet,
       "Wave37" -> Wave37.queries.keySet,
       "Wave38" -> Wave38.queries.keySet,
-      "Wave39" -> Wave39.queries.keySet)
+      "Wave39" -> Wave39.queries.keySet,
+      "Wave40" -> Wave40.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
