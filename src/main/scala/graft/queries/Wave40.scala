@@ -42,8 +42,9 @@ object Wave40 {
   private val CorenessRounds = 40
 
   /** The q_mis/q_kcore part co-occurrence projection (support ≥ 2,
-    * baskets ≤ 64 — pair volume bounded at C(64,2) per order). */
-  private def partEdges(s: SparkSession, dir: String): DataFrame = {
+    * baskets ≤ 64 — pair volume bounded at C(64,2) per order); shared
+    * with the wave-41 structure audits. */
+  private[queries] def partEdges(s: SparkSession, dir: String): DataFrame = {
     val b0 = table(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
