@@ -80,8 +80,7 @@ object KMeans {
   def assign(q1000: DataFrame, cents: DataFrame): DataFrame =
     q1000.crossJoin(broadcast(cents))
       .select(col("id"), col("cid"),
-        expr("aggregate(zip_with(v, c1000, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS BIGINT), (a, t) -> a + t)").as("d2"))
+        expr("ivec_sqdist(v, c1000)").as("d2"))
       .groupBy("id")
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"))

@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.kmvAggFn)
     ext.injectFunction(GraftExtensions.jaroWinklerFn)
     ext.injectFunction(GraftExtensions.damerauLevFn)
+    ext.injectFunction(GraftExtensions.ivecDotFn)
+    ext.injectFunction(GraftExtensions.ivecSqDistFn)
     ext.injectOptimizerRule(_ => EncodeWordSimplification)
     ext.injectOptimizerRule(_ => SummaryRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -204,6 +206,36 @@ object GraftExtensions {
       JaroWinklerExpression(children(0), children(1))
     })
 
+  private val ivecDotFn = (
+    new FunctionIdentifier("ivec_dot"),
+    info(classOf[IntVecDotExpression], "ivec_dot",
+      "ivec_dot(a, b) - Native codegen'd dot product of two ARRAY<BIGINT> " +
+        "vectors: one fused primitive loop (the higher-order spelling " +
+        "aggregate(zip_with(...)) is CodegenFallback - interpreted " +
+        "lambdas plus an intermediate array). Mismatched lengths or null " +
+        "elements yield NULL, matching the composed semantics. The exact " +
+        "quantized-cosine kernel of the ANN family.",
+      "    Examples:\n      > SELECT ivec_dot(array(1L, 2L), array(3L, 4L));\n       11"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"ivec_dot expects (a, b), got ${children.length} arguments")
+      IntVecDotExpression(children(0), children(1))
+    })
+
+  private val ivecSqDistFn = (
+    new FunctionIdentifier("ivec_sqdist"),
+    info(classOf[IntVecSqDistExpression], "ivec_sqdist",
+      "ivec_sqdist(a, b) - Native codegen'd squared Euclidean distance of " +
+        "two ARRAY<BIGINT> vectors (one fused primitive loop; the k-means " +
+        "/ IVF assignment kernel). Mismatched lengths or null elements " +
+        "yield NULL, matching the composed higher-order spelling.",
+      "    Examples:\n      > SELECT ivec_sqdist(array(1L, 2L), array(3L, 4L));\n       8"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"ivec_sqdist expects (a, b), got ${children.length} arguments")
+      IntVecSqDistExpression(children(0), children(1))
+    })
+
   private val damerauLevFn = (
     new FunctionIdentifier("damerau_lev"),
     info(classOf[DamerauLevExpression], "damerau_lev",
@@ -240,6 +272,10 @@ object GraftExtensions {
       jaroWinklerFn._1, jaroWinklerFn._2, jaroWinklerFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       damerauLevFn._1, damerauLevFn._2, damerauLevFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      ivecDotFn._1, ivecDotFn._2, ivecDotFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      ivecSqDistFn._1, ivecSqDistFn._2, ivecSqDistFn._3)
     if (!spark.experimental.extraOptimizations.contains(EncodeWordSimplification))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EncodeWordSimplification

@@ -184,8 +184,8 @@ object LlmOps {
   private[queries] def lshBucketSparkExpr(qCol: String): String = {
     // dot_p via aggregate over zip_with(q, literal array)
     val bits = (0 until LshPlanes).map { p =>
-      val arr = LshW(p).mkString("array(", ", ", ")")
-      s"(CASE WHEN aggregate(zip_with($qCol, $arr, (x, y) -> x*y), CAST(0 AS BIGINT), (a, v) -> a + v) > 0 THEN ${1 << p} ELSE 0 END)"
+      val arr = LshW(p).mkString("array(", "L, ", "L)")
+      s"(CASE WHEN ivec_dot($qCol, $arr) > 0 THEN ${1 << p} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")
   }
@@ -1077,7 +1077,7 @@ object LlmOps {
           col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
-          expr("aggregate(zip_with(x.q, y.q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          expr("ivec_dot(x.q, y.q)")
             .as("dot"),
           col("x.nq").as("na"), col("y.nq").as("nb"))
         .withColumn("cos", expr(CosExpr))
@@ -1103,7 +1103,7 @@ object LlmOps {
       val scored = broadcast(qs)
         .join(all.where(col("nq") > 0), col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
-          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          expr("ivec_dot(qq, q)")
             .as("dot"),
           col("na"), col("nq").as("nb"))
         .withColumn("cos", expr(CosExpr))
@@ -1135,7 +1135,7 @@ object LlmOps {
         .join(all.where(col("nq") > 0),
           col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
         .select(col("q_id"), col("vec_id").as("cand_id"),
-          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          expr("ivec_dot(qq, q)")
             .as("dot"),
           col("na"), col("nq").as("nb"))
         .withColumn("cos", expr(CosExpr))
@@ -1229,7 +1229,7 @@ object LlmOps {
           col("q"), col("nq").as("nb")), "label")
         .where(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("cand_id"),
-          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          expr("ivec_dot(qq, q)")
             .as("dot"), col("na"), col("nb"))
         .withColumn("cos", expr(CosExpr))
       scored
@@ -1306,7 +1306,7 @@ object LlmOps {
             col("nq").as("nb"), col("bucket")), Seq("bucket"))
         .where(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("bucket"), col("cand_id"),
-          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          expr("ivec_dot(qq, q)")
             .as("dot"), col("na"), col("nb"))
         .withColumn("cos", expr(CosExpr))
       scored
@@ -1851,8 +1851,7 @@ object LlmOps {
           expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
         .crossJoin(broadcast(cents))
         .select(col("id"), col("cid"),
-          expr("aggregate(zip_with(v, c1000, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (a, t) -> a + t)").as("d2"))
+          expr("ivec_sqdist(v, c1000)").as("d2"))
       dists.groupBy("id").agg(
           min(struct(col("d2"), col("cid"))).as("m1"),
           expr("element_at(array_sort(collect_list(struct(d2, cid))), 2).d2")
@@ -1890,8 +1889,7 @@ object LlmOps {
       val dropped = qa.alias("x").join(qa.alias("y"),
           col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
         .select(col("y.id").as("id"),
-          expr("aggregate(zip_with(x.q, y.q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          expr("ivec_dot(x.q, y.q)").as("dot"),
           col("x.nq").as("na"), col("y.nq").as("nb"))
         .where(expr(CosExpr) >= SemTau)
         .select("id").distinct().withColumn("drp", lit(1L))
@@ -2401,8 +2399,7 @@ object LlmOps {
         .join(all.alias("b"), col("a.label") === col("b.label")
           && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          expr("ivec_dot(a.q, b.q)").as("dot"),
           col("a.nq").as("na"), col("b.nq").as("nb"))
         .where(expr(s"$CosExpr >= 0.7"))
         .select("d1", "d2")
@@ -3037,9 +3034,8 @@ object LlmOps {
     // shuffles.
     "q_random_projection" -> ((s, dir) => {
       val dims = (0 until LshPlanes).map { p =>
-        val arr = LshW(p).mkString("array(", ", ", ")")
-        expr(s"aggregate(zip_with(q, $arr, (x, y) -> x*y), " +
-          s"CAST(0 AS BIGINT), (a, v) -> a + v)").as(s"d$p")
+        val arr = LshW(p).mkString("array(", "L, ", "L)")
+        expr(s"ivec_dot(q, $arr)").as(s"d$p")
       }
       emb(s, dir).select(col("vec_id"), expr(QuantSpark).as("q"))
         .select(col("vec_id") +: dims: _*)

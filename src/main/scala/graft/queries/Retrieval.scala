@@ -235,8 +235,7 @@ object Retrieval {
         .crossJoin(broadcast(seed))
         .where(col("vec_id") =!= col("seed_id"))
         .select(col("vec_id").as("doc_id"),
-          expr("aggregate(zip_with(qq, q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          expr("ivec_dot(qq, q)").as("dot"),
           col("na"), col("nq").as("nb"))
         .withColumn("cos", expr(LlmOps.CosExpr))
         .orderBy(desc("cos"), asc("doc_id")).limit(50)
@@ -317,8 +316,7 @@ object Retrieval {
           col("b.q").as("qb"), col("b.nq").as("nb")))
         .where(col("d1") =!= col("d2"))
         .select(col("d1"), col("d2"),
-          expr("aggregate(zip_with(qa, qb, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("dot"),
+          expr("ivec_dot(qa, qb)").as("dot"),
           col("na"), col("nb"))
         .withColumn("sim", expr(s"round(${LlmOps.CosExpr}, 6)"))
         .select("d1", "d2", "sim")
@@ -382,8 +380,7 @@ object Retrieval {
           && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("u"),
-          expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          expr("ivec_dot(a.q, b.q)").as("dot"),
           col("a.nq").as("na"), col("b.nq").as("nb"))
         .withColumn("cos", expr(s"round(${LlmOps.CosExpr}, 6)"))
         .select("v", "u", "cos")

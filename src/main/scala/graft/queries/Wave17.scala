@@ -53,8 +53,7 @@ object Wave17 {
       val qs = all.join(qids, "vec_id")
         .select(col("vec_id").as("q_id"), col("q").as("qq"),
           col("nq").as("na"))
-      val dot = "aggregate(zip_with(qq, q, (p, r) -> p*r)," +
-        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val dot = "ivec_dot(qq, q)"
       // exact top-5: brute force
       val exact = qs.join(all, col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("cand_id"),

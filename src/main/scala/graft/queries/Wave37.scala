@@ -162,8 +162,7 @@ object Wave37 {
           && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("u"),
-          expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          expr("ivec_dot(a.q, b.q)").as("dot"),
           col("a.nq").as("na"), col("b.nq").as("nb"))
         .withColumn("cos", expr(s"round(${LlmOps.CosExpr}, 6)"))
         .select("v", "u", "cos")
@@ -184,8 +183,7 @@ object Wave37 {
         .join(b.select(col("vec_id").as("u"), col("q").as("qb"),
           col("nq").as("nb")), "u")
         .select(col("v"), col("u"),
-          expr("aggregate(zip_with(qa, qb, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          expr("ivec_dot(qa, qb)").as("dot"),
           col("na"), col("nb"))
         .withColumn("cos", expr(s"round(${LlmOps.CosExpr}, 6)"))
         .select("v", "u", "cos")

@@ -67,8 +67,7 @@ object Wave38 {
           && col("a.vec_id") =!= col("c.vec_id"))
         .select(col("a.vec_id").as("v"), col("a.label").as("true_label"),
           col("c.vec_id").as("cand"), col("c.label").as("nlabel"),
-          expr("aggregate(zip_with(a.q, c.q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          expr("ivec_dot(a.q, c.q)").as("dot"),
           col("a.nq").as("na"), col("c.nq").as("nb"))
         .withColumn("cos", expr(LlmOps.CosExpr))
         .withColumn("rn", row_number().over(Window.partitionBy("v")

@@ -81,8 +81,7 @@ object Wave40 {
           "p -> CASE WHEN p = 0 THEN bucket " +
           "ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT) - 1) END)"))
           .as("bucket"))
-      val dot = "aggregate(zip_with(qq, q, (p, r) -> p*r), " +
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      val dot = "ivec_dot(qq, q)"
       val scored = qs.select(col("q_id"), col("qq"), col("na"),
           col("bucket").as("qbucket"))
         .join(probes.select(col("q_id"), col("bucket")), "q_id")

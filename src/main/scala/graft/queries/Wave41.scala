@@ -115,8 +115,7 @@ object Wave41 {
       val pairs = qs.alias("a")
         .join(qs.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
-          expr("aggregate(zip_with(a.q, b.q, (p, r) -> p*r), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+          expr("ivec_dot(a.q, b.q)").as("dot"),
           col("a.nq").as("na"), col("b.nq").as("nb"))
         .withColumn("cos", expr(s"round(${LlmOps.CosExpr}, 6)"))
       pairs.agg(count(lit(1)).as("n_pairs"),

@@ -136,7 +136,7 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
   test("SQL front door: the whole native-function library is registered and callable") {
     graft.plans.GraftExtensions.register(spark)
     val expected = Seq("encode_word", "lev_within", "interleave_bits",
-      "char_shingles", "winnow_fingerprints")
+      "char_shingles", "winnow_fingerprints", "ivec_dot", "ivec_sqdist")
     for (f <- expected) {
       assert(spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(f)), s"$f not registered")
@@ -157,5 +157,9 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(
       s"SELECT count(*) FROM (SELECT winnow_fingerprints('abcdefghijklmnop', 8, 4))")
       .collect()(0).getLong(0) == 6L) // ng = 9 grams → 6 full windows
+    assert(spark.sql("SELECT ivec_dot(array(1L, 2L), array(3L, 4L))")
+      .collect()(0).getLong(0) == 11L)
+    assert(spark.sql("SELECT ivec_sqdist(array(1L, 2L), array(3L, 4L))")
+      .collect()(0).getLong(0) == 8L)
   }
 }
