@@ -41,6 +41,12 @@ case class IntVecDotExpression(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "ivec_dot"
 
+  // ALWAYS nullable: mismatched lengths yield NULL even when both inputs
+  // are non-nullable — without this override, codegen would treat isNull
+  // as the constant "false" and the fallback branch could not compile
+  // (observed: janino "not an rvalue" → silent interpreted fallback).
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(x: Any, y: Any): Any = {
     val a = x.asInstanceOf[ArrayData]
     val b = y.asInstanceOf[ArrayData]

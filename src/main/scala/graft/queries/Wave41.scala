@@ -112,8 +112,10 @@ object Wave41 {
       val all = LlmOps.quantized(s, dir).where(col("nq") > 0).ckpt()
       val qs = all.join(LlmOps.annQueryIds(all), "vec_id")
         .select(col("vec_id"), col("q"), col("nq"))
+      // broadcast: a 32-row constant set under an inequality-only join —
+      // without the hint Spark plans a CartesianProduct (PlanSpec forbids)
       val pairs = qs.alias("a")
-        .join(qs.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .join(broadcast(qs.alias("b")), col("a.vec_id") < col("b.vec_id"))
         .select(
           expr("ivec_dot(a.q, b.q)").as("dot"),
           col("a.nq").as("na"), col("b.nq").as("nb"))
