@@ -130,7 +130,10 @@ object Wave41 {
     }),
   )
 
-  private val CopSql =
+  /** Part co-occurrence base (b/small/e/deg CTEs) — the SQL twin of
+    * [[Wave40.partEdges]] plus its degree table; shared with Wave42's
+    * peeling/census oracles so the projection is defined once. */
+  private[queries] val CopSql =
     """b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |small AS (SELECT ok FROM b GROUP BY ok HAVING count(*) <= 64),
       |e AS MATERIALIZED (
