@@ -52,24 +52,31 @@ object Wave43 {
     * class's independence. */
   private[graft] def greedyColorClasses(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.ckpt()
-    val adj = e.select(col("u").as("v1"), col("v").as("v2"))
+    // LIVE adjacency invariant: at the top of each round, `adj` contains
+    // exactly the uncolored×uncolored edges — so the local-max test is one
+    // aggregation, and the restriction joins run once per round on a
+    // SHRINKING edge set instead of twice on the full one (measured at
+    // sf0.1: 7.71 s → see SCALE.md wave-44 note)
+    var adj = e.select(col("u").as("v1"), col("v").as("v2"))
       .unionAll(e.select(col("v").as("v1"), col("u").as("v2")))
-      .ckpt() // joined twice per round
+      .ckpt()
     var uc = adj.select(col("v1").as("x")).distinct().ckpt()
     val classes = Seq.newBuilder[DataFrame]
     for (r <- 0 until rounds) {
-      // max UNCOLORED neighbor per uncolored vertex; vertices with no
-      // uncolored neighbor select trivially (left_outer null)
-      val nb = adj
-        .join(uc.withColumnRenamed("x", "v1"), "v1")
-        .join(uc.withColumnRenamed("x", "v2"), "v2")
-        .groupBy("v1").agg(max("v2").as("mx"))
+      // max uncolored neighbor per still-connected vertex; vertices with
+      // no live edge (all neighbors colored) select trivially (left null)
+      val nb = adj.groupBy("v1").agg(max("v2").as("mx"))
       val sel = uc
         .join(nb.withColumnRenamed("v1", "x"), Seq("x"), "left_outer")
         .where(col("mx").isNull || col("mx") < col("x"))
         .select("x").ckpt()
       classes += sel.withColumn("color", lit(r.toLong))
       uc = uc.join(sel, Seq("x"), "left_anti").ckpt()
+      if (r < rounds - 1)
+        adj = adj
+          .join(uc.withColumnRenamed("x", "v1"), "v1")
+          .join(uc.withColumnRenamed("x", "v2"), "v2")
+          .select("v1", "v2").ckpt()
     }
     classes += uc.withColumn("color", lit(-1L))
     classes.result().reduce(_ unionAll _)
