@@ -21,6 +21,9 @@ case class InflateFeatures(doc_id: Long, n_bytes: Long, md5: String)
 /** Perceptual 8×8 average-hash of a decoded image. */
 case class HashFeatures(doc_id: Long, width: Int, height: Int, ahash: Long)
 
+/** One quadrant's 16-bit average-hash (tile = qy·2 + qx ∈ 0..3). */
+case class TileHashFeatures(doc_id: Long, tile: Int, thash: Long)
+
 /** Typed features of a nearest-neighbor-downscaled decoded image. */
 case class ResizeFeatures(doc_id: Long, rw: Int, rh: Int,
                           n_px: Long, px_sum: Long, px_min: Int, px_max: Int)
@@ -355,6 +358,57 @@ object Multimodal {
       }
       Some(HashFeatures(docId, w, h, hash))
     } catch { case _: Exception => None }
+  }
+
+  /** Per-QUADRANT 4×4 average-hashes (16 bits each) of a real decoded
+    * image — the crop/partial-match-resistant variant of [[aHashImage]]:
+    * a crop or occlusion that destroys one quadrant leaves the other
+    * three hashes intact, so near-dups still collide on ≥1 tile bucket.
+    * Quadrant qx,qy ∈ {0,1} spans origin (qx·⌊w/2⌋, qy·⌊h/2⌋) with dims
+    * (⌊w/2⌋, ⌊h/2⌋) (odd last row/column dropped — both engines agree);
+    * inside it the 4×4 nearest-neighbor grid, integer floor mean, bit
+    * j·4+i set when sample > mean. Pure integer, oracle-replayable. */
+  def tileHashImage(docId: Long, payload: Array[Byte]): Option[Seq[TileHashFeatures]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (tw, th) = (w / 2, h / 2)
+      if (tw == 0 || th == 0) return None
+      val raster = img.getRaster
+      val tiles = for (qy <- 0 until 2; qx <- 0 until 2) yield {
+        val (ox, oy) = (qx * tw, qy * th)
+        val samples = new Array[Int](16)
+        var j = 0
+        while (j < 4) {
+          var i = 0
+          while (i < 4) {
+            samples(j * 4 + i) = raster.getSample(ox + i * tw / 4, oy + j * th / 4, 0)
+            i += 1
+          }
+          j += 1
+        }
+        val mean = samples.map(_.toLong).sum / 16
+        var hash = 0L
+        var idx = 0
+        while (idx < 16) {
+          if (samples(idx) > mean) hash |= (1L << idx)
+          idx += 1
+        }
+        TileHashFeatures(docId, qy * 2 + qx, hash)
+      }
+      Some(tiles)
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched per-partition tile-hash extraction (corrupt payloads drop). */
+  def extractTileHash(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[TileHashFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r =>
+        tileHashImage(r.doc_id, r.payload).toSeq.flatten))
+    }
   }
 
   /** Batched per-partition aHash extraction (the [[extractImages]]

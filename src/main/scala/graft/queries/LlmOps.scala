@@ -52,7 +52,7 @@ object LlmOps {
     * repartition in the consuming queries still rebalances for the
     * CPU-bound codec stage. Deterministic: same construction rule, same
     * JVM deflater → identical bytes every run, oracle unchanged. */
-  private def mediaTable(s: SparkSession, dir: String, kind: String): DataFrame = {
+  private[queries] def mediaTable(s: SparkSession, dir: String, kind: String): DataFrame = {
     import s.implicits._
     val base = s"$TmpRoot/media_${kind}_${new java.io.File(dir).getName}"
     if (!new java.io.File(base, "_SUCCESS").exists()) {
