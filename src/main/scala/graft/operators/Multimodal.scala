@@ -24,6 +24,13 @@ case class HashFeatures(doc_id: Long, width: Int, height: Int, ahash: Long)
 /** One quadrant's 16-bit average-hash (tile = qy·2 + qx ∈ 0..3). */
 case class TileHashFeatures(doc_id: Long, tile: Int, thash: Long)
 
+/** One PCM frame's exact energy statistics (energy = Σ v², peak = max|v|). */
+case class AudioFrameFeatures(doc_id: Long, frame: Long, n: Long,
+                              energy: Long, peak: Long)
+
+/** L1 pixel delta between a clip's consecutive frames. */
+case class MotionFeatures(doc_id: Long, frame: Long, l1_delta: Long)
+
 /** Typed features of a nearest-neighbor-downscaled decoded image. */
 case class ResizeFeatures(doc_id: Long, rw: Int, rh: Int,
                           n_px: Long, px_sum: Long, px_min: Int, px_max: Int)
@@ -246,6 +253,54 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Frame-level PCM energy — the VAD / loudness-segmentation primitive:
+    * slice the decoded stream into fixed `frameLen`-sample frames (last
+    * frame may be partial) and emit each frame's exact Σ v² and peak.
+    * Same decode path and droppable-payload contract as [[decodeAudio]]. */
+  def decodeAudioFrames(docId: Long, payload: Array[Byte],
+                        frameLen: Int = 100): Seq[AudioFrameFeatures] = {
+    if (payload == null || payload.isEmpty) return Nil
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return Nil
+      val bytes = ais.readAllBytes()
+      ais.close()
+      if (bytes.length % 2 != 0) return Nil // torn sample
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = Seq.newBuilder[AudioFrameFeatures]
+      var frame = 0L
+      while (bb.remaining >= 2) {
+        var n = 0L
+        var energy = 0L
+        var peak = 0L
+        while (n < frameLen && bb.remaining >= 2) {
+          val v = bb.getShort.toLong
+          energy += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          n += 1
+        }
+        out += AudioFrameFeatures(docId, frame, n, energy, peak)
+        frame += 1
+      }
+      out.result()
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Batched per-partition frame-energy extraction. */
+  def extractAudioFrames(ds: Dataset[MediaRecord], frameLen: Int = 100,
+                         batchSize: Int = 64): Dataset[AudioFrameFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r =>
+        decodeAudioFrames(r.doc_id, r.payload, frameLen)))
+    }
+  }
+
   // ---- multi-frame ("video") payloads ----
 
   /** Frame count for doc_id's synthetic clip: 4..8. */
@@ -274,6 +329,38 @@ object Multimodal {
       f += 1
     }
     deflateBytes(raw)
+  }
+
+  /** MOTION ENERGY — decode the clip (real inflate) and emit the exact L1
+    * pixel delta between each pair of consecutive frames: the scene-cut /
+    * motion-segmentation signal (a static clip scores near zero, a hard
+    * cut spikes). Same torn-write contract as [[sampleFrames]]. */
+  def frameDeltas(docId: Long, payload: Array[Byte]): Seq[MotionFeatures] = {
+    val (w, h) = imageDims(docId)
+    val fsz = w * h
+    inflate(payload) match {
+      case Some(raw) if fsz > 0 && raw.length % fsz == 0 =>
+        val frames = raw.length / fsz
+        (0 until frames - 1).map { f =>
+          var d = 0L
+          var i = 0
+          while (i < fsz) {
+            d += math.abs((raw(f * fsz + i) & 0xff) - (raw((f + 1) * fsz + i) & 0xff))
+            i += 1
+          }
+          MotionFeatures(docId, f.toLong, d)
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Batched per-partition motion-delta extraction. */
+  def extractMotion(ds: Dataset[MediaRecord],
+                    batchSize: Int = 64): Dataset[MotionFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap(r => frameDeltas(r.doc_id, r.payload)))
+    }
   }
 
   /** FRAME SAMPLING — decode the clip (real inflate), slice it into
