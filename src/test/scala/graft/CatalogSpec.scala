@@ -69,7 +69,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave48" -> Wave48.queries.keySet,
       "Wave49" -> Wave49.queries.keySet,
       "Wave50" -> Wave50.queries.keySet,
-      "Wave51" -> Wave51.queries.keySet)
+      "Wave51" -> Wave51.queries.keySet,
+      "Wave52" -> Wave52.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
