@@ -29,43 +29,51 @@ object Wave52 {
 
   private val CloseRounds = 5
 
+  /** Per-multiplier (edges, redundant) table of the ×2/×3/×6 lattice over
+    * a key column `k` — factored out so the spec can pin a planted
+    * hand-verified lattice. */
+  private[graft] def latticeReduction(ks0: org.apache.spark.sql.DataFrame,
+                                      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val ks = ks0.ckpt()
+    val kmax = ks.agg(max("k").as("km"))
+    val e = ks.crossJoin(broadcast(kmax))
+      .select(col("k").as("u"), explode(array(
+        struct(lit(2L).as("m"), (col("k") * 2).as("w")),
+        struct(lit(3L).as("m"), (col("k") * 3).as("w")),
+        struct(lit(6L).as("m"), (col("k") * 6).as("w")))).as("e"), col("km"))
+      .where(col("e.w") <= col("km"))
+      .select(col("u"), col("e.w").as("v"), col("e.m").as("mult"))
+      .ckpt()
+    var c = e.select("u", "v")
+    for (_ <- 1 to rounds) {
+      val hop = c.alias("x").join(c.alias("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+      c = c.unionAll(hop).distinct().ckpt()
+    }
+    // paths of length >= 2: one more hop through an original edge
+    val p2 = c.alias("x")
+      .join(e.select(col("u").as("m"), col("v")).alias("y"),
+        col("x.v") === col("y.m"))
+      .select(col("x.u").as("u"), col("y.v").as("v"))
+      .distinct()
+    val red = e.join(p2.withColumn("r", lit(1L)), Seq("u", "v"), "left_outer")
+    red.groupBy("mult")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("n_redundant"))
+      .selectExpr("CAST(mult AS BIGINT) AS mult",
+        "CAST(n_edges AS BIGINT) AS n_edges",
+        "CAST(n_redundant AS BIGINT) AS n_redundant")
+      .orderBy("mult")
+  }
+
   val queries: Map[String, Q] = strictMap(
 
     // TRANSITIVE REDUCTION: closure is O(V · reachable-set) rows (the
     // ×2/×3 lattice reaches ~log²·/2 per vertex); each doubling round is
     // one self-join; redundancy is one closure∘E join + one edge join.
-    "q_transitive_reduction" -> ((s, dir) => {
-      val ks = table(s, dir, "part").select(col("p_partkey").as("k")).ckpt()
-      val kmax = ks.agg(max("k").as("km"))
-      val e = ks.crossJoin(broadcast(kmax))
-        .select(col("k").as("u"), explode(array(
-          struct(lit(2L).as("m"), (col("k") * 2).as("w")),
-          struct(lit(3L).as("m"), (col("k") * 3).as("w")),
-          struct(lit(6L).as("m"), (col("k") * 6).as("w")))).as("e"), col("km"))
-        .where(col("e.w") <= col("km"))
-        .select(col("u"), col("e.w").as("v"), col("e.m").as("mult"))
-        .ckpt()
-      var c = e.select("u", "v")
-      for (_ <- 1 to CloseRounds) {
-        val hop = c.alias("x").join(c.alias("y"), col("x.v") === col("y.u"))
-          .select(col("x.u").as("u"), col("y.v").as("v"))
-        c = c.unionAll(hop).distinct().ckpt()
-      }
-      // paths of length >= 2: one more hop through an original edge
-      val p2 = c.alias("x")
-        .join(e.select(col("u").as("m"), col("v")).alias("y"),
-          col("x.v") === col("y.m"))
-        .select(col("x.u").as("u"), col("y.v").as("v"))
-        .distinct()
-      val red = e.join(p2.withColumn("r", lit(1L)), Seq("u", "v"), "left_outer")
-      red.groupBy("mult")
-        .agg(count(lit(1)).as("n_edges"),
-          sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("n_redundant"))
-        .selectExpr("CAST(mult AS BIGINT) AS mult",
-          "CAST(n_edges AS BIGINT) AS n_edges",
-          "CAST(n_redundant AS BIGINT) AS n_redundant")
-        .orderBy("mult")
-    }),
+    "q_transitive_reduction" -> ((s, dir) =>
+      latticeReduction(
+        table(s, dir, "part").select(col("p_partkey").as("k")), CloseRounds)),
 
     // JOIN ORDER AUDIT: six counted plan steps, one row each.
     "q_join_order_audit" -> ((s, dir) => {
