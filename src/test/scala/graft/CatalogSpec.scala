@@ -76,7 +76,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave55" -> Wave55.queries.keySet,
       "Wave56" -> Wave56.queries.keySet,
       "Wave57" -> Wave57.queries.keySet,
-      "Wave58" -> Wave58.queries.keySet)
+      "Wave58" -> Wave58.queries.keySet,
+      "Wave59" -> Wave59.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
