@@ -81,18 +81,26 @@ object Bench {
       // ANY failed rep records the penalty — a median would let an
       // intermittent failure (1 of 3) read as a clean passing time,
       // defeating the "failure must not read as a speedup" invariant
-      name -> (if (times.contains(FailPenalty)) FailPenalty
-               else times.sorted.apply(times.length / 2))
+      val med = if (times.contains(FailPenalty)) FailPenalty
+                else times.sorted.apply(times.length / 2)
+      // run-to-run spread (max − min over the reps): the box-drift
+      // visibility the round-9 verdict asked for — per-query noise is
+      // recorded next to the median so cross-round comparisons can tell
+      // plan changes from environment drift (full map file only)
+      (name, med, times.max - times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, sp)
+    }.mkString("{", ",", "}")
     // The graded total is the sum over the FROZEN round-1 headline set, so
     // adding queries in later rounds cannot inflate it into a fake
     // regression; the per-query map still reports everything. A headline
     // query that no longer EXISTS (renamed/removed) counts as the failure
     // penalty — losing a query must not read as a speedup.
     val resultKeys = results.map(_._1).toSet
-    val total = results.collect { case (k, v) if Headline(k) => v }.sum +
+    val total = results.collect { case (k, v, _) if Headline(k) => v }.sum +
       (Headline -- resultKeys).size * FailPenalty
     // Two stdout lines + one file, sized for the driver's 2000-char TAIL
     // capture (which also keeps ~130 chars of sbt epilogue): the FULL
@@ -102,7 +110,7 @@ object Bench {
     // 3 decimals, a pointer to the full map file, and the graded
     // "metric"/"value" fields in final position.
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
+      s"""{"queries":$qs,"spread":$spreads,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench.json"),
@@ -110,7 +118,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
-    val hq = results.collect { case (k, v) if Headline(k) =>
+    val hq = results.collect { case (k, v, _) if Headline(k) =>
       "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
     println(s"""{"queries":$hq,"full_map":"target/bench.json","sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")

@@ -4,12 +4,20 @@ package graft
   * the dev-loop A/B tool behind plan tweaks, without a full Bench run:
   *
   *   sbt "runMain graft.TimeQuery /root/testdata/sf0.1 q_lm_score"
+  *
+  * Args of the form `conf:key=value` set runtime SQLConf entries before
+  * any query runs — the A/B switchboard behind the SCALE.md fixpoint
+  * studies (AQE on/off, shuffle-partition counts) without code edits.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1).toSeq
+    val (confs, names) = args.drop(1).toSeq.partition(_.startsWith("conf:"))
     val spark = Sessions.build()
+    confs.map(_.stripPrefix("conf:").split("=", 2)).foreach {
+      case Array(k, v) => spark.conf.set(k, v)
+      case other => sys.error(s"bad conf arg: ${other.mkString("=")}")
+    }
     spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
     for (name <- names) {
       val reps = (1 to 3).map { _ =>

@@ -24,7 +24,25 @@ import graft.operators.Ckpt._
   * same grid converges in 12 rounds, and DedupScaleSpec's adversarial
   * 1000-link duplicate chain stays ≤ 12 rounds.
   *
-  * Per round: two chained edge⋈label joins + one label self-join + one
+  * FIXED-COST DISCIPLINE (round-10): on a tiny frame the per-round wall
+  * cost is driver fixed cost, not data — every broadcast collect and AQE
+  * stage materialization is its own scheduled job, and `Dataset.count`
+  * plans a two-stage aggregate (~170 ms even on 4k rows — round-10
+  * barrier micro-benchmark, SCALE.md).
+  * So each round (a) emits the neighbor + hook candidates from ONE join
+  * tree via inline(array(...)) so all three joins build the identical
+  * [v, l] broadcast of `cur` and exchange reuse collapses them (separate
+  * union branches got pruned differently and paid five broadcast-collect
+  * jobs), (b) jumps FOUR pointer hops per barrier (see below), and
+  * (c) counts convergence with the narrow [[Ckpt.fastCount]]. Measured
+  * together: q_dbscan 59 → 36 jobs, 4.0 → 3.2 s median (SCALE.md
+  * round-10 table). Rejected alternatives, both measured slower: whole
+  * loop under [[Ckpt.noAqe]] (AQE's partition coalescing pays for its
+  * stage barriers) and fusing two full rounds per barrier (the
+  * un-materialized mid round is referenced ~5× by the outer round's plan,
+  * so its joins re-execute per reference — job time doubled).
+  *
+  * Per round: two chained edge⋈label joins + the jump chain + one
   * aggregation, then a stats-truncating checkpoint ([[Ckpt]] — plain
   * localCheckpoint compounds estimated Statistics across self-joining
   * rounds until the planner hangs multiplying million-digit BigInts). The
@@ -48,8 +66,13 @@ object ConnectedComponents {
     *         and the number of propagation rounds run). */
   def labels(edges: DataFrame, maxRounds: Int = 50,
              requireConverged: Boolean = false): (DataFrame, Int) = {
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    // ckpt BEFORE mirroring: a union of a plan with its own mirror
+    // duplicates the upstream subtree, so an expensive edge derivation
+    // (minhash candidate pairs, grid adjacency) would execute twice; the
+    // mirror of a checkpointed frame is two cheap block scans
+    val e0 = edges.select(col("a"), col("b")).ckpt()
+    val sym = e0
+      .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .ckpt()
     var cur = sym.select(col("a").as("v")).distinct()
       .withColumn("l", col("v")).ckpt()
@@ -57,29 +80,47 @@ object ConnectedComponents {
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       round += 1
-      // (a, la, lb) per symmetric edge: one shuffle join per endpoint
-      val withLb = sym.join(cur, col("b") === col("v"))
+      // (a, la, lb) per symmetric edge: one join per endpoint. The
+      // neighbor and hook candidates are emitted from this ONE join tree
+      // via inline(array(...)) rather than two union branches: separate
+      // branches duplicate the join subtree and column-prune each copy
+      // differently, so the per-branch broadcasts of `cur` no longer
+      // canonicalize equal and every round paid FIVE broadcast-collect
+      // jobs; emitted together, all three joins below build the identical
+      // [v, l] broadcast and ReuseExchange collapses them into ONE
+      // (DevProfile: q_dbscan 59 → 35 jobs, SCALE.md round-10 table).
+      val withBoth = sym.join(cur, col("b") === col("v"))
         .select(col("a"), col("l").as("lb"))
-      val withBoth = withLb.join(cur, col("a") === col("v"))
+        .join(cur, col("a") === col("v"))
         .select(col("a"), col("l").as("la"), col("lb"))
-      val nbr = withBoth.select(col("a").as("v"), col("lb").as("l"),
-        lit(false).as("self"))
-      // hooking: the label vertex la hears lb (and lb hears la via the
-      // mirrored symmetric edge)
-      val hook = withBoth.select(col("la").as("v"), col("lb").as("l"),
-        lit(false).as("self"))
-      val ptr = cur.as("x").join(cur.as("y"), col("x.l") === col("y.v"))
-        .select(col("x.v").as("v"), col("y.l").as("l"), lit(false).as("self"))
-      val next = nbr
-        .unionByName(hook)
+      val nbrHook = withBoth.select(expr(
+        // neighbor: a hears lb; hooking: the label vertex la hears lb
+        // (and lb hears la via the mirrored symmetric edge)
+        "inline(array(struct(a AS v, lb AS l, false AS self), " +
+          "struct(la AS v, lb AS l, false AS self)))"))
+      // pointer jumping, 4 hops per round: l⁴(v) = l(l(l(l(v)))).
+      // Sound because labels are self-decreasing (l(x) ≤ x — own id rides
+      // every min), so l⁴ ≤ l³ ≤ l² pointwise and one l⁴ candidate
+      // subsumes the lower powers; each extra hop is one more broadcast
+      // probe of the SAME cur broadcast inside the same stage — zero
+      // extra barriers — while the label trees collapse ~4× per round
+      // instead of ~2× (chain-1000: 12 → 7 rounds, DedupScaleSpec).
+      val ptr = cur.as("x").join(cur.as("j1"), col("x.l") === col("j1.v"))
+        .select(col("x.v").as("pv"), col("j1.l").as("l2"))
+        .join(cur.as("j2"), col("l2") === col("j2.v"))
+        .select(col("pv"), col("j2.l").as("l3"))
+        .join(cur.as("j3"), col("l3") === col("j3.v"))
+        .select(col("pv").as("v"), col("j3.l").as("l"), lit(false).as("self"))
+      val next = nbrHook
         .unionByName(ptr)
         .unionByName(cur.select(col("v"), col("l"), lit(true).as("self")))
         .groupBy("v")
         .agg(min(col("l")).as("l"),
           min(when(col("self"), col("l"))).as("lo"))
         .ckpt()
-      // cheap scan over the just-materialized blocks — not a recompute
-      changed = next.where(col("l") =!= col("lo")).count()
+      // narrow scan over the just-materialized blocks — not a recompute,
+      // and no aggregate exchange (Ckpt.fastCount)
+      changed = Ckpt.fastCount(next.where(col("l") =!= col("lo")))
       cur = next.select("v", "l")
     }
     if (changed > 0) {

@@ -96,22 +96,39 @@ object PageRank {
       .ckpt()
     val useBroadcast = verts.count() <= confMaxVerts(edges0)
     var ranks = verts.select(col("v"), col("s"), col("s").cast("double").as("r"))
-    for (_ <- 1 to iters)
-      ranks = stepPersonalized(degEdges, verts, ranks, useBroadcast)
-        .ckpt()
+    var done = 0
+    Ckpt.noAqe(edges0.sparkSession) {
+      while (done < iters) {
+        val fused = math.min(CkptCadence, iters - done)
+        for (_ <- 1 to fused)
+          ranks = stepPersonalized(degEdges, verts, ranks, useBroadcast)
+        ranks = ranks.ckpt()
+        done += fused
+      }
+    }
     ranks
   }
+
+  /** Iterations fused per checkpoint barrier. The rank frame feeds the
+    * next step exactly ONCE, so an un-materialized step chain grows the
+    * plan LINEARLY (no self-join tree blow-up), and each step's work is
+    * still executed exactly once inside the barrier job — fusing only
+    * removes the per-iteration eager-checkpoint job + LogicalRDD rebuild
+    * (measured q_pagerank 3.7 → 2.0 s median at sf0.1, SCALE.md round-10
+    * table). Capped at 4: join-size ESTIMATES still compound across
+    * un-truncated steps, and 4 keeps the worst-case estimate growth far
+    * from the BigInt-stats planner hang [[Ckpt]] exists to prevent. */
+  val CkptCadence = 4
 
   /** @param edges0 (src, dst) BIGINT pairs, already in the direction(s)
     *   mass should flow (pass both directions for an undirected graph).
     * @return (v, r) ranks after `iters` damped iterations (d = 0.85). */
   def run(edges0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
-    // edges feed every iteration and ranks feed the NEXT one: without
-    // lineage truncation, iteration k re-plans and re-executes iterations
-    // 1..k-1 (each reuse duplicates the subtree — exponential recompute);
-    // localCheckpoint per step makes every iteration cost one pass, the
-    // same discipline as ConnectedComponents
+    // edges feed every iteration, so they checkpoint once up front; rank
+    // frames feed ONLY the next step, so steps fuse into one plan per
+    // CkptCadence barrier (see below) instead of paying an eager
+    // checkpoint job per iteration
     val edges = edges0.select(col("src"), col("dst")).ckpt()
     // pre-join degree onto the edge once instead of re-joining per round
     val degEdges = edges
@@ -124,8 +141,19 @@ object PageRank {
     // scan, amortized over every iteration); gate the broadcast hint on it
     val useBroadcast = verts.count() <= confMaxVerts(edges0)
     var ranks = verts.withColumn("r", lit(1.0))
-    for (_ <- 1 to iters)
-      ranks = step(degEdges, verts, ranks, useBroadcast).ckpt()
+    var done = 0
+    // noAqe: the loop consumes only checkpointed frames with measured
+    // stats plus explicit broadcast hints, so AQE's per-stage job
+    // barriers buy nothing here (see Ckpt.noAqe / ConnectedComponents)
+    Ckpt.noAqe(edges0.sparkSession) {
+      while (done < iters) {
+        val fused = math.min(CkptCadence, iters - done)
+        for (_ <- 1 to fused)
+          ranks = step(degEdges, verts, ranks, useBroadcast)
+        ranks = ranks.ckpt()
+        done += fused
+      }
+    }
     ranks
   }
 }

@@ -38,6 +38,20 @@ import graft.operators.Ckpt._
   *     round count is bounded by the longest root-chain in the
   *     condensation, not |V|.
   *
+  * FIXED-COST DISCIPLINE (round-10): under AQE every exchange materializes
+  * as its own job, and this operator's wall time on the harness graph was
+  * ~50% BETWEEN jobs (153 jobs, DevProfile) — so (a) the trim round is ONE
+  * union+groupBy shuffle instead of two distincts + a join + an anti-join
+  * (in/out degree flags and settled-singleton detection ride the same
+  * aggregation), and (b) every convergence/settle count is a narrow
+  * [[Ckpt.fastCount]] over just-materialized blocks instead of a
+  * two-stage aggregate (~170 ms of fixed cost per round at any data
+  * size). Whole-loop AQE-off and two-rounds-per-barrier fusion were both
+  * tried and measured SLOWER (SCALE.md round-10 study): AQE's partition
+  * coalescing pays for its stage barriers here, and a fused mid-round is
+  * referenced ~4x by the next round's plan so its joins re-execute per
+  * reference.
+  *
   * Determinism: labels are integer ids, min algebra only — no floats,
   * no randomness; output is engine- and partitioning-invariant.
   *
@@ -82,11 +96,12 @@ object Scc {
       // 0. TRIM to fixpoint (the FW-BW-Trim step): a vertex with no
       //    in-edge or no out-edge in the active subgraph cannot lie on a
       //    cycle — settle it as its own singleton. Iterating peels whole
-      //    source/sink chains at ~4 small jobs per round, where leaving
-      //    them to the peeling phase costs one full FW+BW fixpoint pair
-      //    per chain level (measured on the sf0.1 supplier succession
-      //    graph: 10.5 s → 9.7 s median — the fixpoints on the giant
-      //    SCC dominate there; trim matters most on DAG-heavy graphs).
+      //    source/sink chains. Each round is ONE aggregation: active
+      //    vertices and both edge endpoints union into a per-vertex
+      //    max(out-flag)/max(in-flag) groupBy, so "keeps both sides" and
+      //    "settles this round" are filters over the SAME materialized
+      //    frame (previously two distincts + a join + an anti-join — three
+      //    extra exchanges and two extra job barriers per trim round).
       var ae = edges
         .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
         .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
@@ -97,14 +112,24 @@ object Scc {
         trimRound += 1
         require(trimRound <= maxProp,
           s"trim exceeded $maxProp rounds (outer $outer)")
-        val both = ae.select(col("dst").as("v")).distinct()
-          .join(ae.select(col("src").as("v")).distinct(), Seq("v"))
+        val stat = ae.select(col("src").as("v"), lit(1).as("o"), lit(0).as("i"))
+          .unionByName(ae.select(col("dst").as("v"), lit(0).as("o"),
+            lit(1).as("i")))
+          .unionByName(active.select(col("v"), lit(0).as("o"), lit(0).as("i")))
+          .groupBy("v").agg(max(col("o")).as("o"), max(col("i")).as("i"))
           .ckpt()
-        val triv = active.join(both, Seq("v"), "left_anti")
-        if (triv.isEmpty) trimming = false
+        val trivCnt =
+          Ckpt.fastCount(stat.where(col("o") === 0 || col("i") === 0))
+        if (trivCnt == 0L) trimming = false
         else {
-          settled += triv.select(col("v"), col("v").as("scc")).ckpt()
-          active = both // ⊆ active by construction
+          // narrow filters over the just-materialized stat blocks — no
+          // recompute and no ckpt barrier: each consumer re-scans the
+          // materialized stat frame, which is cheaper than an eager
+          // checkpoint job per trim round
+          settled += stat.where(col("o") === 0 || col("i") === 0)
+            .select(col("v"), col("v").as("scc"))
+          active = stat.where(col("o") === 1 && col("i") === 1)
+            .select("v") // ⊆ active by construction
           ae = ae
             .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
             .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
@@ -124,10 +149,13 @@ object Scc {
         val h = minReach(lbl.select("v"), rev, maxProp,
           s"backward (outer $outer)")
         // 3. settle: v reaches its region root ⟺ h(v) = f(v)
+        // lazy: a broadcast join of two checkpointed frames, consumed
+        // twice (settled union + active anti-join) — re-executing it is
+        // cheaper than an eager checkpoint barrier
         val just = lbl
           .join(h.select(col("v"), col("f").as("h")), "v")
           .where(col("h") === col("f"))
-          .select(col("v"), col("f").as("scc")).ckpt()
+          .select(col("v"), col("f").as("scc"))
         settled += just
         active = active.join(just.select("v"), Seq("v"), "left_anti").ckpt()
       }
@@ -156,9 +184,17 @@ object Scc {
         s"$what propagation exceeded $maxProp rounds")
       val oneHop = lbl.join(edges, col("v") === col("src"))
         .select(col("dst").as("v"), col("f"), lit(false).as("self"))
-      val jump = lbl.as("x").join(lbl.as("y"), col("x.f") === col("y.v"))
-        .select(col("x.v").as("v"), col("y.f").as("f"),
-          lit(false).as("self"))
+      // 4-hop pointer jump per round (f⁴ subsumes lower powers because
+      // f(x) ≤ x pointwise): three extra broadcast probes of the same
+      // label broadcast inside the same stage, zero extra barriers, and
+      // reach chains collapse ~4× per round instead of ~2× (see
+      // ConnectedComponents for the same cadence).
+      val jump = lbl.as("x").join(lbl.as("j1"), col("x.f") === col("j1.v"))
+        .select(col("x.v").as("jv"), col("j1.f").as("f2"))
+        .join(lbl.as("j2"), col("f2") === col("j2.v"))
+        .select(col("jv"), col("j2.f").as("f3"))
+        .join(lbl.as("j3"), col("f3") === col("j3.v"))
+        .select(col("jv").as("v"), col("j3.f").as("f"), lit(false).as("self"))
       val nxt = oneHop
         .unionByName(jump)
         .unionByName(lbl.select(col("v"), col("f"), lit(true).as("self")))
@@ -166,7 +202,7 @@ object Scc {
         .agg(min(col("f")).as("f"),
           min(when(col("self"), col("f"))).as("fo"))
         .ckpt()
-      changed = nxt.where(col("f") =!= col("fo")).count()
+      changed = Ckpt.fastCount(nxt.where(col("f") =!= col("fo")))
       lbl = nxt.select("v", "f")
     }
     lbl

@@ -126,9 +126,12 @@ object Analytics {
     // node2vec-style walk corpora with no RNG state. The oracle unrolls
     // the steps with the same hash strings.
     "q_random_walks" -> ((s, dir) => {
+      // ckpt before mirroring (round-10 mirrored-union fix): `pairs`
+      // feeds the union twice plus the seed set
+      import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
-          (col("l_suppkey") + 1000000L).as("sv")).distinct()
+          (col("l_suppkey") + 1000000L).as("sv")).distinct().ckpt()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       val seeds = pairs.where(col("sv") % 3 === 0)

@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.operators.Ckpt._
 
 /** Training-data pipeline operators over `documents` and `embeddings` —
-  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-  * embedding-cosine), similarity search, and text analysis.
+  * text analysis, language ID, quality scoring, tokenization statistics,
+  * sampling/splitting mechanics — plus the shared constants, hash
+  * helpers, and fixtures the whole family builds on. The other families
+  * split out along their seams in round 10 (each imports this object's
+  * private[queries] helpers wholesale): [[LlmDedup]] (deduplication),
+  * [[LlmSim]] (similarity search / ANN / clustering), [[LlmMedia]]
+  * (multimodal columns, sketches, streaming sinks).
   *
   * Cross-engine determinism strategy (each query is DuckDB-oracle-checked):
   *  - All hashing is md5-derived: Spark `md5()` and DuckDB `md5()` emit the
@@ -32,16 +37,16 @@ object LlmOps {
   import Tokenize.Delim
 
   // ---- minhash / shingle constants (shared Spark + SQL) ----
-  private val K = 8        // char-shingle width
-  private val Stride = 3   // shingle stride (sampled positions)
-  private val H = 16       // minhash family size
-  private val Bands = 4    // LSH bands ...
-  private val R = 4        // ... of R rows each (H = Bands * R)
-  private val Mod = 4294967296L // 2^32
+  private[queries] val K = 8        // char-shingle width
+  private[queries] val Stride = 3   // shingle stride (sampled positions)
+  private[queries] val H = 16       // minhash family size
+  private[queries] val Bands = 4    // LSH bands ...
+  private[queries] val R = 4        // ... of R rows each (H = Bands * R)
+  private[queries] val Mod = 4294967296L // 2^32
 
-  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
-  private def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
+  private[queries] def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private[queries] def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+  private[queries] def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 
   /** Synthetic media-payload fixture table (doc_id, payload), materialized
     * ONCE per (JVM, sf dir, kind) under [[TmpRoot]]: the PNG/zlib ENCODE
@@ -82,14 +87,14 @@ object LlmOps {
     * sf0.1: the minhash trio runs 13.2 s recomputed vs 21.7 s persisted —
     * SCALE.md "Persist points"); above it the corpus scan dominates and
     * reuse wins. */
-  private val PersistAutoBytes = BigInt(256L * 1024 * 1024)
+  private[queries] val PersistAutoBytes = BigInt(256L * 1024 * 1024)
 
   /** Cache a multi-consumer dedup intermediate (bands / shingle sets /
     * trigram incidence), governed by `spark.graft.dedup.persist`:
     * `auto` (default) persists when the plan's estimated size exceeds
     * [[PersistAutoBytes]]; `true`/`false` force it. Callers run inside
     * Bench/Verify, which clearCache() per query. */
-  private def maybePersist(df: DataFrame): DataFrame = {
+  private[queries] def maybePersist(df: DataFrame): DataFrame = {
     val mode = df.sparkSession.conf.get("spark.graft.dedup.persist", "auto")
     val on = mode match {
       case "auto" =>
@@ -112,7 +117,7 @@ object LlmOps {
 
   /** Language-characteristic character bigrams (same length per
     * alternative — keeps non-overlapping scan counts engine-identical). */
-  private val Bigrams: Seq[(String, String)] = Seq(
+  private[queries] val Bigrams: Seq[(String, String)] = Seq(
     "en" -> "th|he|in|er|an",
     "fr" -> "le|de|es|en|on",
     "de" -> "ch|ei|ie|un|sc",
@@ -126,7 +131,7 @@ object LlmOps {
       |     ELSE 'es' END""".stripMargin
 
   /** BPE-ish token pattern for token counting (letters / digits / symbol). */
-  private val BpePattern = """[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"""
+  private[queries] val BpePattern = """[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]"""
 
   // ---- embedding quantization (shared semantics) ----
   // q_i = floor(x_i * 1000 + 0.5) as BIGINT; |q| ≤ ~10^4 so dot products over
@@ -165,9 +170,9 @@ object LlmOps {
   // of "lsh:p:i" at catalog-build time and inlined as LITERALS into both
   // the Spark plan and the oracle SQL — so there is nothing to keep in
   // sync at runtime. Signs of exact integer dots → a 8-bit bucket.
-  private val LshPlanes = 8
-  private val LshDims = 64
-  private val LshW: IndexedSeq[IndexedSeq[Long]] =
+  private[queries] val LshPlanes = 8
+  private[queries] val LshDims = 64
+  private[queries] val LshW: IndexedSeq[IndexedSeq[Long]] =
     (0 until LshPlanes).map { p =>
       (0 until LshDims).map { i =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -225,45 +230,45 @@ object LlmOps {
   /** Winnowing (q_winnow / q_winnow_pairs): char k-gram size, window
     * width, the same df-style bucket cap as minhash/ngram, and the
     * overlap coefficient that promotes a pair to near-dup. */
-  private val WinnowK = 8
-  private val WinnowW = 4
-  private val WinnowDfCap = 64
-  private val WinnowOverlap = 0.8
+  private[queries] val WinnowK = 8
+  private[queries] val WinnowW = 4
+  private[queries] val WinnowDfCap = 64
+  private[queries] val WinnowOverlap = 0.8
 
   /** q_vocab_oov vocabulary size — deliberately smaller than the corpus'
     * distinct-word count (31) so real OOV mass exists at sf0.01. */
-  private val VocabSize = 10
+  private[queries] val VocabSize = 10
 
   /** q_dedup_simhash_pairs: 4 bands × 8 bits over a 32-bit signature.
     * Pigeonhole: hamming ≤ [[SimHamThr]] = bands−1 ⇒ at least one band is
     * bit-identical, so the banded equi-join is a complete candidate
     * generator for the hamming threshold — no all-pairs comparison. */
-  private val SimBands = 4
-  private val SimBandBits = 8
-  private val SimHamThr = 3
+  private[queries] val SimBands = 4
+  private[queries] val SimBandBits = 8
+  private[queries] val SimHamThr = 3
 
   /** q_span_dedup sliding-window width (tokens). */
-  private val SpanW = 5
+  private[queries] val SpanW = 5
 
   /** q_delta_dedup verify threshold — lower than the self-dedup 0.5 so the
     * asymmetric path keeps signal on the small 10% delta slice. */
-  private val DeltaJacThr = 0.3
+  private[queries] val DeltaJacThr = 0.3
 
   /** Count-min sketch shape (q_sketch_cms): depth × width. Width is kept
     * at 64 so the 31-word vocab × 4 rows provokes real collisions — the
     * overestimate property is visible in the output, not just latent. */
-  private val CmsDepth = 4
-  private val CmsWidth = 64
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 64
 
   /** HyperLogLog register count (q_sketch_hll); 2^6 buckets → the
     * paper's α₆₄ = 0.709 and ~13% standard error. */
-  private val HllM = 64
-  private val HllAlpha = 0.709
+  private[queries] val HllM = 64
+  private[queries] val HllAlpha = 0.709
 
   /** q_sketch_quantile equi-width histogram: bin width in CENTI-value
     * units (400 = 4.0 value units over the events.value domain [0, ~560]
     * → ~140 live bins). Quantile error is bounded by one bin width. */
-  private val HistBinW = 400L
+  private[queries] val HistBinW = 400L
 
   /** q_sketch_quantile interpolation: the (tgt − cumb)-th of the bin's
     * `cnt` values under a uniform-spread assumption, as ONE exact-integer
@@ -272,14 +277,14 @@ object LlmOps {
     * are centi-unit-wide) is derived, not hardcoded, so retuning the
     * accuracy/state knob cannot silently skew estimates in both engines
     * at once. */
-  private def histEstExpr(bin: String, cnt: String, tgt: String,
+  private[queries] def histEstExpr(bin: String, cnt: String, tgt: String,
                           cumb: String): String =
     s"round(CAST(${HistBinW / 100}*(($bin)*($cnt) + ($tgt) - ($cumb)) AS DOUBLE) / CAST($cnt AS DOUBLE), 4)"
 
   /** The three q_sketch_quantile percentiles as exact rationals:
     * (label, numerator, denominator); target rank = ceil(p·n) computed as
     * (num·n + den − 1) div den — no float at the selection boundary. */
-  private val HistPs: Seq[(String, Long, Long)] =
+  private[queries] val HistPs: Seq[(String, Long, Long)] =
     Seq(("q50", 1L, 2L), ("q90", 9L, 10L), ("q99", 99L, 100L))
 
   /** q_prefix_join similarity threshold t = 4/5 (Jaccard ≥ 0.8). The
@@ -290,13 +295,13 @@ object LlmOps {
   private[queries] val PrefixTDen = 5L
 
   /** q_ngram_topk: bigrams kept per head word. */
-  private val NgramK = 3
+  private[queries] val NgramK = 3
 
   /** Adjacent-token (w1, w2) pairs from the raw split arrays — the ONE
     * bigram definition shared by q_ngram_topk and q_pmi (engine side),
     * mirrored by [[BigramCountsSql]] on the oracle side, so the
     * tokenization of pairs cannot drift between the two queries. */
-  private def bigramPairs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def bigramPairs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(split(col("text"), Tokenize.Delim).as("a"))
       .where(expr("size(a) >= 2"))
@@ -307,7 +312,7 @@ object LlmOps {
 
   /** Oracle twin of [[bigramPairs]] + counts: CTEs `t`, `b`, `c` with
     * `c(w1, w2, cnt)`. */
-  private lazy val BigramCountsSql: String =
+  private[queries] lazy val BigramCountsSql: String =
     s"""t AS (
        |  SELECT regexp_split_to_array(text, '$DelimSql') AS a FROM documents
        |),
@@ -324,43 +329,43 @@ object LlmOps {
        |)""".stripMargin
 
   /** q_feature_hash: hashing-trick feature space size. */
-  private val FeatHashDim = 64
+  private[queries] val FeatHashDim = 64
 
   /** q_pmi: min bigram count for a reported association. */
-  private val PmiMinCount = 5
+  private[queries] val PmiMinCount = 5
 
   /** q_inverted_index: min document frequency for an emitted term row. */
-  private val InvIdxMinDf = 50
+  private[queries] val InvIdxMinDf = 50
 
   /** q_kmeans shape: k clusters, fixed Lloyd iterations (both unrolled
     * verbatim in the DuckDB oracle). */
-  private val KmK = 8
+  private[queries] val KmK = 8
 
   /** q_semdedup: within-cluster cosine threshold above which the
     * larger-id vector drops (keep-first). */
-  private val SemTau = 0.8
-  private val KmIters = 2
+  private[queries] val SemTau = 0.8
+  private[queries] val KmIters = 2
 
   /** q_sample_diverse per-cluster quota. */
-  private val DiverseQuota = 10
+  private[queries] val DiverseQuota = 10
 
   /** q_mix_sources target mixture, as integer WEIGHTS (4:2:2:1:1) — integer
     * ratios keep the achievable-size arithmetic exact on both engines
     * (units = min over langs of n_lang div w_lang; kept_lang = w·units). */
-  private val MixWeights: Seq[(String, Long)] =
+  private[queries] val MixWeights: Seq[(String, Long)] =
     Seq("en" -> 4L, "es" -> 2L, "de" -> 2L, "fr" -> 1L, "zh" -> 1L)
 
   /** q_sample_pps expected sample size (Poisson, so realized size varies). */
-  private val PpsK = 50
+  private[queries] val PpsK = 50
 
   /** q_ann_pq: 64-dim vectors split into 8 subspaces of [[PqD]] dims. */
-  private val PqD = 8
+  private[queries] val PqD = 8
 
   /** q_sketch_bloom shape: m bits × k hashes. At n=1.5k members the load
     * kn/m ≈ 0.27 → theoretical fp ≈ (1−e^−0.27)³ ≈ 1.4% — small but
     * non-zero, so the probe stage measures something real. */
-  private val BloomM = 16384
-  private val BloomK = 3
+  private[queries] val BloomM = 16384
+  private[queries] val BloomK = 3
 
   /** Exact-duplicate collapse: one representative (min doc_id) per
     * distinct text. Near-dedup runs over representatives only — a cluster
@@ -372,18 +377,18 @@ object LlmOps {
     * Jaccard-1.0 pair before), and a rep x is dropped iff some smaller
     * doc's text is near-identical, which collapses to the rep-pair
     * (rep_B, x) with the same Jaccard. */
-  private def repsOf(d: DataFrame): DataFrame =
+  private[queries] def repsOf(d: DataFrame): DataFrame =
     d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
 
-  private def repDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def repDocs(s: SparkSession, dir: String): DataFrame =
     repsOf(docs(s, dir))
 
   /** w-bit simhash per doc: majority vote per bit over md5-derived token
     * hashes. One narrow aggregation — linear at any corpus size; the
     * shuffle carries w partial sums per (doc, partition). `w` ≤ 32 (bits
     * come from the first 8 hex chars of the token md5). */
-  private def simhashW(s: SparkSession, dir: String, w: Int): DataFrame = {
+  private[queries] def simhashW(s: SparkSession, dir: String, w: Int): DataFrame = {
     require(w <= 32, s"simhash width $w exceeds the 32 hash bits available")
     val a = toks(s, dir).select(col("doc_id"),
       expr("CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT)").as("a"))
@@ -400,7 +405,7 @@ object LlmOps {
   /** Sampled char shingles (doc_id, sh) of a (doc_id, text) frame —
     * multiset (no distinct; min-agg consumers don't need it, set consumers
     * call .distinct()). */
-  private def shinglesOf(d: DataFrame): DataFrame =
+  private[queries] def shinglesOf(d: DataFrame): DataFrame =
     d.where(length(col("text")) >= K)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (K - 1), lit(Stride)))
@@ -408,7 +413,7 @@ object LlmOps {
       .select(col("doc_id"), expr(s"substring(text, i, $K)").as("sh"))
 
   /** Shingles of the deduped representatives. */
-  private def repShingles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def repShingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(repDocs(s, dir))
 
   /** Positional rep shingles (doc_id, i, sh), occurrences per (doc, sh)
@@ -503,7 +508,7 @@ object LlmOps {
   /** Minhash family size — exposed with [[repSignatures]]. */
   private[queries] val MinhashH: Int = H
 
-  private def bandRowsFromShingles(sh: DataFrame): DataFrame = {
+  private[queries] def bandRowsFromShingles(sh: DataFrame): DataFrame = {
     val sig = minhashSignatures(sh)
     val bandCols = (0 until Bands).map(b =>
       concat_ws("-", (0 until R).map(r => col(s"h${b * R + r}")): _*).as(s"b$b"))
@@ -519,7 +524,7 @@ object LlmOps {
     * [[BandBucketCap]] docs. `bands` is persisted — it feeds the bucket
     * sizing AND both self-join sides (callers run inside Bench/Verify,
     * which clearCache() per query). */
-  private def cappedBandPairs(sh: DataFrame): DataFrame = {
+  private[queries] def cappedBandPairs(sh: DataFrame): DataFrame = {
     val bands = maybePersist(bandRowsFromShingles(sh))
     val smallBuckets = bands.groupBy("band", "v")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
@@ -639,11 +644,11 @@ object LlmOps {
   }
 
   /** Verified near-dup pairs: LSH candidates with Jaccard ≥ `thr`. */
-  private def verifiedPairs(s: SparkSession, dir: String,
+  private[queries] def verifiedPairs(s: SparkSession, dir: String,
                             thr: Double = 0.5): DataFrame =
     verifiedJaccard(s, dir).where(col("jac") >= thr).select("d1", "d2")
 
-  private def verifiedDupIds(s: SparkSession, dir: String,
+  private[queries] def verifiedDupIds(s: SparkSession, dir: String,
                              thr: Double = 0.5): DataFrame = {
     val exact = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
@@ -662,7 +667,7 @@ object LlmOps {
     * of the m hashes hits the sampled residue — P ≈ (1−1/16)^m < 1% past
     * m ≈ 72. Same [[BandBucketCap]] df discipline as every other
     * inverted-index join. */
-  private val ContainSampleMod = 16
+  private[queries] val ContainSampleMod = 16
 
   /** Minimum shared SAMPLED shingles to promote a pair out of the
     * containment candidate index: a truly contained doc with m shared
@@ -670,7 +675,7 @@ object LlmOps {
     * 1% at m = 100), while the accidental single-co-hit pairs that
     * dominate the raw index (measured 29k → 150 at sf0.1) carry no
     * containment signal. Bounds the verify stage to real candidates. */
-  private val ContainCoMin = 2
+  private[queries] val ContainCoMin = 2
 
   /** Containment (asymmetric) near-dup pairs over an arbitrary (doc_id,
     * text) corpus: overlap / min(|A|, |B|) ≥ `thr` — catches a document
@@ -741,7 +746,7 @@ object LlmOps {
     * per-position oracle's n identical addends — order-free. Operand
     * precisions are sized so the product type DECIMAL(29,8) needs no
     * precision-loss adjustment (18+10+1 ≤ 38). */
-  private def lmScores(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def lmScores(s: SparkSession, dir: String): DataFrame = {
     def bg = docs(s, dir).repartition(s.sparkContext.defaultParallelism)
       .where(length(col("text")) >= 2)
       .select(col("doc_id"),
@@ -782,726 +787,6 @@ object LlmOps {
   // =========================================================================
 
   val queries: Map[String, Q] = strictMap(
-
-    // Exact dedup: hash-groupBy on full text; keeper = min doc_id.
-    "q_dedup_exact" -> ((s, dir) =>
-      docs(s, dir).groupBy("text")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
-        .select("keep_id", "n").orderBy("keep_id")),
-
-    // URL canonicalization + dedup — the crawl-side twin of q_dedup_exact:
-    // messy URLs (case-noisy scheme/host, www., default :80 port,
-    // utm_* tracking params in shuffled positions, fragments, trailing
-    // slash) are synthesized deterministically per doc, then canonicalized
-    // with pure string/array ops: lowercase (paths are constructed
-    // lowercase, so full-lower ≡ scheme+host-lower here — production
-    // lowers only scheme/host), fragment strip, :80/ strip, www. strip,
-    // query split → drop utm_* → sort → rejoin, trailing-slash strip.
-    // Dedup = one groupBy on the canonical form (min doc_id kept) — a
-    // narrow projection + one partial-agg'd shuffle at any corpus scale.
-    "q_dedup_url" -> ((s, dir) => {
-      val raw = docs(s, dir).selectExpr("doc_id",
-        """concat(
-          |  'HTTP://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
-          |  source, '.Example.COM',
-          |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
-          |  '/p/', CAST(doc_id % 7 AS STRING),
-          |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
-          |  CASE CAST(doc_id % 3 AS INT)
-          |    WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 3 AS STRING))
-          |    WHEN 1 THEN concat('?id=', CAST(doc_id % 3 AS STRING), '&utm_campaign=x')
-          |    ELSE concat('?id=', CAST(doc_id % 3 AS STRING)) END,
-          |  CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END
-          |) AS url""".stripMargin)
-      raw.selectExpr("doc_id", "url",
-          """regexp_replace(
-            |  replace(replace(lower(regexp_replace(url, '#.*$', '')),
-            |          ':80/', '/'),
-            |    '://www.', '://'),
-            |  '/$', '') AS u1""".stripMargin)
-        .selectExpr("doc_id", "url",
-          "split(u1, '[?]')[0] AS base",
-          """array_join(array_sort(filter(
-            |  split(coalesce(try_element_at(split(u1, '[?]'), 2), ''), '&'),
-            |  p -> p NOT LIKE 'utm_%')), '&') AS q""".stripMargin)
-        .selectExpr("doc_id",
-          """concat(regexp_replace(base, '/$', ''),
-            |  CASE WHEN q <> '' THEN concat('?', q) ELSE '' END) AS canon""".stripMargin)
-        .groupBy("canon")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("canon")).limit(20)
-    }),
-
-    // Curriculum ordering for training: docs bucket into integer quality
-    // tiers by type-token ratio (cross-multiplied — no float thresholds),
-    // then order (tier DESC, md5(doc_id)) — a deterministic shuffle
-    // within each tier, reproducible at any partitioning. The first-N
-    // selection is TakeOrderedAndProject (bounded heap per partition);
-    // the position column is a window over the LIMITED 50-row result,
-    // not the corpus.
-    "q_curriculum" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = docs(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("words", size(col("toks")).cast("long"))
-        .withColumn("uniq", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("tier", expr(
-          """CAST(CASE WHEN uniq * 10 >= words * 7 THEN 2
-            |     WHEN uniq * 10 >= words * 4 THEN 1
-            |     ELSE 0 END AS BIGINT)""".stripMargin))
-        .withColumn("h", md5(concat(lit("cur-"), col("doc_id").cast("string"))))
-      val top = scored.orderBy(desc("tier"), asc("h"), asc("doc_id"))
-        .select("doc_id", "tier", "h").limit(50)
-      top.withColumn("pos",
-          row_number().over(Window.orderBy(desc("tier"), asc("h"), asc("doc_id")))
-            .cast("long"))
-        .select("pos", "doc_id", "tier")
-        .orderBy("pos")
-    }),
-
-    // MinHash + LSH near-dup candidates: exact-dup collapse → char-shingle
-    // → 16 minhashes from one md5 (Kirsch-Mitzenmacher) → 4 bands × 4 rows
-    // → capped band-bucket self-join. This is the 100 TB dedup path: no
-    // all-pairs comparison ever happens and no bucket exceeds BandBucketCap.
-    "q_dedup_minhash" -> ((s, dir) =>
-      minhashCandPairs(s, dir)
-        .groupBy("d1")
-        .agg(count(lit(1)).as("n_cand"), min(col("d2")).as("min_partner"))
-        .orderBy("d1")),
-
-    // LSH verify stage: exact shingle-Jaccard computed ONLY on the LSH
-    // candidate pairs (never all pairs) — the candidates→verify dedup
-    // pipeline end to end; cost is O(|candidates| · shingles/doc).
-    // Same verifiedJaccard stage as verifiedPairs/q_dedup_apply/
-    // q_dedup_components — one implementation, rounded here for display.
-    "q_dedup_minhash_verified" -> ((s, dir) =>
-      verifiedJaccard(s, dir)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
-        .orderBy("d1", "d2")),
-
-    // CONTAINMENT near-dup (asymmetric): overlap / min(|A|, |B|) — catches
-    // a document EMBEDDED in a larger one, where symmetric Jaccard stays
-    // small (|A∩B|/|A∪B| shrinks as |B| grows). Candidates = Jaccard-LSH
-    // band buckets UNION a universe-sampled shingle index (see
-    // containmentPairs) — the second channel closes round-3's documented
-    // recall gap for containment-high / jaccard-low pairs; DedupScaleSpec
-    // plants a small-doc-inside-huge-doc pair the LSH channel provably
-    // misses. Verify stays candidates-only.
-    "q_dedup_containment" -> ((s, dir) =>
-      containmentPairs(docs(s, dir), 0.5)
-        .select(col("d1"), col("d2"),
-          round(col("containment"), 4).as("containment"))
-        .orderBy("d1", "d2")),
-
-    // Dedup APPLY: the pipeline's final step — drop every exact duplicate
-    // (non-representative of its text cluster) and every doc that appears
-    // as the greater id (d2) of a verified near-dup pair over the
-    // representatives (greedy keep-first policy; ids are totally ordered so
-    // the survivor set is well-defined without connected components).
-    // Returns the kept corpus summary.
-    "q_dedup_apply" -> ((s, dir) => {
-      docs(s, dir)
-        .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-    }),
-
-    // SimHash: 16-bit signature from md5-derived token hashes (majority vote
-    // per bit over token occurrences). One narrow agg — linear at scale.
-    "q_dedup_simhash" -> ((s, dir) =>
-      simhashW(s, dir, 16).select(col("doc_id"), col("sim").as("simhash"))
-        .orderBy("doc_id")),
-
-    // SimHash near-dup PAIRS: the banded-LSH completion of the signature
-    // query. 32-bit signatures (8-bit bands stay selective: 256 bucket
-    // values vs 16 for the display query's 16-bit width) → band equi-join
-    // under the same BandBucketCap discipline as minhash → exact hamming
-    // verify (bit_count of xor) on candidates only. Pigeonhole makes the
-    // candidate set COMPLETE for ham ≤ SimHamThr = bands−1: a pair within
-    // the threshold differs in ≤ 3 of 4 bands, so some band matches.
-    "q_dedup_simhash_pairs" -> ((s, dir) => {
-      val sig = maybePersist(simhashW(s, dir, 32))
-      val bands = sig.select(col("doc_id") +: (0 until SimBands).map(b =>
-          expr(s"CAST(floor(sim / ${1L << (SimBandBits * b)}) AS BIGINT) % ${1 << SimBandBits}")
-            .as(s"b$b")): _*)
-        .selectExpr("doc_id",
-          s"stack($SimBands, ${(0 until SimBands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
-      val small = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
-        .where(col("bn") <= BandBucketCap).select("band", "v")
-      val capped = bands.join(small, Seq("band", "v"))
-      val pairs = capped.alias("x")
-        .join(capped.alias("y"),
-          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      pairs
-        .join(sig.select(col("doc_id").as("d1"), col("sim").as("sim1")), "d1")
-        .join(sig.select(col("doc_id").as("d2"), col("sim").as("sim2")), "d2")
-        .select(col("d1"), col("d2"),
-          expr("CAST(bit_count(sim1 ^ sim2) AS BIGINT)").as("ham"))
-        .where(col("ham") <= SimHamThr)
-        .orderBy("d1", "d2")
-    }),
-
-    // Duplicate-SPAN detection (the sub-document dedup of "Deduplicating
-    // Training Data Makes Language Models Better": exact duplicate token
-    // spans, not whole-doc similarity). Every SpanW-token sliding window is
-    // hashed; a span whose hash occurs in ≥2 distinct docs is duplicated
-    // text. Per doc: span count, duplicated-span count, duplicated
-    // fraction. Cost is Σ tokens rows (narrow explode) + one hash-keyed
-    // count — linear at any corpus size; unlike the pair-generating dedups
-    // there is NO self-join, so boilerplate needs no df-cap (high-df spans
-    // just count, they never multiply).
-    "q_span_dedup" -> ((s, dir) => {
-      val ws = docs(s, dir)
-        .select(col("doc_id"), Tokenize.tokenArray(col("text")).as("ws"))
-        .where(size(col("ws")) >= SpanW)
-      val spans = maybePersist(ws.select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(ws)-${SpanW - 1}), i -> md5(concat_ws(' ', slice(ws, i, $SpanW))))"))
-          .as("h")))
-      val docFreq = spans.select("doc_id", "h").distinct()
-        .groupBy("h").agg(count(lit(1)).as("dfreq"))
-      spans.join(docFreq, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("dfreq") > 1, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_frac",
-          round(col("n_dup").cast("double") / col("n_spans").cast("double"), 4))
-        .orderBy("doc_id")
-    }),
-
-    // Incremental (base × delta) dedup — the production shape: a new batch
-    // is deduped AGAINST the existing corpus, never corpus × corpus. Split
-    // is by the stable md5 key bucket (90% base / 10% delta); candidates
-    // come from an asymmetric band join (delta bands probe base bands, base
-    // buckets capped at BandBucketCap), then exact shingle-Jaccard verifies
-    // candidates only. At 100 TB the base band table is a persisted index:
-    // each new batch costs O(delta) + the probe join.
-    "q_delta_dedup" -> ((s, dir) => {
-      val d = docs(s, dir).withColumn("bucket", expr(HashBucketSpark))
-      val base = d.where(col("bucket") < 90).select("doc_id", "text")
-      val delta = d.where(col("bucket") >= 90).select("doc_id", "text")
-      val bSh = maybePersist(shinglesOf(base))
-      val dSh = maybePersist(shinglesOf(delta))
-      val bBands = bandRowsFromShingles(bSh)
-      val small = bBands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
-        .where(col("bn") <= BandBucketCap).select("band", "v")
-      val cand = bandRowsFromShingles(dSh)
-        .join(bBands.join(small, Seq("band", "v"))
-          .select(col("band"), col("v"), col("doc_id").as("base_id")),
-          Seq("band", "v"))
-        .select(col("doc_id").as("delta_id"), col("base_id")).distinct()
-      val bSets = bSh.distinct()
-      val dSets = dSh.distinct()
-      val bSz = bSets.groupBy("doc_id").agg(count(lit(1)).as("szb"))
-      val dSz = dSets.groupBy("doc_id").agg(count(lit(1)).as("szd"))
-      val co = cand
-        .join(dSets.select(col("doc_id").as("delta_id"), col("sh")), "delta_id")
-        .join(bSets.select(col("doc_id").as("base_id"), col("sh").as("sh2")), "base_id")
-        .where(col("sh") === col("sh2"))
-        .groupBy("delta_id", "base_id").agg(count(lit(1)).as("co"))
-      cand.join(co, Seq("delta_id", "base_id"), "left_outer")
-        .join(dSz.withColumnRenamed("doc_id", "delta_id"), "delta_id")
-        .join(bSz.withColumnRenamed("doc_id", "base_id"), "base_id")
-        .withColumn("jac",
-          expr("CAST(coalesce(co, 0) AS DOUBLE) / (szd + szb - coalesce(co, 0))"))
-        .where(col("jac") >= DeltaJacThr)
-        .select(col("delta_id"), col("base_id"), round(col("jac"), 4).as("jac"))
-        .orderBy("delta_id", "base_id")
-    }),
-
-    // n-gram (token 3-gram) Jaccard near-dup, blocked by `source` so the
-    // candidate join is bounded per block (global variant = q_dedup_minhash).
-    // Trigrams with per-block document frequency > NgramDfCap are dropped
-    // BEFORE the self-join (and from the Jaccard denominators): a shingle in
-    // df docs contributes df² join rows but zero dedup signal once df is
-    // large — the cap bounds pairs-per-shingle at C(cap,2) at any corpus
-    // size. Jaccard is over the df-filtered shingle sets in both engines.
-    "q_dedup_ngram" -> ((s, dir) => {
-      val ws = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          Tokenize.tokenArray(col("text")).as("ws"))
-        .where(size(col("ws")) >= 3)
-      // tri feeds the df computation and (via trif) sizes + both join
-      // sides — persist (callers run inside Bench/Verify, which
-      // clearCache() per query).
-      val tri = maybePersist(ws.select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
-          .as("sh"))
-        .distinct())
-      val rare = tri.groupBy("source", "sh")
-        .agg(count(lit(1)).as("dfreq")).where(col("dfreq") <= NgramDfCap)
-        .select("source", "sh")
-      val trif = tri.join(rare, Seq("source", "sh"))
-      val sz = trif.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val co = trif.alias("x")
-        .join(trif.alias("y"),
-          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
-      co.join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-        .withColumn("jac", expr("CAST(co AS DOUBLE) / (sa + sb - co)"))
-        .groupBy("d1")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(expr("CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END")).as("n_sim"),
-          max(round(col("jac"), 4)).as("max_jac"))
-        .orderBy("d1")
-    }),
-
-    // Embedding-cosine near-dup — BUCKETED, never all-pairs: candidates
-    // come from the random-hyperplane LSH buckets (the q_ann_lsh
-    // machinery — 8 md5-seeded integer hyperplanes → one 8-bit bucket per
-    // vector), buckets over BandBucketCap docs are DROPPED before the
-    // self-join (the minhash band-join discipline: an oversized bucket is
-    // boilerplate, not dedup signal), and the exact-integer cosine
-    // verifies inside each surviving bucket. Pairs per bucket are bounded
-    // at C(cap,2) ≈ 2·10³ REGARDLESS of corpus size, so total candidate
-    // volume is O(#buckets·cap²) = O(n·cap) — where the previous
-    // constant-fraction self-join paid Θ((n/10)²/|labels|).
-    "q_dedup_embcos" -> ((s, dir) => {
-      // bucketed feeds the cap filter and BOTH self-join sides — ckpt so
-      // the bucket computation runs once, not three times
-      val bucketed = quantized(s, dir).where(col("nq") > 0)
-        .withColumn("bucket", expr(lshBucketSparkExpr("q")).cast("long"))
-        .ckpt()
-      val ok = bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-        .where(col("bsz") <= BandBucketCap).select("bucket")
-      val b = bucketed.join(ok, Seq("bucket"))
-      val pairs = b.alias("x")
-        .join(b.alias("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"),
-          expr("ivec_dot(x.q, y.q)")
-            .as("dot"),
-          col("x.nq").as("na"), col("y.nq").as("nb"))
-        .withColumn("cos", expr(CosExpr))
-      pairs.groupBy("d1")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(expr("CASE WHEN cos >= 0.7 THEN 1 ELSE 0 END")).as("n_sim"),
-          max(round(col("cos"), 4)).as("max_cos"))
-        .orderBy("d1")
-    }),
-
-    // Brute-force cosine top-k ANN for sampled query vectors: the exactness
-    // baseline; rank by unrounded (but deterministic) cosine, tie-break id.
-    // The query set is a CONSTANT k = AnnQueryK vectors (largest exact
-    // integer self-norm, tie-break vec_id — a deterministic selection both
-    // engines can replay), NOT a constant fraction of the corpus: with a
-    // fractional query set the brute-force join is Θ(n²), while k·n scans
-    // stay linear in the corpus and the k-row query side broadcasts.
-    "q_ann_topk" -> ((s, dir) => {
-      val all = quantized(s, dir)
-      val qs = all.where(col("nq") > 0)
-        .orderBy(desc("nq"), asc("vec_id")).limit(AnnQueryK)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nq").as("na"))
-      val scored = broadcast(qs)
-        .join(all.where(col("nq") > 0), col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("cand_id"),
-          expr("ivec_dot(qq, q)")
-            .as("dot"),
-          col("na"), col("nq").as("nb"))
-        .withColumn("cos", expr(CosExpr))
-      import org.apache.spark.sql.expressions.Window
-      scored
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("q_id")
-            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
-        .where(col("rank") <= 10)
-        .select(col("q_id"), col("rank"), col("cand_id"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Hard-negative mining for contrastive training: for each query
-    // vector, the top-5 most-similar candidates with a DIFFERENT label —
-    // the "looks alike, isn't" pairs a retrieval/embedding trainer feeds
-    // as negatives. Same exact-integer cosine machinery as q_ann_topk,
-    // including its CONSTANT k = AnnQueryK query set (a fractional set
-    // makes this full-corpus join Θ(n²)); the k-row query side
-    // broadcasts, the label inequality rides the join, per-query top-5
-    // via a window over the bounded query set.
-    "q_hard_negatives" -> ((s, dir) => {
-      val all = quantized(s, dir)
-      val qs = all.join(annQueryIds(all), "vec_id")
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("q").as("qq"), col("nq").as("na"))
-      val scored = qs
-        .join(all.where(col("nq") > 0),
-          col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
-        .select(col("q_id"), col("vec_id").as("cand_id"),
-          expr("ivec_dot(qq, q)")
-            .as("dot"),
-          col("na"), col("nq").as("nb"))
-        .withColumn("cos", expr(CosExpr))
-      scored
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("q_id")
-            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("cand_id"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Inverted-index build with impact-ordered posting heads: per term,
-    // document frequency plus the top-5 (tf desc, doc asc) postings
-    // rendered "doc:tf,..." — the retrieval-index construction step
-    // (impact-sorted posting lists truncated at the head). The head is
-    // selected by the NATIVE TopKPerKey operator (bounded heap per map
-    // partition, one shuffle — never a per-term window sort over full
-    // posting lists), so per-term state is O(5) at any corpus size; the
-    // collect_list that renders the string is over ≤5 rows by
-    // construction.
-    "q_inverted_index" -> ((s, dir) => {
-      val tf = toks(s, dir).groupBy("word", "doc_id")
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val head = graft.operators.TopK
-        .perKey(tf, Seq("word"), Seq(("tf", false), ("doc_id", true)), 5)
-      val postings = head
-        .select(col("word"),
-          struct((-col("tf")).as("ntf"), col("doc_id"), col("tf")).as("e"))
-        .groupBy("word").agg(array_sort(collect_list(col("e"))).as("es"))
-        .select(col("word"), expr(
-          "concat_ws(',', transform(es, e -> concat(CAST(e.doc_id AS STRING), ':', CAST(e.tf AS STRING))))")
-          .as("postings"))
-      dfreq.where(col("df") >= InvIdxMinDf)
-        .join(postings, "word")
-        .select("word", "df", "postings").orderBy("word")
-    }),
-
-    // TF-IDF over the corpus: tf per (doc, word), document frequency per
-    // word, idf = ln((N+1)/(df+1)). Two narrow aggregations plus a
-    // broadcast of the single-row N — no fact-side re-shuffle.
-    "q_tfidf" -> ((s, dir) => {
-      val tf = toks(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      // dfreq AND n_docs derive from tf: same canonical exchange → AQE
-      // stage reuse, and the doc set is locale-consistent with the token
-      // pipeline (a whole-text keep(text) shortcut would route non-ASCII
-      // text through Spark's default-locale lower() and could disagree
-      // with the per-token keep on a non-ROOT-locale JVM).
-      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
-      // idf is pre-rounded to 8 decimals: ln() is not correctly-rounded,
-      // so a 1-ulp Java-vs-C libm difference could otherwise flip the
-      // final 4th decimal; quantizing the (few, per-word) idf values first
-      // confines the boundary risk to |vocab| values at 1e-8 granularity.
-      tf.join(dfreq, "word").crossJoin(broadcast(n))
-        .withColumn("tfidf",
-          round(col("tf") * expr("round(ln((n_docs + 1.0) / (df + 1.0)), 8)"), 4))
-        .select("doc_id", "word", "tf", "df", "tfidf")
-        .orderBy("doc_id", "word")
-    }),
-
-    // IVF-style ANN: centroid per label (coarse quantizer) → route each
-    // query to its nearest centroid → search only that partition. This is
-    // the scale path: probes 1/|labels| of the data vs q_ann_topk's full
-    // scan. Distances stay on exact integers (scaled by partition size) so
-    // both engines agree bit-for-bit.
-    "q_ann_ivf" -> ((s, dir) => {
-      val all = quantized(s, dir).where(col("nq") > 0)
-      // per-label, per-dimension integer sums (centroid = s/n, kept unscaled)
-      val cent = all.select(col("label"), posexplode(col("q")).as(Seq("pos", "qv")))
-        .groupBy("label", "pos")
-        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-      val qd = all.join(annQueryIds(all), "vec_id")
-        .select(col("vec_id").as("q_id"), posexplode(col("q")).as(Seq("pos", "qv")))
-      // dist² to centroid, scaled by n²: Σ(qv·n − s)² — exact BIGINTs
-      val dist = qd.join(cent, "pos")
-        .groupBy("q_id", "label")
-        .agg(sum(expr("(qv * n - s) * (qv * n - s)")).as("dist_num"),
-          max("n").as("n"))
-      val best = dist
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(expr("CAST(dist_num AS DOUBLE) / (n * n)").asc, col("label").asc)))
-        .where(col("rn") === 1).select("q_id", "label")
-      val qs = all.select(col("vec_id").as("q_id"), col("q").as("qq"),
-        col("nq").as("na"))
-      val scored = best.join(qs, "q_id")
-        .join(all.select(col("vec_id").as("cand_id"), col("label"),
-          col("q"), col("nq").as("nb")), "label")
-        .where(col("cand_id") =!= col("q_id"))
-        .select(col("q_id"), col("cand_id"),
-          expr("ivec_dot(qq, q)")
-            .as("dot"), col("na"), col("nb"))
-        .withColumn("cos", expr(CosExpr))
-      scored
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("cand_id"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Product quantization (PQ) ANN — the memory-side scale path that
-    // completes brute/IVF/LSH: vectors are split into 8 subspaces of 8
-    // dims; each subvector is replaced by the id of its nearest per-label
-    // subspace centroid (label-seeded codebook — deterministic, no
-    // iterative k-means), so a 64-int vector becomes 8 small codes. ADC
-    // scoring then approximates dot(query, candidate) as Σ_m
-    // dot(query_sub_m, centroid(code_m)) — a lookup-table sum, never a
-    // full-vector scan per candidate. At 100 TB the code table is ~1% of
-    // the vector bytes and the ADC join is |queries|·M rows per
-    // candidate. Determinism discipline: centroid distances compare as
-    // one FP division over exact BIGINTs (ties → label asc), ADC terms
-    // are 6-decimal-rounded DECIMALs summed exactly, and the final rank
-    // orders on the EXACT decimal before any display cast.
-    "q_ann_pq" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-      val all = quantized(s, dir).where(col("nq") > 0)
-      def comps(keyCol: String) = all
-        .select(col(keyCol), posexplode(col("q")).as(Seq("pos", "qv")))
-        .select(col(keyCol), expr(s"pos div $PqD").as("m"),
-          expr(s"pos % $PqD").as("d"), col("qv"))
-      val comp = comps("vec_id")
-      val cb = comps("label").groupBy(col("label").as("clabel"), col("m"), col("d"))
-        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-      val assign = comp.join(cb, Seq("m", "d"))
-        .groupBy("vec_id", "m", "clabel")
-        .agg(sum(expr("(qv * n - s) * (qv * n - s)")).as("dn"), max("n").as("cn"))
-        .withColumn("rn", row_number().over(w.partitionBy("vec_id", "m")
-          .orderBy(expr("CAST(dn AS DOUBLE) / (cn * cn)").asc, col("clabel").asc)))
-        .where(col("rn") === 1)
-        .select(col("vec_id").as("cand_id"), col("m"), col("clabel").as("code"))
-      val adc = comp.join(annQueryIds(all), "vec_id")
-        .join(cb, Seq("m", "d"))
-        .groupBy(col("vec_id").as("q_id"), col("m"), col("clabel"))
-        .agg(sum(expr("qv * s")).as("dotnum"), max("n").as("n"))
-        .select(col("q_id"), col("m"), col("clabel").as("code"),
-          expr("CAST(round(CAST(dotnum AS DOUBLE) / n, 6) AS DECIMAL(24,6))")
-            .as("term"))
-      assign.join(adc, Seq("m", "code"))
-        .where(col("cand_id") =!= col("q_id"))
-        .groupBy("q_id", "cand_id").agg(sum(col("term")).as("adc_exact"))
-        .withColumn("rank", row_number().over(
-          w.partitionBy("q_id").orderBy(col("adc_exact").desc, col("cand_id").asc))
-          .cast("long"))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("cand_id"),
-          round(col("adc_exact").cast("double"), 4).as("adc"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Random-hyperplane LSH ANN: 8 md5-seeded integer hyperplanes → 8-bit
-    // bucket per vector → search only the query's bucket. The scale path
-    // when no partition label exists (vs q_ann_ivf's label centroids);
-    // candidates per query drop ~256× for uniform buckets.
-    "q_ann_lsh" -> ((s, dir) => {
-      val all = quantized(s, dir).where(col("nq") > 0)
-        .withColumn("bucket", expr(lshBucketSparkExpr("q")).cast("long"))
-      val qs = all.join(annQueryIds(all), "vec_id")
-        .select(col("vec_id").as("q_id"), col("q").as("qq"),
-          col("nq").as("na"), col("bucket"))
-      val scored = qs.join(
-          all.select(col("vec_id").as("cand_id"), col("q"),
-            col("nq").as("nb"), col("bucket")), Seq("bucket"))
-        .where(col("cand_id") =!= col("q_id"))
-        .select(col("q_id"), col("bucket"), col("cand_id"),
-          expr("ivec_dot(qq, q)")
-            .as("dot"), col("na"), col("nb"))
-        .withColumn("cos", expr(CosExpr))
-      scored
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(desc("cos"), asc("cand_id"))).cast("long"))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("bucket"), col("rank"), col("cand_id"),
-          round(col("cos"), 4).as("cos"))
-        .orderBy("q_id", "rank")
-    }),
-
-    // Multimodal decode, REAL codec: a deterministic grayscale image is
-    // planted per doc_id (construction rule in operators.Multimodal),
-    // encoded to actual PNG bytes with the JDK ImageIO writer, then the
-    // query decodes those bytes back through the real PNG parser inside
-    // batched mapPartitions and emits dimension + pixel statistics. The
-    // oracle recomputes the same features from the construction rule alone
-    // — any codec round-trip bug (stride, color model, truncation) breaks
-    // the hash match.
-    // NB the repartition(): the payload table may scan as a handful of
-    // parquet splits, and without a rebalance the CPU-bound codec work
-    // would underparallelize (measured: 3.3 s → 1 task at sf0.1). Real
-    // payload columns at scale arrive pre-spread, but any CPU-heavy stage
-    // fed by a narrow scan must rebalance.
-    "q_multimodal_decode" -> ((s, dir) => {
-      import s.implicits._
-      val recs = mediaTable(s, dir, "png")
-        .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
-      graft.operators.Multimodal.extractImages(recs).toDF().orderBy("doc_id")
-    }),
-
-    // Multimodal PERCEPTUAL DEDUP — aHash over the REAL decoded rasters
-    // (8×8 grid sample → integer-mean threshold → 64-bit hash), then
-    // hamming-near pairs via the simhash band discipline: 8 bands of 8
-    // bits, pigeonhole-LOSSLESS for hamming ≤ 7, band buckets df-capped
-    // at 64. The image twin of the text near-dup family: codec work runs
-    // where the bytes live, the self-join only ever sees band-bucket
-    // candidates, and bit_count(xor) verifies exactly. The oracle replays
-    // hash + bands from the fixture's pixel rule.
-    "q_phash_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val recs = mediaTable(s, dir, "png")
-        .repartition(s.sparkContext.defaultParallelism)
-        .as[graft.operators.MediaRecord]
-      val hashed = graft.operators.Multimodal.extractAHash(recs)
-        .toDF().select("doc_id", "ahash").ckpt()
-      val bands = hashed
-        .select(col("doc_id"), col("ahash"),
-          explode(expr("sequence(0, 7)")).as("b"))
-        .withColumn("bv", expr("shiftright(ahash, CAST(8 * b AS INT)) & 255"))
-      val keep = bands.groupBy("b", "bv").agg(count(lit(1)).as("n"))
-        .where(col("n") <= BandBucketCap).select("b", "bv")
-      val bk = bands.join(keep, Seq("b", "bv"))
-      val cand = bk.alias("x").join(bk.alias("y"), Seq("b", "bv"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.ahash").as("h1"), col("y.ahash").as("h2"))
-        .distinct()
-      cand.withColumn("ham", expr("bit_count(h1 ^ h2)").cast("long"))
-        .where(col("ham") <= 7)
-        .select("d1", "d2", "ham")
-        .orderBy("d1", "d2")
-    }),
-
-    // Multimodal RESIZE — the decoded raster downscaled nearest-neighbor
-    // (out(x,y) = in(2x,2y)) inside the same batched mapPartitions; codec
-    // AND geometry are both under test because the oracle recomputes the
-    // sampled positions from the construction rule. Decode+transform runs
-    // where the bytes live — no shuffle.
-    "q_multimodal_resize" -> ((s, dir) => {
-      import s.implicits._
-      val recs = mediaTable(s, dir, "png")
-        .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
-      graft.operators.Multimodal.extractResized(recs).toDF().orderBy("doc_id")
-    }),
-
-    // Multimodal FRAME SAMPLING — a video-shaped payload (4..8 raw frames
-    // concatenated, zlib-compressed) is inflated with the real codec,
-    // sliced into frames by offset, and every 2nd frame's pixel sum is
-    // emitted. Torn payloads (length not a whole number of frames) drop
-    // like corrupt images. The oracle replays the frame rule per sampled
-    // index.
-    "q_multimodal_frames" -> ((s, dir) => {
-      import s.implicits._
-      val recs = mediaTable(s, dir, "video")
-        .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
-      graft.operators.Multimodal.extractFrames(recs).toDF()
-        .orderBy("doc_id", "frame")
-    }),
-
-    // Multimodal inflate, REAL codec: each doc's text is compressed to a
-    // real zlib stream (java.util.zip.Deflater), then the query inflates
-    // the bytes back and emits the recovered length + md5 — the round-trip
-    // proof the oracle recomputes from the uncompressed source directly.
-    // (Compressed size is encoder-dependent and deliberately not output.)
-    "q_multimodal_inflate" -> ((s, dir) => {
-      import s.implicits._
-      val recs = mediaTable(s, dir, "zlib")
-        .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
-      graft.operators.Multimodal.extractInflate(recs).toDF().orderBy("doc_id")
-    }),
-
-    // Multimodal AUDIO, REAL codec: a deterministic 16-bit mono PCM
-    // signal is written per doc_id as actual RIFF/WAV bytes (canonical
-    // 44-byte header, hand-rolled to the spec), then decoded back through
-    // the INDEPENDENT JDK parser (javax.sound.sampled.AudioSystem) and
-    // amplitude statistics emitted. The oracle recomputes the same
-    // features from the construction rule alone — completing the
-    // image/audio/video modality triple on the same binary-column
-    // plumbing (zero shuffle, batched mapPartitions, drop-and-count).
-    "q_multimodal_audio" -> ((s, dir) => {
-      import s.implicits._
-      val recs = mediaTable(s, dir, "wav")
-        .repartition(s.sparkContext.defaultParallelism).as[graft.operators.MediaRecord]
-      graft.operators.Multimodal.extractAudio(recs).toDF().orderBy("doc_id")
-    }),
-
-    // CAPSTONE — the full training-data prep pipeline in one plan:
-    // quality gate (≥ minTok kept tokens) → language gate (predicted 'en')
-    // → exact dedup (first doc per text survives) → near-dedup
-    // (MinHash-LSH candidates → verified Jaccard ≥ 0.5 → greedy apply) →
-    // kept-corpus summary. Every stage is the same logic as its standalone
-    // query, so the composition is oracle-checked end to end.
-    "q_pipeline_prep" -> ((s, dir) => {
-      val minTok = 20
-      val scoreAggs = Stops.map { case (lang, words) =>
-        sum(expr(s"CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END"))
-          .cast("long").as(s"s_$lang")
-      }
-      val sc = toks(s, dir).groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), scoreAggs: _*)
-        .withColumn("pred", expr(PredCase))
-      // verifiedDupIds is the whole dedup stage: exact (non-representative
-      // of a text cluster) ∪ verified near-dup representatives.
-      docs(s, dir)
-        .join(sc.where(col("n_tok") >= minTok && col("pred") === "en")
-          .select("doc_id"), "doc_id")
-        .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-    }),
-
-    // CAPSTONE v2 — corpus ASSEMBLY: where q_pipeline_prep ends at the
-    // kept set, this carries it to training-ready shards in the SAME
-    // declarative plan: quality gate (≥ minTok kept tokens, all langs) →
-    // near-dedup drop → exact-ratio domain mixing (4:2:2:1:1 per lang) →
-    // deterministic shard shuffle (md5 fold + independent-hash in-shard
-    // order) → ~512-token greedy packing per shard. Every stage is the
-    // same logic as its standalone query (q_mix_sources /
-    // q_shuffle_shards / q_pack_sequences), so the end-to-end composition
-    // is oracle-checked. Both rank stages ride Ranks.withinKey; packing
-    // windows partition by shard — nothing global, nothing single-task.
-    "q_pipeline_assemble" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val minTok = 20
-      val ntok = toks(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      // kept embeds the whole dedup chain and has TWO consumers (the
-      // per-lang counts and the mixing rank). Unlike the narrow codegen'd
-      // shingle pipelines the `maybePersist` auto policy was measured on
-      // (recompute wins locally), kept's upstream is WIDE — shuffled LSH
-      // band joins + Jaccard verify — so re-execution is never cheap:
-      // persisting wins at every scale (measured 11.2 → 9.9 s at sf0.1).
-      val kept = docs(s, dir).select("doc_id", "lang")
-        .join(ntok.where(col("n_tok") >= minTok), "doc_id")
-        .join(verifiedDupIds(s, dir), Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wDf = MixWeights.toDF("lang", "w")
-      val withW = kept.groupBy("lang").agg(count(lit(1)).as("n")).join(wDf, "lang")
-      val units = withW.agg(min(expr("n DIV w")).as("u"))
-      val mixed = graft.operators.Ranks.withinKey(
-          kept.withColumn("hx",
-            md5(concat(lit("mix:"), col("doc_id").cast("string")))),
-          "lang", Seq("hx", "doc_id"))
-        .join(broadcast(withW.select("lang", "w")), "lang")
-        .crossJoin(broadcast(units))
-        .where(col("rk") <= col("w") * col("u"))
-        .select("doc_id", "n_tok")
-      val positioned = graft.operators.Ranks.withinKey(
-          mixed.withColumn("shard", expr(s"($HashBucketSpark) % 8"))
-            .withColumn("h",
-              md5(concat(lit("ord"), col("doc_id").cast("string")))),
-          "shard", Seq("h", "doc_id"))
-        .withColumnRenamed("rk", "pos")
-      val byShard = Window.partitionBy("shard").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      positioned.withColumn("cum", sum(col("n_tok")).over(byShard))
-        .withColumn("bin",
-          floor((col("cum") - col("n_tok")) / lit(PackBudget)).cast("long"))
-        .groupBy("shard", "bin")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-        .orderBy("shard", "bin")
-    }),
 
     // Language ID: stopword-hit scoring with a deterministic argmax.
     "q_lang_id" -> ((s, dir) => {
@@ -1646,283 +931,6 @@ object LlmOps {
             .as("avg_flesch"))
         .orderBy("source")),
 
-    "q_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        Tokenize.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
-
-    // Winnowing fingerprints (operators.Winnow — Schleimer/MOSS): every
-    // w-window of k-gram hashes contributes its MINIMUM hash; the distinct
-    // selected set is the document fingerprint — ~2/(w+1) the density of
-    // full shingling with a guarantee that any match of length ≥ w+k-1
-    // shares a fingerprint. One narrow gram explode + one doc_id window
-    // shuffle; fingerprint set md5'd so the dump stays one row per doc.
-    // WinnowSpec cross-checks the operator against an in-memory mirror
-    // and the match guarantee on random strings.
-    "q_winnow" -> ((s, dir) =>
-      graft.operators.Winnow
-        .selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
-        .groupBy("doc_id")
-        .agg(max(col("ng")).as("n_grams"),
-          sort_array(collect_set(col("wm"))).as("fps"))
-        .select(col("doc_id"), col("n_grams"),
-          expr("CAST(size(fps) AS BIGINT)").as("n_fp"),
-          expr("md5(array_join(transform(fps, x -> CAST(x AS STRING)), ','))")
-            .as("fp_md5"))
-        .orderBy("doc_id")),
-
-    // Winnowing as a dedup scale path: docs whose selected-fingerprint
-    // sets overlap heavily are near-dups. Same bucket-join discipline as
-    // minhash/ngram: a fingerprint's document frequency is capped (df in
-    // [2, WinnowDfCap]) before the self-join, so corpus boilerplate (a
-    // fingerprint in thousands of docs) never fans out — pairs per
-    // fingerprint ≤ C(cap, 2) at any corpus size. Pairs are kept when the
-    // overlap coefficient n_shared / min(|fps_a|, |fps_b|) ≥ threshold —
-    // a set-containment test, so a doc embedded in a longer one still
-    // scores 1.0. The oracle replays the identical cap and ratio.
-    "q_winnow_pairs" -> ((s, dir) => {
-      // the distinct fingerprint set is ~2/(w+1) the gram volume and has
-      // FOUR consumers (sizes, df filter, both join sides) — persist it
-      // (policy knob) so the explode+window pipeline runs once
-      val fp = maybePersist(graft.operators.Winnow
-        .selected(docs(s, dir), "doc_id", "text", WinnowK, WinnowW)
-        .select(col("doc_id"), col("wm")).distinct())
-      val nfp = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      val rare = fp.groupBy("wm").agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2 && col("c") <= WinnowDfCap).select("wm")
-      val capped = fp.join(rare, Seq("wm"))
-      capped.alias("x")
-        .join(capped.alias("y"),
-          col("x.wm") === col("y.wm") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .join(nfp.select(col("doc_id").as("a"), col("nf").as("na")), Seq("a"))
-        .join(nfp.select(col("doc_id").as("b"), col("nf").as("nb")), Seq("b"))
-        .where(col("n_shared") >= least(col("na"), col("nb")) * WinnowOverlap)
-        .select(col("a"), col("b"), col("n_shared"),
-          round(col("n_shared") / least(col("na"), col("nb")), 4).as("overlap"))
-        .orderBy("a", "b")
-    }),
-
-    // SQL front door for the winnowing Generator: the same selection
-    // reached as LATERAL VIEW winnow_fingerprints(text, k, w) over plain
-    // SQL text — proof the registered function library composes in SQL,
-    // not just through the Column API. Output: per-doc fingerprint-set
-    // size (docs with no full window emit no rows on either engine).
-    "q_sql_winnow" -> ((s, dir) => {
-      graft.plans.GraftExtensions.register(s)
-      docs(s, dir).createOrReplaceTempView("documents_wv")
-      s.sql(
-        s"""SELECT doc_id, CAST(count(DISTINCT wm) AS BIGINT) AS n_fp
-           |FROM documents_wv
-           |LATERAL VIEW winnow_fingerprints(text, $WinnowK, $WinnowW) wf AS i, wm, ng
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-    }),
-
-    // STREAMING SINK ROUND-TRIP: a real Structured Streaming job (file
-    // source over the documents parquet, AvailableNow trigger) upserts
-    // per-batch word counts into a parquet state table via foreachBatch —
-    // the production "stream into a queryable table" shape — and the
-    // RESULT of the batch read-back is what the DuckDB oracle checks
-    // (batch wordcount over the same corpus). State is versioned per
-    // batch (state_N reads state_{N-1}) so the upsert never overwrites
-    // a directory it is reading; the checkpoint makes re-runs no-ops.
-    "q_stream_sink_roundtrip" -> ((s, dir) => {
-      // keyed by the sf dir name: two corpora in one JVM must not fold
-      // batches into each other's state tables
-      val base = s"$TmpRoot/stream_upsert_${new java.io.File(dir).getName}"
-      val sch = s.read.parquet(s"$dir/documents.parquet").schema
-      // the file source wants a DIRECTORY; the harness table is a single
-      // file inside the sf dir, so scope the listing with a glob filter
-      val src = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val words = Tokenize.tokenize(src.select(col("doc_id"), col("text")), "text")
-        .select("word")
-      words.writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val ss = batch.sparkSession
-          val prev = s"$base/state_${id - 1}"
-          val counts = batch.groupBy("word")
-            .agg(count(lit(1)).cast("long").as("n"))
-          val merged =
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(prev)))
-              ss.read.parquet(prev).unionByName(counts)
-                .groupBy("word").agg(sum(col("n")).cast("long").as("n"))
-            else counts
-          merged.write.mode("overwrite").parquet(s"$base/state_$id")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-      val latest = Option(new java.io.File(base).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .map(_.getName).filter(_.startsWith("state_"))
-        .map(_.stripPrefix("state_").toLong)
-        .maxOption.getOrElse(sys.error(
-          s"no state_* under $base: checkpoint survived but state dirs " +
-            "are gone — delete the checkpoint to replay"))
-      s.read.parquet(s"$base/state_$latest").orderBy("word")
-    }),
-
-    // STREAM-STREAM JOIN SINK: the watermarked click→purchase inner join
-    // (StreamOps.clickToPurchase — user equi-key + event-time bound, the
-    // state-eviction contract of any unbounded-unbounded join) run as a
-    // real AvailableNow job over the events parquet, appended to a parquet
-    // sink, then batch-read and DuckDB-checked against the equivalent
-    // batch join. Inner stream-stream joins emit matches in the batch
-    // they occur, so the single-file AvailableNow run is complete by
-    // construction; the checkpoint makes re-runs no-ops.
-    "q_stream_join_sink" -> ((s, dir) => {
-      import s.implicits._
-      val base = s"$TmpRoot/stream_join_${new java.io.File(dir).getName}"
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val src = normalizeTs(s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val ev = src.as[graft.streaming.Event]
-      val clicks = ev.where(col("event_type") === "click")
-        .as[graft.streaming.Event]
-      val purchases = ev.where(col("event_type") === "purchase")
-        .as[graft.streaming.Event]
-      graft.streaming.StreamOps.clickToPurchase(clicks, purchases)
-        .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append")
-        .format("parquet").option("path", s"$base/out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-      s.read.parquet(s"$base/out")
-        .select(col("click_id"), col("purchase_id"), col("user_id"),
-          round(col("purchase_value"), 2).as("purchase_value"))
-        .orderBy("click_id", "purchase_id")
-    }),
-
-    // K-MEANS corpus clustering (operators.KMeans): fixed-iteration
-    // Lloyd's over the integer-quantized embeddings — k smallest-id init,
-    // exact-BIGINT assignment distances (×1000 fixed-point centroids), so
-    // there is no floating-point accumulation order anywhere and the
-    // DuckDB oracle unrolls the identical iterations. Output: per-cluster
-    // membership stats + the centroid fingerprint.
-    "q_kmeans" -> ((s, dir) => {
-      val vecs = quantized(s, dir).select(col("vec_id").as("id"), col("q"))
-      val cents = graft.operators.KMeans.centroids(vecs, KmK, KmIters)
-      val q1000 = vecs.select(col("id"),
-        expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
-      graft.operators.KMeans.assign(q1000, cents)
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n"),
-          min(col("id")).as("min_vec"), max(col("id")).as("max_vec"),
-          // exact decimal sum (~2·10¹⁹ at sf0.01 — beyond float64
-          // exactness) emitted as its exact DIGIT STRING: a decimal128
-          // column here is the one value in the catalog whose pandas/
-          // pyarrow representation can drift between the oracle's DuckDB
-          // and the parquet reader (the r4/r5 driver-gate hash mismatch;
-          // same class as the q_smoothed_rate DECIMAL/DOUBLE drift). A
-          // VARCHAR of the exact integer has one representation everywhere.
-          sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .cast("string").as("inertia"))
-        .join(cents.select(col("cid"),
-          expr("md5(array_join(transform(c1000, x -> CAST(x AS STRING)), ','))")
-            .as("c_md5")), "cid")
-        .orderBy("cid")
-    }),
-
-    // Simplified (centroid-based) silhouette of the q_kmeans clustering:
-    // per point, a = distance to its own centroid, b = distance to the
-    // nearest OTHER centroid, s = (b − a)/b — the clustering-quality
-    // audit run before trusting cluster-quota sampling (q_sample_diverse).
-    // Centroid-based silhouette is the LINEAR form (k distances per
-    // point against the broadcast k×dims table) — full silhouette's
-    // per-cluster all-pairs would be quadratic at scale. Distances are
-    // exact BIGINTs; sqrt/divide are two correctly-rounded IEEE ops with
-    // one spelling in both engines; per-point scores 6-rounded then
-    // decimal-summed per cluster.
-    "q_silhouette" -> ((s, dir) => {
-      val vecs = quantized(s, dir).select(col("vec_id").as("id"), col("q"))
-      val cents = graft.operators.KMeans.centroids(vecs, KmK, KmIters)
-      val dists = vecs.select(col("id"),
-          expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
-        .crossJoin(broadcast(cents))
-        .select(col("id"), col("cid"),
-          expr("ivec_sqdist(v, c1000)").as("d2"))
-      dists.groupBy("id").agg(
-          min(struct(col("d2"), col("cid"))).as("m1"),
-          expr("element_at(array_sort(collect_list(struct(d2, cid))), 2).d2")
-            .as("b2"))
-        .select(col("m1.cid").as("cid"),
-          expr("round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(m1.d2 AS DOUBLE)))" +
-            " / sqrt(CAST(b2 AS DOUBLE)), 6)").as("sc"))
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n"), dsum(col("sc"), 6).as("ssum"))
-        .select(col("cid"), col("n"),
-          expr("round(ssum / n, 6)").as("mean_sil"))
-        .orderBy("cid")
-    }),
-
-    // SEMANTIC DEDUP (SemDeDup, Abbas et al. '23): k-means buckets the
-    // embedding space, then near-duplicates are pruned ONLY within each
-    // cluster — the clustering IS the blocking step, so the pair join is
-    // Σ|cluster|², never corpus², and in the real recipe k grows with
-    // the corpus to keep cluster sizes bounded (here k = KmK, the
-    // harness-scale contract; the same capped-bucket shape as LSH band
-    // dedup). Keep-first semantics: a vector drops iff some SMALLER id
-    // in its cluster has quantized cosine ≥ SemTau with it — exact
-    // integer dots, one identical float chain, no iteration. Zero-norm
-    // vectors are excluded up front (cosine undefined).
-    "q_semdedup" -> ((s, dir) => {
-      val vecs = quantized(s, dir).select(col("vec_id").as("id"),
-        col("q"), col("nq"))
-      val cents = graft.operators.KMeans.centroids(
-        vecs.select("id", "q"), KmK, KmIters)
-      val asg = graft.operators.KMeans.assign(
-        vecs.select(col("id"),
-          expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v")),
-        cents).select("id", "cid")
-      val qa = vecs.where(col("nq") > 0).join(asg, "id")
-      val dropped = qa.alias("x").join(qa.alias("y"),
-          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
-        .select(col("y.id").as("id"),
-          expr("ivec_dot(x.q, y.q)").as("dot"),
-          col("x.nq").as("na"), col("y.nq").as("nb"))
-        .where(expr(CosExpr) >= SemTau)
-        .select("id").distinct().withColumn("drp", lit(1L))
-      qa.join(dropped, Seq("id"), "left_outer")
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("drp").isNull, 1L).otherwise(0L)).as("n_kept"),
-          min(when(col("drp").isNull, col("id"))).as("min_kept"),
-          max(when(col("drp").isNull, col("id"))).as("max_kept"))
-        .orderBy("cid")
-    }),
-
-    // DIVERSITY SAMPLING — clustering and sampling COMPOSED: k-means
-    // buckets the embedding space, then a fixed per-cluster quota keeps
-    // the DiverseQuota smallest (md5, id) ranks per cluster (via the same
-    // distributed Ranks.withinKey — a popular cluster never ranks on one
-    // task). The standard "cover the space, don't oversample the dense
-    // core" curation step; the oracle replays clustering + quota exactly.
-    "q_sample_diverse" -> ((s, dir) => {
-      val vecs = quantized(s, dir).select(col("vec_id").as("id"), col("q"))
-      val cents = graft.operators.KMeans.centroids(vecs, KmK, KmIters)
-      val q1000 = vecs.select(col("id"),
-        expr("transform(q, x -> x * CAST(1000 AS BIGINT))").as("v"))
-      val assigned = graft.operators.KMeans.assign(q1000, cents)
-        .withColumn("hx", md5(concat(lit("div:"), col("id").cast("string"))))
-      graft.operators.Ranks.withinKey(assigned, "cid", Seq("hx", "id"))
-        .where(col("rk") <= DiverseQuota)
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n_kept"), min(col("id")).as("min_kept"),
-          max(col("id")).as("max_kept"), sum(col("id")).as("sum_kept"))
-        .orderBy("cid")
-    }),
-
     // DOMAIN MIXING (mixture resampling): downsample each language to hit
     // a target ratio (4:2:2:1:1) exactly — the data-mixing step of LLM
     // corpus assembly. Achievable size is exact integer arithmetic
@@ -1950,96 +958,6 @@ object LlmOps {
         .orderBy("lang")
     }),
 
-    // STREAMING WINDOWED AGGREGATION through a sink: tumbling 1-hour
-    // event-time windows aggregated in COMPLETE mode (state = the whole
-    // window table — the dashboard-refresh shape), snapshotted per batch
-    // into a versioned parquet table via foreachBatch; the batch read-back
-    // of the final snapshot must equal the batch windowed aggregate (the
-    // oracle). Window starts are emitted as epoch micros so the parquet
-    // types line up engine-to-engine. Complements q_stream_sink_roundtrip
-    // (append-mode counts) and the StreamOpsSpec watermark/late-data
-    // coverage.
-    "q_stream_window_sink" -> ((s, dir) => {
-      val base = s"$TmpRoot/stream_window_${new java.io.File(dir).getName}"
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val src = normalizeTs(s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir))
-      src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_micros(col("window.start")).as("ws"),
-          col("event_type"), col("n"))
-        .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("complete")
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite").parquet(s"$base/state_$id")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-      val latest = Option(new java.io.File(base).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .map(_.getName).filter(_.startsWith("state_"))
-        .map(_.stripPrefix("state_").toLong)
-        .maxOption.getOrElse(sys.error(
-          s"no state_* under $base: checkpoint survived but state dirs " +
-            "are gone — delete the checkpoint to replay"))
-      s.read.parquet(s"$base/state_$latest").orderBy("ws", "event_type")
-    }),
-
-    // STREAMING DEDUP SINK (4th oracle-gated stream): the
-    // transformWithState duplicate-accounting processor (StreamOps
-    // .dedupCounts — engine-managed ValueState per content key, the
-    // arbitrary-state API the spec tier exercises) run as a real
-    // AvailableNow job over the events parquet; each batch's updated
-    // (key, n) rows land in a per-batch parquet and the LATEST batch
-    // per key is the final state — which the DuckDB oracle must equal
-    // via a plain batch GROUP BY. Proves the stateful-processor tier
-    // end-to-end, not just in-JVM.
-    "q_stream_dedup_sink" -> ((s, dir) => {
-      import s.implicits._
-      val base = s"$TmpRoot/stream_dedup_${new java.io.File(dir).getName}"
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-      val keys = src.select(concat(col("user_id").cast("string"),
-        lit(":"), col("event_type")).as("value")).as[String]
-      // transformWithState requires the RocksDB store (multiple column
-      // families); restore the session's provider afterwards
-      val pk = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(pk)
-      s.conf.set(pk, "org.apache.spark.sql.execution.streaming.state." +
-        "RocksDBStateStoreProvider")
-      try {
-        graft.streaming.StreamOps.dedupCounts(keys).toDF()
-          .writeStream
-          .option("checkpointLocation", s"$base/ckpt")
-          .outputMode("update")
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            b.withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(s"$base/sink")
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(pk, v)
-        case None => s.conf.unset(pk)
-      }
-      val sink = s.read.parquet(s"$base/sink")
-      // latest batch per key wins (update-mode semantics)
-      sink.groupBy("key")
-        .agg(max(struct(col("batch_id"), col("n"))).as("m"))
-        .select(col("key"), col("m.n").as("n"))
-        .orderBy("key")
-    }),
-
     // Vocabulary build + out-of-vocabulary rate (the tokenizer-coverage
     // signal): top-V words by corpus frequency (count-desc/word-asc so the
     // cut is deterministic under ties), then per-doc OOV fraction. The
@@ -2057,263 +975,6 @@ object LlmOps {
         .select(col("doc_id"), col("n_toks"), col("n_oov"),
           round(col("n_oov") / col("n_toks"), 4).as("oov_rate"))
         .orderBy("doc_id")
-    }),
-
-    // Count-min sketch over the token frequency stream: d hash rows ×
-    // w cells, cell = Σ counts of words hashing there — merge is
-    // elementwise sum, so the sketch is commutative/associative (partial
-    // map-side aggregation works, merge order can't change a cell). The
-    // query materializes the sketch AND probes it for every vocab word:
-    // n_est = min over rows of the word's cell ≥ n_true, with equality
-    // unless the word collides in all d rows (width 64 forces real
-    // collisions at 31 words × 4 rows). Both engines replay the identical
-    // md5-derived hash family.
-    "q_sketch_cms" -> ((s, dir) =>
-      graft.operators.Sketches
-        .cmsEstimates(corpusToks(s, dir).select("word"), "word", CmsDepth, CmsWidth)
-        .orderBy("word")),
-
-    // Grouped CMS — one independent sketch PER SOURCE in a single pass
-    // (the per-source/per-day word-frequency profile), mirroring
-    // q_sketch_hll_grouped's shape: the shuffle carries |sources|·d·w
-    // cells no matter the corpus size, and per-group estimates still
-    // never undercount. Words are attributed to a doc's source via the
-    // tokenize join.
-    "q_sketch_cms_grouped" -> ((s, dir) => {
-      val t = toks(s, dir)
-        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
-      graft.operators.Sketches
-        .cmsEstimates(t.select("source", "word"), "word", CmsDepth, CmsWidth,
-          Seq("source"))
-        .orderBy("source", "word")
-    }),
-
-    // Heavy hitters (φ = 1/64 of corpus tokens) via sketch-then-verify:
-    // CMS point estimates never undercount, so thresholding n_est yields
-    // a candidate set with NO false negatives; the exact count then
-    // confirms or rejects each candidate. At 100 TB the pattern's value
-    // is that exact counting is confined to |candidates| ≈ 1/φ keys —
-    // the sketch pass is constant-state and the threshold is
-    // corpus-relative (integer tot div 64 — scale-honest, no magic
-    // absolute count). Unconfirmed rows (collision-inflated) are KEPT
-    // with confirmed=0 so the oracle pins the false-positive behavior
-    // too, not just the survivors.
-    "q_heavy_hitters" -> ((s, dir) => {
-      val t = toks(s, dir)
-      val est = graft.operators.Sketches
-        .cmsEstimates(t.select("word"), "word", CmsDepth, CmsWidth)
-      val total = t.agg(count(lit(1)).as("tot"))
-      est.crossJoin(broadcast(total))
-        .withColumn("thr", expr("tot div 64"))
-        .where(col("n_est") >= col("thr"))
-        .select(col("word"), col("n_est"), col("n_true"),
-          when(col("n_true") >= col("thr"), 1L).otherwise(0L).as("confirmed"))
-        .orderBy("word")
-    }),
-
-    // HyperLogLog from scratch (Flajolet et al.): 64 registers, register =
-    // max leading-zero rank of the 54-bit hash remainder — max is
-    // order-free, so the register table is exact under any partitioning.
-    // The harmonic-mean estimate keeps ALL integer math exact: Σ 2^-reg is
-    // computed as Σ 2^(R-reg) (a BIGINT — 64 terms ≤ 2^54) over the max
-    // register R, leaving exactly one IEEE multiply+divide at the end,
-    // identical in both engines. n=14.7k keys ≫ 2.5m=160, so the
-    // small-range linear-counting correction path never triggers (noted,
-    // not implemented). reg_md5 pins the full register table.
-    "q_sketch_hll" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-      val regs = graft.operators.Sketches
-        .hllRegisters(li.select(col("l_orderkey").as("k")), "k", HllM)
-      val est = graft.operators.Sketches.hllEstimate(regs, HllM, HllAlpha)
-      val regMd5 = regs.agg(
-        expr("md5(array_join(transform(sort_array(collect_list(struct(bucket, reg))), x -> CAST(x.reg AS STRING)), ','))")
-          .as("reg_md5"))
-      li.agg(count_distinct(col("l_orderkey")).as("n_true"))
-        .crossJoin(broadcast(est))
-        .crossJoin(broadcast(regMd5))
-        .select(col("n_true"), lit(HllM.toLong).as("m"), col("est"), col("reg_md5"))
-    }),
-
-    // Native Generator (the UDTF extension tier, completing the custom-
-    // operator surface: expression / optimizer rule / strategy+exec /
-    // parser / DSv2 / generator): the sampled char-shingle explode as ONE
-    // GenerateExec row-emitter — the HOF spelling
-    // explode(transform(sequence(...))) materializes a per-row array of
-    // len/stride elements first; the generator never allocates it. Stats
-    // per doc over the generated shingle stream.
-    "q_shingle_gen" -> ((s, dir) =>
-      docs(s, dir)
-        .selectExpr("doc_id", s"char_shingles(text, $K, $Stride)")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sh"),
-          count_distinct(col("sh")).as("n_distinct"),
-          min(col("sh")).as("min_sh"), max(col("sh")).as("max_sh"))
-        .orderBy("doc_id")),
-
-    // HLL MERGEABILITY — the property the sketch exists for at 100 TB:
-    // the register tables of two populations (here: view vs purchase
-    // users) merge by elementwise MAX into the exact sketch of their
-    // union — no re-scan of either input — and inclusion-exclusion gives
-    // an intersection estimate for free. This is how per-partition /
-    // per-day sketches roll up to any ad-hoc slice.
-    "q_sketch_hll_union" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-      def slice(t: String) =
-        ev.where(col("event_type") === t).select(col("user_id").as("k"))
-      val ra = graft.operators.Sketches.hllRegisters(slice("view"), "k", HllM)
-      val rb = graft.operators.Sketches.hllRegisters(slice("purchase"), "k", HllM)
-      val merged = ra.select(col("bucket"), col("reg").as("rega"))
-        .join(rb.select(col("bucket"), col("reg").as("regb")), "bucket")
-        .select(col("bucket"), greatest(col("rega"), col("regb")).as("reg"))
-      def est1(regs: DataFrame, as: String) = graft.operators.Sketches
-        .hllEstimate(regs, HllM, HllAlpha).select(col("est").as(as))
-      slice("view").agg(count_distinct(col("k")).as("n_a"))
-        .crossJoin(broadcast(
-          slice("purchase").agg(count_distinct(col("k")).as("n_b"))))
-        .crossJoin(broadcast(
-          ev.where(col("event_type").isin("view", "purchase"))
-            .agg(count_distinct(col("user_id")).as("n_union_true"))))
-        .crossJoin(broadcast(est1(ra, "est_a")))
-        .crossJoin(broadcast(est1(rb, "est_b")))
-        .crossJoin(broadcast(est1(merged, "est_union")))
-        .select(col("n_a"), col("n_b"), col("n_union_true"),
-          col("est_a"), col("est_b"), col("est_union"),
-          round(col("est_a") + col("est_b") - col("est_union"), 2)
-            .as("est_inter"))
-    }),
-
-    // Data-quality expectation checks — the validation stage every ingest
-    // pipeline runs before training data is admitted: each rule is a
-    // conditional sum over ONE shared scan (no per-rule pass), so adding a
-    // rule costs one codegen'd expression, not a job. Violations are
-    // counted, not fatal — the downstream filter decides.
-    "q_dq_checks" -> ((s, dir) => {
-      val checks: Seq[(String, Column)] = Seq(
-        "null_text" -> (col("text").isNull || length(col("text")) === 0),
-        "bad_lang" -> !col("lang").isin("en", "fr", "de", "es", "zh"),
-        "n_chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
-        "negative_id" -> (col("doc_id") < 0),
-        "oversize" -> (col("n_chars") > 100000))
-      docs(s, dir).agg(
-        count(lit(1)).as("n_rows"),
-        checks.map { case (n, c) =>
-          sum(when(c, 1L).otherwise(0L)).as(s"viol_$n")
-        }: _*)
-    }),
-
-    // Bloom filter from scratch (completing the sketch trio): k md5-derived
-    // bit positions per member key; the filter is the distinct set-bit
-    // set — union is the merge, so build parallelizes like any distinct.
-    // The query then probes a DISJOINT key set (members shifted by 10^6),
-    // so every positive is a FALSE positive and the measured fp rate is
-    // exact — observed ≈ (1-e^(-kn/m))^k. bits_md5 pins the whole filter;
-    // everything is integer/md5 math, identical in both engines. (The
-    // production operator for join pruning is operators.BloomPrune /
-    // q_join_bloom — this query is the sketch itself, oracle-checked.)
-    "q_sketch_bloom" -> ((s, dir) => {
-      val members = table(s, dir, "customer").select(col("c_custkey").as("key"))
-      val bits = members
-        .select(col("key"), explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
-        .select(expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM")
-          .as("pos")).distinct()
-      val probes = members.select((col("key") + 1000000L).as("pkey"))
-      val probePos = probes
-        .select(col("pkey"), explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
-        .select(col("pkey"),
-          expr(s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(pkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM")
-            .as("pos"))
-      val fp = probePos.join(bits, Seq("pos"))
-        .groupBy("pkey").agg(count(lit(1)).as("hits"))
-        .where(col("hits") === BloomK)
-      members.agg(count(lit(1)).as("n_members"))
-        .crossJoin(bits.agg(count(lit(1)).as("n_bits"),
-          expr("md5(array_join(transform(sort_array(collect_list(pos)), x -> CAST(x AS STRING)), ','))")
-            .as("bits_md5")))
-        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
-        .crossJoin(fp.agg(count(lit(1)).as("n_fp")))
-        .select(col("n_members"), col("n_bits"), col("n_probes"), col("n_fp"),
-          round(col("n_fp") / col("n_probes"), 6).as("fp_rate"), col("bits_md5"))
-    }),
-
-    // Grouped HyperLogLog — the realistic shape: one sketch PER KEY
-    // (approx distinct users per event type), all keys in a single pass.
-    // Same exact-integer register math as q_sketch_hll; the shuffle
-    // carries |keys|·m register rows no matter how many events stream
-    // through. No small-range linear-counting correction (it needs ln(),
-    // whose last-ulp behavior differs across libm implementations — the
-    // uncorrected estimate is the same IEEE expression in both engines).
-    "q_sketch_hll_grouped" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-      val regs = graft.operators.Sketches.hllRegisters(
-        ev.select("event_type", "user_id"), "user_id", HllM, Seq("event_type"))
-      val est = graft.operators.Sketches
-        .hllEstimate(regs, HllM, HllAlpha, Seq("event_type"))
-      ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n_true"))
-        .join(est, Seq("event_type"))
-        .orderBy("event_type")
-    }),
-
-    // T5-style span corruption accounting: deterministic span starts
-    // (md5(doc:pos) ≡ 0 mod 10), fixed span width 3, overlapping spans
-    // UNION — a position is masked iff a start falls in [pos−2, pos]
-    // (rolling max over the start flag), span count = maximal-run starts
-    // (masked ∧ ¬lag(masked)). Pure integer/window ops, reproducible at
-    // any partitioning; windows are per-doc over token positions (doc-
-    // length bounded), the corpus-scale stage is one tokenize explode +
-    // one per-source aggregation.
-    "q_span_corrupt" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val pos = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
-        .withColumn("st", expr(
-          "CAST(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
-            "CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10 = 0 AS INT)"))
-      val win = Window.partitionBy("doc_id").orderBy("p")
-      val masked = pos
-        .withColumn("m",
-          max(col("st")).over(win.rowsBetween(-2, Window.currentRow)))
-        .withColumn("run_start", expr(
-          "CAST(m = 1 AND coalesce(lag(m, 1) OVER " +
-            "(PARTITION BY doc_id ORDER BY p), 0) = 0 AS INT)"))
-      masked.groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("m")).cast("long").as("n_masked"),
-          sum(col("run_start")).cast("long").as("n_spans"))
-        .withColumn("mask_ratio", expr(
-          "round(CAST(n_masked AS DOUBLE) / n_tokens, 6)"))
-        .orderBy("source")
-    }),
-
-    // ROLLING-WINDOW HLL: 7-day rolling distinct users per day, computed
-    // by max-merging the per-day register tables over a RANGE window
-    // frame — the "sliding distinct" a dashboard needs, at register cost.
-    // This is the mergeability property in window form: the frame never
-    // touches raw events, only the |days|×m register table (metadata-
-    // scale at any corpus size); the one corpus-scale stage is the
-    // per-day register aggregation. Exact truth comes from a bounded ×7
-    // day explode over the distinct (day, user) pairs — a bin fan-out,
-    // not a range BNLJ.
-    "q_sketch_hll_window" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = table(s, dir, "events")
-        .select(expr("CAST(unix_date(to_date(ts)) AS BIGINT)").as("day"),
-          col("user_id"))
-      val regs = graft.operators.Sketches
-        .hllRegisters(ev, "user_id", HllM, Seq("day"))
-      val w = Window.partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
-      val merged = regs.withColumn("mreg", max("reg").over(w))
-        .select(col("day"), col("bucket"), col("mreg").as("reg"))
-      val est = graft.operators.Sketches
-        .hllEstimate(merged, HllM, HllAlpha, Seq("day"))
-      val du = ev.distinct()
-      val days = du.select("day").distinct()
-      val truth = du
-        .select(explode(expr("sequence(day, day + 6)")).as("day"),
-          col("user_id"))
-        .join(days, Seq("day"), "left_semi")
-        .groupBy("day").agg(count_distinct(col("user_id")).as("n_true"))
-      truth.join(est, Seq("day")).orderBy("day")
     }),
 
     // Repetition signals (the Gopher-style quality filters): duplicate-
@@ -2354,122 +1015,6 @@ object LlmOps {
           expr("least(n_tok - chunk_start + 1, CAST(32 AS BIGINT))"))
         .orderBy("doc_id", "chunk_id")),
 
-    // SUB-document dedup: exact paragraph-level dedup across the corpus
-    // (boilerplate headers/footers repeat across docs that are NOT
-    // near-dups as wholes — the real-pipeline granularity below document
-    // dedup). Keeper = first occurrence in (doc_id, position) order.
-    // Scale shape: groupBy(para) with a lexicographic min-struct collapses
-    // map-side (a paragraph duplicated 10⁶× shuffles ≤ 1 row per map
-    // partition, not 10⁶ rows into one window sort), then one join back —
-    // no per-group sort anywhere.
-    // Dedup-channel AGREEMENT eval: how much of the lexical near-dup
-    // signal (trigram Jaccard ≥ 0.2, the q_dedup_ngram chain) does the
-    // semantic channel (embedding cos ≥ 0.7, label-blocked over ALL
-    // vectors) recover, and vice versa — the calibration a pipeline runs
-    // before trusting one channel alone. Pair-set Jaccard over exact
-    // integer counts; both channels keep their own blocking discipline
-    // (df-capped trigrams / IVF labels), so neither goes corpus×corpus.
-    "q_dedup_agreement" -> ((s, dir) => {
-      val ws = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          Tokenize.tokenArray(col("text")).as("ws"))
-        .where(size(col("ws")) >= 3)
-      val tri = maybePersist(ws.select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
-          .as("sh"))
-        .distinct())
-      val rare = tri.groupBy("source", "sh")
-        .agg(count(lit(1)).as("dfreq")).where(col("dfreq") <= NgramDfCap)
-        .select("source", "sh")
-      val trif = tri.join(rare, Seq("source", "sh"))
-      val sz = trif.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val lex = trif.alias("x")
-        .join(trif.alias("y"),
-          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")
-        .where(expr("CAST(co AS DOUBLE) / (sa + sb - co) >= 0.2"))
-        .select("d1", "d2")
-      val all = quantized(s, dir).where(col("nq") > 0)
-      val sem = all.alias("a")
-        .join(all.alias("b"), col("a.label") === col("b.label")
-          && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          expr("ivec_dot(a.q, b.q)").as("dot"),
-          col("a.nq").as("na"), col("b.nq").as("nb"))
-        .where(expr(s"$CosExpr >= 0.7"))
-        .select("d1", "d2")
-      val both = lex.join(sem, Seq("d1", "d2"))
-      lex.agg(count(lit(1)).as("n_lex"))
-        .crossJoin(sem.agg(count(lit(1)).as("n_sem")))
-        .crossJoin(both.agg(count(lit(1)).as("n_both")))
-        .select(col("n_lex"), col("n_sem"), col("n_both"),
-          expr("round(CAST(n_both AS DOUBLE) / (n_lex + n_sem - n_both), 6)")
-            .as("agreement"))
-    }),
-
-    "q_dedup_paragraph" -> ((s, dir) => {
-      val paras = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
-          trim(col("col")).as("para"))
-        .where(length(col("para")) > 0)
-      val firsts = paras.groupBy("para")
-        .agg(min(struct(col("doc_id"), col("i"))).as("first"))
-      paras.join(firsts, "para")
-        .withColumn("kept", col("doc_id") === col("first.doc_id") &&
-          col("i") === col("first.i"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_paras"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), length(col("para")).cast("long"))
-            .otherwise(0L)).as("kept_chars"))
-        .orderBy("doc_id")
-    }),
-
-    // Near-dup CLUSTERS via connected components: pointer-doubling
-    // min-label propagation over the verified-pair graph (the union-find
-    // view of dedup — the greedy d2-drop of q_dedup_apply is one policy;
-    // this exposes the clusters themselves). O(log diameter) rounds, hard
-    // round cap, convergence count folded into the propagation job — see
-    // operators.ConnectedComponents. Oracle = DuckDB recursive CTE, a
-    // different fixpoint algorithm entirely.
-    "q_dedup_components" -> ((s, dir) => {
-      val vp = verifiedPairs(s, dir)
-      val (labels, _) = graft.operators.ConnectedComponents.labels(
-        vp.select(col("d1").as("a"), col("d2").as("b")))
-      labels.groupBy("l").agg(count(lit(1)).as("n_members"),
-          max(col("v")).as("max_id"))
-        .select(col("l").as("comp_id"), col("n_members"), col("max_id"))
-        .orderBy("comp_id")
-    }),
-
-    // Near-dup clusters with a KEEP-BEST policy: per component, retain
-    // the LONGEST member (n_chars, smallest doc_id on ties) — the
-    // C4/RefinedWeb-style "keep the richest near-dup" curation rule, vs
-    // the min-id policy of q_dedup_apply. Same components machinery; the
-    // argmax is one max-struct aggregate (map-side partials — never a
-    // per-component sort), doc length joins from the broadcast-size
-    // documents dim at sf but shuffles on doc_id at corpus scale.
-    "q_dedup_keep_best" -> ((s, dir) => {
-      val vp = verifiedPairs(s, dir)
-      val (labels, _) = graft.operators.ConnectedComponents.labels(
-        vp.select(col("d1").as("a"), col("d2").as("b")))
-      labels.join(docs(s, dir).select(col("doc_id").as("v"), col("n_chars")),
-          Seq("v"))
-        .groupBy("l")
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("n_chars"), (-col("v")).as("nid"))).as("mx"))
-        .select(col("l").as("comp_id"), col("n_members"),
-          (-col("mx.nid")).as("keep_id"),
-          col("mx.n_chars").cast("long").as("keep_chars"))
-        .orderBy("comp_id")
-    }),
-
     // Pearson correlation between embedding dimensions, per label —
     // computed from the five INTEGER power sums (n, Σx, Σy, Σxy, Σx², Σy²)
     // over the quantized vectors: every sum is exact (< 2^53) hence
@@ -2493,33 +1038,6 @@ object LlmOps {
             |       (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))""".stripMargin), 6))
         .select("label", "n", "corr")
         .orderBy("label")),
-
-    // The APPLY stage of paragraph dedup: rebuild each document from only
-    // its KEPT paragraphs (first global occurrence), in original order.
-    // collect_list is order-nondeterministic, so the rebuild sorts
-    // struct(i, para) pairs (unique i) before joining — deterministic
-    // under any partitioning; output is the md5 of the cleaned text plus
-    // kept counts, keeping the dump small.
-    "q_clean_paragraph" -> ((s, dir) => {
-      val paras = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
-          trim(col("col")).as("para"))
-        .where(length(col("para")) > 0)
-      val firsts = paras.groupBy("para")
-        .agg(min(struct(col("doc_id"), col("i"))).as("first"))
-      paras.join(firsts, "para")
-        .where(col("doc_id") === col("first.doc_id") &&
-          col("i") === col("first.i"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("i"), col("para"))))
-          .as("ps"))
-        .select(col("doc_id"),
-          expr("CAST(size(ps) AS BIGINT)").as("n_kept"),
-          expr("md5(array_join(transform(ps, s -> s.para), '. '))")
-            .as("clean_md5"))
-        .orderBy("doc_id")
-    }),
 
     // Higher-order array functions over the embedding vectors: filter /
     // exists / transform+aggregate — the lambda-function family (used
@@ -2732,20 +1250,6 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
-    // Per-label embedding centroids — the k-means/IVF building block. The
-    // quantized components sum exactly in BIGINT (order-free under any
-    // partitioning); the only IEEE op is the terminal mean division. One
-    // narrow posexplode + one (label, pos) shuffle of integer partials.
-    "q_centroid" -> ((s, dir) =>
-      emb(s, dir)
-        .select(col("label"), posexplode(expr(QuantSpark)))
-        .groupBy(col("label").cast("long").as("label"),
-          (col("pos") + 1).cast("long").as("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("col")).as("sq"))
-        .select(col("label"), col("pos"), col("n"), col("sq"),
-          round(col("sq").cast("double") / col("n"), 4).as("c"))
-        .orderBy("label", "pos")),
-
     // Deterministic train/val/test split (80/10/10) by the same key hash,
     // with per-split stats: the split is a pure function of doc_id, so
     // adding data never moves an existing doc across splits.
@@ -2801,32 +1305,6 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("lang", "bin")
-    }),
-
-    // BM25 relevance: top-20 docs for a fixed query-term set. The scale
-    // shape is two narrow token aggregations (doc length; tf filtered to
-    // the query terms BEFORE the shuffle) plus broadcasts of the tiny
-    // df/stats sides — the corpus is never joined to itself and the top-k
-    // is a TakeOrderedAndProject, not a global sort. Determinism: ln() is
-    // not correctly-rounded across libms, so idf is pre-rounded to 8
-    // decimals (the q_tfidf technique); the remaining ops (+,-,*,/) are
-    // IEEE-exact given identical spelling, and per-term contributions are
-    // rounded to 6 decimals then decimal-summed so partitioning cannot
-    // reorder a float sum.
-    "q_bm25" -> ((s, dir) => {
-      val t = toks(s, dir)
-      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val tf = t.where(col("word").isin(BmTerms: _*))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      tf.join(broadcast(dfreq), "word").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(BmContribExpr))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), dsum(col("contrib"), 6).as("score"))
-        .orderBy(desc("score"), asc("doc_id")).limit(20)
-        .select(col("doc_id"), col("n_terms"), col("score"))
     }),
 
     // Equi-DEPTH decile binning of per-doc token counts — the feature-
@@ -2900,61 +1378,6 @@ object LlmOps {
         .orderBy("shard", "pos")
     }),
 
-    // Mergeable equi-width histogram quantile sketch — the quantile member
-    // of the CMS/HLL/Bloom family: per-(event_type, bin) counts merge by
-    // SUM (commutative+associative → map-side partials do the work, the
-    // shuffle carries |types|·|bins| cells at any corpus size), and the
-    // p50/p90/p99 estimates read off the cumulative bins with error
-    // bounded by one bin width. Target ranks are exact-integer ceil(p·n);
-    // the bin pick is a min(struct) over qualifying bins; interpolation is
-    // one terminal division (histEstExpr, shared with the oracle). The
-    // exact-Percentiles operator answers the same question exactly at one
-    // range shuffle of the DATA — this sketch answers it from constant
-    // state, the profile-in-one-pass tradeoff.
-    "q_sketch_quantile" -> ((s, dir) => {
-      val ev = table(s, dir, "events").selectExpr("event_type",
-        s"CAST(floor(value*100 + 0.5) AS BIGINT) div $HistBinW AS bin")
-      val bins = ev.groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
-      val wc = Window.partitionBy("event_type").orderBy("bin")
-      val wt = Window.partitionBy("event_type")
-      val c = bins.withColumn("cum", sum("cnt").over(wc))
-        .withColumn("n", sum("cnt").over(wt))
-        .withColumn("cumb", col("cum") - col("cnt"))
-      val aggs = HistPs.map { case (lbl, num, den) =>
-        min(when(col("cum") >= expr(s"($num*n + ${den - 1}) div $den"),
-          struct(col("bin"), col("cnt"), col("cumb"), col("n")))).as(s"m_$lbl")
-      }
-      val sel = c.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
-      val ests = HistPs.map { case (lbl, num, den) =>
-        expr(histEstExpr(s"m_$lbl.bin", s"m_$lbl.cnt",
-          s"($num*m_$lbl.n + ${den - 1}) div $den", s"m_$lbl.cumb")).as(lbl)
-      }
-      sel.select(col("event_type") +: expr("m_q50.n").as("n") +: ests: _*)
-        .orderBy("event_type")
-    }),
-
-    // Set-similarity self-join via PREFIX FILTERING (AllPairs/PPJoin) —
-    // the LOSSLESS complement of the df-cap heuristic the LSH pipelines
-    // use: order each doc's shingle set by global rarity (df asc, shingle
-    // asc) and join only the first |s| − ceil(t·|s|) + 1 shingles. If
-    // J(x,y) ≥ t then overlap ≥ ceil(t·|x|) (J ≥ t ⟹ |y| ≥ t·|x| ⟹
-    // o ≥ t/(1+t)·(|x|+|y|) ≥ t·|x|), and an overlap that large cannot
-    // avoid both prefixes (pigeonhole) — recall is GUARANTEED, no band
-    // probability. Boilerplate never enters the join: high-df shingles
-    // rank last and fall outside every prefix. Exact-dup collapse first
-    // (reps) keeps true-duplicate clusters from re-creating the n² blowup
-    // the prefix bound cannot prevent. Verify = exact integer Jaccard on
-    // candidates only (9·inter ≥ 4·(sz1+sz2) — no float at the
-    // threshold).
-    "q_prefix_join" -> ((s, dir) =>
-      // the factored [[prefixTruePairs]] chain (shared with
-      // q_minhash_recall, which grades the LSH channel against it)
-      prefixTruePairs(s, dir)
-        .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
-          round(expr("CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE)"), 4)
-            .as("jac"))
-        .orderBy("d1", "d2")),
-
     // Top-K bigrams per head word on the NATIVE TopKPerKey operator (the
     // n-gram language-model seed): adjacent token pairs from the SAME
     // split array the oracle sees, pair counts partial-agg'd map-side,
@@ -2969,45 +1392,6 @@ object LlmOps {
       graft.operators.TopK.perKey(counts, Seq("w1"),
         Seq(("cnt", false), ("w2", true)), NgramK)
         .orderBy("w1", "w2")
-    }),
-
-    // Grouped Bloom filter — one INDEPENDENT membership filter per
-    // event_type in a single pass (bits keyed by (group, pos)), completing
-    // the grouped-sketch symmetry with q_sketch_hll_grouped /
-    // q_sketch_cms_grouped: the per-segment audience filter a router or
-    // cache layer ships per partition. The distinct set-bit table is the
-    // filter (union-mergeable); a disjoint probe set (key + 10⁶ — user
-    // ids are far smaller) measures the REAL per-group FP rate, so every
-    // probe hit is a measured false positive. Shuffles carry ≤
-    // |groups|·m bits regardless of event volume.
-    "q_sketch_bloom_grouped" -> ((s, dir) => {
-      def posOf(c: String) =
-        s"CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST($c AS STRING))), 1, 8), 16, 10) AS BIGINT) % $BloomM"
-      val members = table(s, dir, "events")
-        .select(col("event_type"), col("user_id").as("key")).distinct()
-      val bits = members
-        .select(col("event_type"), col("key"),
-          explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
-        .select(col("event_type"), expr(posOf("key")).as("pos")).distinct()
-      val probes = members
-        .select(col("event_type"), (col("key") + 1000000L).as("pkey"))
-      val probePos = probes
-        .select(col("event_type"), col("pkey"),
-          explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
-        .select(col("event_type"), col("pkey"), expr(posOf("pkey")).as("pos"))
-      val fp = probePos.join(bits, Seq("event_type", "pos"))
-        .groupBy("event_type", "pkey").agg(count(lit(1)).as("hits"))
-        .where(col("hits") === BloomK)
-        .groupBy("event_type").agg(count(lit(1)).as("n_fp"))
-      members.groupBy("event_type").agg(count(lit(1)).as("n_members"))
-        .join(bits.groupBy("event_type").agg(count(lit(1)).as("n_bits")),
-          Seq("event_type"))
-        .join(fp, Seq("event_type"), "left_outer")
-        .select(col("event_type"), col("n_members"), col("n_bits"),
-          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-          round(coalesce(col("n_fp"), lit(0L)) / col("n_members"), 6)
-            .as("fp_rate"))
-        .orderBy("event_type")
     }),
 
     // Hashing-trick featurizer (the bag-of-words → fixed-width sparse
@@ -3071,12 +1455,12 @@ object LlmOps {
   /** RE2-safe scrub patterns (no backrefs / lookaround): both Java regex
     * and DuckDB's RE2 interpret them identically. URL first (it may
     * contain @ and digits), then email, then long digit runs. */
-  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val DigitsRe = "[0-9]{6,}"
+  private[queries] val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val DigitsRe = "[0-9]{6,}"
 
   /** Token budget per packed training row. */
-  private val PackBudget = 512
+  private[queries] val PackBudget = 512
 
   /** BM25 query terms: three common + one rare ("dup", df≈5% of docs) so
     * scores discriminate. */
@@ -3135,12 +1519,12 @@ object LlmOps {
   //  DuckDB oracles
   // =========================================================================
 
-  private val ToksSql = Reference.ToksSql
+  private[queries] val ToksSql = Reference.ToksSql
 
   /** DuckDB replay of [[graft.operators.Winnow.selected]] at
     * ([[WinnowK]], [[WinnowW]]): ends in CTE `f` = (doc_id, i, wm, ng),
     * one row per full window. */
-  private val WinnowSelSql: String =
+  private[queries] val WinnowSelSql: String =
     s"""xs AS (
        |  SELECT doc_id, text, length(text) - ${WinnowK - 1} AS ng,
        |    unnest(generate_series(1, length(text) - ${WinnowK - 1})) AS i
@@ -3166,7 +1550,7 @@ object LlmOps {
     * pure-integer round-half-up spelling as the operator: exactly-divisible
     * floor division, no DOUBLE on either engine). Ends with `af`
     * (final assignment: id, cid, d2) and `cm` (centroid md5 per cid). */
-  private lazy val KmeansCtes: String = {
+  private[queries] lazy val KmeansCtes: String = {
     val qvInit =
       s"""qv AS (
          |  SELECT vec_id AS id, i, 1000 * ${quantSqlElem("embedding[i]")} AS v
@@ -3218,7 +1602,7 @@ object LlmOps {
 
   /** Char-bigram LM replay (oracle twin of [[lmScores]]): ends in CTE
     * `scores` = (doc_id, n_bigrams, nll). */
-  private val LmScoreCtes: String =
+  private[queries] val LmScoreCtes: String =
     """bg AS (
       |  SELECT doc_id, substr(text, i, 1) AS c1, substr(text, i, 2) AS bgm
       |  FROM (SELECT doc_id, text,
@@ -3265,7 +1649,7 @@ object LlmOps {
   /** Oracle twin of [[verifiedDupIds]] (threshold 0.5); requires the
     * [[MinhashSigSql]] + [[BandsSql]] CTEs upstream. Defines CTEs
     * `pairs`, `sets`, `sz`, `neardups`, `exactdups`, `dropids`. */
-  private lazy val NearDupsSql: String =
+  private[queries] lazy val NearDupsSql: String =
     """pairs AS (
       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
       |  FROM cbands x JOIN cbands y
@@ -3298,7 +1682,7 @@ object LlmOps {
   /** One side of the q_delta_dedup oracle: doc slice → shingles → minhash
     * sig → band rows, all CTE names suffixed `_tag` (twin of the Spark
     * `shinglesOf` + `bandRowsFromShingles` pair over a bucket slice). */
-  private def deltaSideSql(tag: String, pred: String): String = {
+  private[queries] def deltaSideSql(tag: String, pred: String): String = {
     val mins = (0 until H)
       .map(i => s"min((a + $i*b) % $Mod) AS h$i").mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
@@ -3345,893 +1729,6 @@ object LlmOps {
          |)""".stripMargin
 
   val oracle: Map[String, String] = strictMap(
-    "q_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, count(*) AS n
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-
-    "q_dedup_url" ->
-      """WITH raw AS (
-        |  SELECT doc_id, concat(
-        |    'HTTP://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
-        |    source, '.Example.COM',
-        |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
-        |    '/p/', CAST(doc_id % 7 AS VARCHAR),
-        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
-        |    CASE CAST(doc_id % 3 AS INT)
-        |      WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 3 AS VARCHAR))
-        |      WHEN 1 THEN concat('?id=', CAST(doc_id % 3 AS VARCHAR), '&utm_campaign=x')
-        |      ELSE concat('?id=', CAST(doc_id % 3 AS VARCHAR)) END,
-        |    CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
-        |  FROM documents
-        |),
-        |u AS (
-        |  SELECT doc_id,
-        |    regexp_replace(
-        |      replace(replace(lower(regexp_replace(url, '#.*$', '')),
-        |              ':80/', '/'),
-        |        '://www.', '://'),
-        |      '/$', '') AS u1
-        |  FROM raw
-        |),
-        |parts AS (
-        |  SELECT doc_id, str_split(u1, '?')[1] AS base,
-        |    COALESCE(str_split(u1, '?')[2], '') AS qq
-        |  FROM u
-        |),
-        |canon AS (
-        |  SELECT doc_id,
-        |    concat(regexp_replace(base, '/$', ''),
-        |      CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END) AS canon
-        |  FROM parts, LATERAL (
-        |    SELECT array_to_string(
-        |      list_sort(list_filter(str_split(qq, '&'),
-        |                            p -> p NOT LIKE 'utm_%')), '&') AS q2)
-        |)
-        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n
-        |FROM canon GROUP BY 1
-        |ORDER BY n DESC, canon LIMIT 20""".stripMargin,
-
-    "q_curriculum" ->
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN uniq * 10 >= words * 7 THEN 2
-        |         WHEN uniq * 10 >= words * 4 THEN 1
-        |         ELSE 0 END AS BIGINT) AS tier,
-        |    md5('cur-' || CAST(doc_id AS VARCHAR)) AS h
-        |  FROM (SELECT doc_id,
-        |          len(str_split(text, ' ')) AS words,
-        |          len(list_distinct(str_split(text, ' '))) AS uniq
-        |        FROM documents)
-        |)
-        |SELECT CAST(row_number() OVER (ORDER BY tier DESC, h, doc_id)
-        |    AS BIGINT) AS pos,
-        |  doc_id, tier
-        |FROM scored ORDER BY tier DESC, h, doc_id LIMIT 50""".stripMargin,
-
-    "q_dedup_minhash" ->
-      s"""WITH $MinhashSigSql,
-         |$BandsSql,
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM cbands x JOIN cbands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |)
-         |SELECT d1, count(*) AS n_cand, min(d2) AS min_partner
-         |FROM pairs GROUP BY d1 ORDER BY d1""".stripMargin,
-
-    "q_dedup_minhash_verified" ->
-      s"""WITH $MinhashSigSql,
-         |$BandsSql,
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM cbands x JOIN cbands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |co AS (
-         |  SELECT p.d1, p.d2, count(*) AS co
-         |  FROM pairs p
-         |  JOIN sets a ON a.doc_id = p.d1
-         |  JOIN sets b ON b.doc_id = p.d2 AND b.sh = a.sh
-         |  GROUP BY p.d1, p.d2
-         |)
-         |SELECT p.d1, p.d2,
-         |  round(CAST(coalesce(co.co, 0) AS DOUBLE)
-         |        / (sa.sz + sb.sz - coalesce(co.co, 0)), 4) AS jac
-         |FROM pairs p
-         |LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |JOIN sz sa ON sa.doc_id = p.d1
-         |JOIN sz sb ON sb.doc_id = p.d2
-         |ORDER BY p.d1, p.d2""".stripMargin,
-
-    "q_dedup_containment" ->
-      s"""WITH $MinhashSigSql,
-         |$BandsSql,
-         |bpairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM cbands x JOIN cbands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |samp AS (
-         |  SELECT doc_id, sh FROM sets
-         |  WHERE ${hex2longSql("md5(sh)", 1)} % $ContainSampleMod = 0
-         |),
-         |srare AS (SELECT sh FROM samp GROUP BY sh
-         |          HAVING count(*) BETWEEN 2 AND $BandBucketCap),
-         |spairs AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM samp x JOIN srare USING (sh) JOIN samp y USING (sh)
-         |  WHERE x.doc_id < y.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= $ContainCoMin
-         |),
-         |pairs AS (SELECT d1, d2 FROM bpairs UNION SELECT d1, d2 FROM spairs),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |co AS (
-         |  SELECT p.d1, p.d2, count(*) AS co
-         |  FROM pairs p
-         |  JOIN sets a ON a.doc_id = p.d1
-         |  JOIN sets b ON b.doc_id = p.d2 AND b.sh = a.sh
-         |  GROUP BY p.d1, p.d2
-         |)
-         |SELECT p.d1, p.d2,
-         |  round(CAST(coalesce(co.co, 0) AS DOUBLE)
-         |        / least(sa.sz, sb.sz), 4) AS containment
-         |FROM pairs p
-         |LEFT JOIN co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |JOIN sz sa ON sa.doc_id = p.d1
-         |JOIN sz sb ON sb.doc_id = p.d2
-         |WHERE CAST(coalesce(co.co, 0) AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
-         |ORDER BY p.d1, p.d2""".stripMargin,
-
-    "q_dedup_apply" ->
-      s"""WITH $MinhashSigSql,
-         |$BandsSql,
-         |$NearDupsSql
-         |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  min(doc_id) AS min_id, max(doc_id) AS max_id
-         |FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin,
-
-    // Recursive-CTE fixpoint (a different algorithm than the Spark side's
-    // label propagation): reach(v, l) holds every (vertex, label-that-
-    // reaches-it); min per vertex = component min id. UNION dedup
-    // guarantees termination.
-    "q_dedup_components" ->
-      s"""WITH RECURSIVE $MinhashSigSql,
-         |$BandsSql,
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM cbands x JOIN cbands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |vp AS (
-         |  SELECT p.d1, p.d2
-         |  FROM pairs p
-         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
-         |        FROM pairs p2
-         |        JOIN sets a ON a.doc_id = p2.d1
-         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
-         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |  JOIN sz sa ON sa.doc_id = p.d1
-         |  JOIN sz sb ON sb.doc_id = p.d2
-         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
-         |),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM vp
-         |          UNION ALL SELECT d2 AS a, d1 AS b FROM vp),
-         |verts AS (SELECT DISTINCT a AS v FROM edges),
-         |reach AS (
-         |  SELECT v, v AS l FROM verts
-         |  UNION
-         |  SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v
-         |),
-         |comp AS (SELECT v, min(l) AS comp_id FROM reach GROUP BY v)
-         |SELECT comp_id, count(*) AS n_members, max(v) AS max_id
-         |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin,
-
-    // Same recursive-CTE components, + the keep-best argmax: longest
-    // member, smallest doc_id on equal length.
-    "q_dedup_keep_best" ->
-      s"""WITH RECURSIVE $MinhashSigSql,
-         |$BandsSql,
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM cbands x JOIN cbands y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |),
-         |sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
-         |vp AS (
-         |  SELECT p.d1, p.d2
-         |  FROM pairs p
-         |  JOIN (SELECT p2.d1, p2.d2, count(*) AS co
-         |        FROM pairs p2
-         |        JOIN sets a ON a.doc_id = p2.d1
-         |        JOIN sets b ON b.doc_id = p2.d2 AND b.sh = a.sh
-         |        GROUP BY p2.d1, p2.d2) co ON co.d1 = p.d1 AND co.d2 = p.d2
-         |  JOIN sz sa ON sa.doc_id = p.d1
-         |  JOIN sz sb ON sb.doc_id = p.d2
-         |  WHERE CAST(co.co AS DOUBLE) / (sa.sz + sb.sz - co.co) >= 0.5
-         |),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM vp
-         |          UNION ALL SELECT d2 AS a, d1 AS b FROM vp),
-         |verts AS (SELECT DISTINCT a AS v FROM edges),
-         |reach AS (
-         |  SELECT v, v AS l FROM verts
-         |  UNION
-         |  SELECT e.b AS v, r.l FROM reach r JOIN edges e ON e.a = r.v
-         |),
-         |comp AS (SELECT v, min(l) AS comp_id FROM reach GROUP BY v),
-         |m AS (SELECT c.comp_id, c.v, d.n_chars
-         |      FROM comp c JOIN documents d ON d.doc_id = c.v),
-         |mc AS (SELECT comp_id, max(n_chars) AS mx FROM m GROUP BY comp_id)
-         |SELECT m.comp_id, count(*) AS n_members,
-         |  min(CASE WHEN m.n_chars = mc.mx THEN m.v END) AS keep_id,
-         |  CAST(max(mc.mx) AS BIGINT) AS keep_chars
-         |FROM m JOIN mc ON mc.comp_id = m.comp_id
-         |GROUP BY m.comp_id ORDER BY m.comp_id""".stripMargin,
-
-    "q_dedup_simhash" -> {
-      val sums = (0 until 16).map(j =>
-        s"sum(CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n    ")
-      val bits = (0 until 16).map(j =>
-        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH $ToksSql,
-         |a AS (SELECT doc_id, ${hex2longSql("md5(word)", 1)} AS a FROM toks),
-         |sums AS (
-         |  SELECT doc_id,
-         |    $sums
-         |  FROM a GROUP BY doc_id
-         |)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-         |FROM sums ORDER BY doc_id""".stripMargin
-    },
-
-    "q_dedup_simhash_pairs" -> {
-      val sums = (0 until 32).map(j =>
-        s"sum(CASE WHEN CAST(floor(a / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(",\n    ")
-      val bits = (0 until 32).map(j =>
-        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      val bandRows = (0 until SimBands).map(b =>
-        s"SELECT doc_id, $b AS band, CAST(floor(sim / ${1L << (SimBandBits * b)}) AS BIGINT) % ${1 << SimBandBits} AS v FROM sig")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH $ToksSql,
-         |a AS (SELECT doc_id, ${hex2longSql("md5(word)", 1)} AS a FROM toks),
-         |sums AS (SELECT doc_id,
-         |    $sums
-         |  FROM a GROUP BY doc_id),
-         |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS sim FROM sums),
-         |bands AS (
-         |  $bandRows
-         |),
-         |small AS (SELECT band, v FROM bands GROUP BY band, v
-         |          HAVING count(*) <= $BandBucketCap),
-         |capped AS (SELECT bands.* FROM bands JOIN small USING (band, v)),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM capped x JOIN capped y
-         |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
-         |)
-         |SELECT d1, d2, CAST(bit_count(xor(s1.sim, s2.sim)) AS BIGINT) AS ham
-         |FROM pairs
-         |JOIN sig s1 ON pairs.d1 = s1.doc_id
-         |JOIN sig s2 ON pairs.d2 = s2.doc_id
-         |WHERE bit_count(xor(s1.sim, s2.sim)) <= $SimHamThr
-         |ORDER BY d1, d2""".stripMargin
-    },
-
-    "q_span_dedup" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
-         |  FROM documents
-         |),
-         |tt AS (SELECT * FROM t WHERE len(ws) >= $SpanW),
-         |spans AS (
-         |  SELECT doc_id,
-         |    md5(array_to_string(ws[i:i+${SpanW - 1}], ' ')) AS h
-         |  FROM (SELECT doc_id, ws,
-         |               unnest(generate_series(1, len(ws)-${SpanW - 1})) AS i
-         |        FROM tt)
-         |),
-         |dfq AS (SELECT h, count(*) AS dfreq
-         |        FROM (SELECT DISTINCT doc_id, h FROM spans) GROUP BY h)
-         |SELECT doc_id, count(*) AS n_spans,
-         |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-         |  round(CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |        / CAST(count(*) AS DOUBLE), 4) AS dup_frac
-         |FROM spans JOIN dfq USING (h)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_delta_dedup" ->
-      s"""WITH ${deltaSideSql("b", s"$hashBucketSql < 90")},
-         |${deltaSideSql("d", s"$hashBucketSql >= 90")},
-         |small AS (SELECT band, v FROM bands_b GROUP BY band, v
-         |          HAVING count(*) <= $BandBucketCap),
-         |cand AS (
-         |  SELECT DISTINCT dd.doc_id AS delta_id, bb.doc_id AS base_id
-         |  FROM bands_d dd
-         |  JOIN (SELECT bands_b.* FROM bands_b JOIN small USING (band, v)) bb
-         |    ON dd.band = bb.band AND dd.v = bb.v
-         |),
-         |bsets AS (SELECT DISTINCT doc_id, sh FROM sh_b),
-         |dsets AS (SELECT DISTINCT doc_id, sh FROM sh_d),
-         |bsz AS (SELECT doc_id, count(*) AS szb FROM bsets GROUP BY doc_id),
-         |dsz AS (SELECT doc_id, count(*) AS szd FROM dsets GROUP BY doc_id),
-         |co AS (
-         |  SELECT c.delta_id, c.base_id, count(*) AS co
-         |  FROM cand c
-         |  JOIN dsets a ON a.doc_id = c.delta_id
-         |  JOIN bsets b2 ON b2.doc_id = c.base_id AND b2.sh = a.sh
-         |  GROUP BY 1, 2
-         |)
-         |SELECT c.delta_id, c.base_id,
-         |  round(CAST(coalesce(co.co, 0) AS DOUBLE)
-         |        / (dsz.szd + bsz.szb - coalesce(co.co, 0)), 4) AS jac
-         |FROM cand c
-         |LEFT JOIN co ON co.delta_id = c.delta_id AND co.base_id = c.base_id
-         |JOIN dsz ON dsz.doc_id = c.delta_id
-         |JOIN bsz ON bsz.doc_id = c.base_id
-         |WHERE CAST(coalesce(co.co, 0) AS DOUBLE)
-         |      / (dsz.szd + bsz.szb - coalesce(co.co, 0)) >= $DeltaJacThr
-         |ORDER BY c.delta_id, c.base_id""".stripMargin,
-
-    "q_dedup_ngram" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source,
-         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
-         |  FROM documents
-         |),
-         |tt AS (SELECT * FROM t WHERE len(ws) >= 3),
-         |tri AS (
-         |  SELECT DISTINCT doc_id, source,
-         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-         |  FROM (SELECT doc_id, source, ws,
-         |               unnest(generate_series(1, len(ws)-2)) AS i FROM tt)
-         |),
-         |tdf AS (SELECT source, sh, count(*) AS dfreq FROM tri GROUP BY source, sh),
-         |trif AS (
-         |  SELECT tri.doc_id, tri.source, tri.sh
-         |  FROM tri JOIN tdf USING (source, sh) WHERE tdf.dfreq <= $NgramDfCap
-         |),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM trif GROUP BY doc_id),
-         |co AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS co
-         |  FROM trif x JOIN trif y
-         |    ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |j AS (
-         |  SELECT d1, d2, CAST(co AS DOUBLE) / (sa.sz + sb.sz - co) AS jac
-         |  FROM co JOIN sz sa ON co.d1 = sa.doc_id JOIN sz sb ON co.d2 = sb.doc_id
-         |)
-         |SELECT d1, count(*) AS n_pairs,
-         |  CAST(sum(CASE WHEN jac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim,
-         |  max(round(jac, 4)) AS max_jac
-         |FROM j GROUP BY d1 ORDER BY d1""".stripMargin,
-
-    "q_dedup_agreement" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source,
-         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' ') AS ws
-         |  FROM documents
-         |),
-         |tt AS (SELECT * FROM t WHERE len(ws) >= 3),
-         |tri AS (
-         |  SELECT DISTINCT doc_id, source,
-         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-         |  FROM (SELECT doc_id, source, ws,
-         |               unnest(generate_series(1, len(ws)-2)) AS i FROM tt)
-         |),
-         |tdf AS (SELECT source, sh, count(*) AS dfreq FROM tri GROUP BY source, sh),
-         |trif AS (
-         |  SELECT tri.doc_id, tri.source, tri.sh
-         |  FROM tri JOIN tdf USING (source, sh) WHERE tdf.dfreq <= $NgramDfCap
-         |),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM trif GROUP BY doc_id),
-         |lex AS (
-         |  SELECT d1, d2 FROM (
-         |    SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS cnt
-         |    FROM trif x JOIN trif y
-         |      ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
-         |    GROUP BY 1, 2
-         |  ) co JOIN sz sa ON co.d1 = sa.doc_id JOIN sz sb ON co.d2 = sb.doc_id
-         |  WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.2
-         |),
-         |$QuantizedNormSql,
-         |qv AS (SELECT e.vec_id, e.label, e.embedding, qn.nq
-         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |       WHERE qn.nq > 0),
-         |p AS (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS ea,
-         |         b.embedding AS eb, a.nq AS na, b.nq AS nb
-         |  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
-         |),
-         |dd AS (
-         |  SELECT d1, d2, na, nb,
-         |    CAST(sum(${quantSqlElem("ea[i]")} * ${quantSqlElem("eb[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
-         |  GROUP BY d1, d2, na, nb
-         |),
-         |sem AS (SELECT d1, d2 FROM dd WHERE $CosExpr >= 0.7),
-         |b2 AS (SELECT count(*) AS n_both FROM lex JOIN sem USING (d1, d2))
-         |SELECT (SELECT count(*) FROM lex) AS n_lex,
-         |  (SELECT count(*) FROM sem) AS n_sem,
-         |  n_both,
-         |  round(CAST(n_both AS DOUBLE) /
-         |    ((SELECT count(*) FROM lex) + (SELECT count(*) FROM sem) - n_both), 6)
-         |    AS agreement
-         |FROM b2""".stripMargin,
-
-    "q_dedup_embcos" ->
-      s"""WITH $QuantizedNormSql,
-         |$lshBucketSql,
-         |sel AS (SELECT e.vec_id, e.embedding, qn.nq, b.bucket
-         |        FROM embeddings e
-         |        JOIN qn ON e.vec_id = qn.vec_id
-         |        JOIN buckets b ON e.vec_id = b.vec_id
-         |        WHERE qn.nq > 0),
-         |ok AS (SELECT bucket FROM sel
-         |       GROUP BY bucket HAVING count(*) <= $BandBucketCap),
-         |sb AS (SELECT sel.* FROM sel JOIN ok USING (bucket)),
-         |p AS (
-         |  SELECT x.vec_id AS d1, y.vec_id AS d2, x.nq AS na, y.nq AS nb,
-         |         x.embedding AS ea, y.embedding AS eb
-         |  FROM sb x JOIN sb y
-         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |),
-         |d AS (
-         |  SELECT d1, d2, na, nb,
-         |    CAST(sum(${quantSqlElem("ea[i]")} * ${quantSqlElem("eb[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
-         |  GROUP BY d1, d2, na, nb
-         |),
-         |c AS (SELECT d1, d2, $CosExpr AS cos FROM d)
-         |SELECT d1, count(*) AS n_pairs,
-         |  CAST(sum(CASE WHEN cos >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim,
-         |  max(round(cos, 4)) AS max_cos
-         |FROM c GROUP BY d1 ORDER BY d1""".stripMargin,
-
-    "q_ann_topk" ->
-      s"""WITH $QuantizedNormSql,
-         |qs AS (SELECT e.vec_id AS q_id, e.embedding AS eq, qn.nq AS na
-         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |       WHERE qn.nq > 0
-         |       ORDER BY qn.nq DESC, e.vec_id LIMIT $AnnQueryK),
-         |cand AS (SELECT e.vec_id AS cand_id, e.embedding AS ec, qn.nq AS nb
-         |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |         WHERE qn.nq > 0),
-         |p AS (SELECT q_id, cand_id, na, nb, eq, ec
-         |      FROM qs JOIN cand ON q_id <> cand_id),
-         |d AS (
-         |  SELECT q_id, cand_id, na, nb,
-         |    CAST(sum(${quantSqlElem("eq[i]")} * ${quantSqlElem("ec[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(eq))) AS i FROM p)
-         |  GROUP BY q_id, cand_id, na, nb
-         |),
-         |c AS (SELECT q_id, cand_id, $CosExpr AS cos FROM d),
-         |r AS (
-         |  SELECT q_id, cand_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
-         |  FROM c
-         |)
-         |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-
-    "q_hard_negatives" ->
-      s"""WITH $QuantizedNormSql,
-         |$AnnQidsSql,
-         |qs AS (SELECT e.vec_id AS q_id, e.label AS q_label,
-         |              e.embedding AS eq, qn.nq AS na
-         |       FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |       WHERE qn.nq > 0
-         |         AND e.vec_id IN (SELECT vec_id FROM qids)),
-         |cand AS (SELECT e.vec_id AS cand_id, e.label, e.embedding AS ec,
-         |                qn.nq AS nb
-         |         FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |         WHERE qn.nq > 0),
-         |p AS (SELECT q_id, cand_id, na, nb, eq, ec
-         |      FROM qs JOIN cand ON q_id <> cand_id AND q_label <> label),
-         |d AS (
-         |  SELECT q_id, cand_id, na, nb,
-         |    CAST(sum(${quantSqlElem("eq[i]")} * ${quantSqlElem("ec[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(eq))) AS i FROM p)
-         |  GROUP BY q_id, cand_id, na, nb
-         |),
-         |c AS (SELECT q_id, cand_id, $CosExpr AS cos FROM d),
-         |r AS (
-         |  SELECT q_id, cand_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
-         |  FROM c
-         |)
-         |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-
-    "q_inverted_index" ->
-      s"""WITH $ToksSql,
-         |tf AS (SELECT word, doc_id, count(*) AS tf FROM toks
-         |       GROUP BY word, doc_id),
-         |d AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |h AS (
-         |  SELECT word, doc_id, tf,
-         |    row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) AS rn
-         |  FROM tf
-         |),
-         |p AS (
-         |  SELECT word,
-         |    string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
-         |               ',' ORDER BY tf DESC, doc_id) AS postings
-         |  FROM h WHERE rn <= 5 GROUP BY word
-         |)
-         |SELECT d.word, d.df, p.postings FROM d JOIN p USING (word)
-         |WHERE d.df >= $InvIdxMinDf ORDER BY word""".stripMargin,
-
-    "q_tfidf" ->
-      s"""WITH $ToksSql,
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
-         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
-         |SELECT doc_id, word, tf, df,
-         |  round(tf * round(ln((n_docs + 1.0) / (df + 1.0)), 8), 4) AS tfidf
-         |FROM tf JOIN dfreq USING (word) CROSS JOIN n
-         |ORDER BY doc_id, word""".stripMargin,
-
-    "q_ann_ivf" ->
-      s"""WITH $QuantizedNormSql,
-         |$AnnQidsSql,
-         |pe AS (
-         |  SELECT vec_id, label, i AS pos, ${quantSqlElem("embedding[i]")} AS qv
-         |  FROM (SELECT e.vec_id, e.label, e.embedding,
-         |               unnest(generate_series(1, len(e.embedding))) AS i
-         |        FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |        WHERE qn.nq > 0)
-         |),
-         |cent AS (
-         |  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
-         |  FROM pe GROUP BY label, pos
-         |),
-         |dist AS (
-         |  SELECT pe.vec_id AS q_id, c.label,
-         |    CAST(sum((pe.qv * c.n - c.s) * (pe.qv * c.n - c.s)) AS BIGINT) AS dist_num,
-         |    max(c.n) AS n
-         |  FROM pe JOIN cent c ON pe.pos = c.pos
-         |  WHERE pe.vec_id IN (SELECT vec_id FROM qids)
-         |  GROUP BY q_id, c.label
-         |),
-         |best AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q_id, label, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY CAST(dist_num AS DOUBLE) / (n * n), label) AS rn
-         |    FROM dist) WHERE rn = 1
-         |),
-         |sel AS (SELECT e.vec_id, qn.label, qn.nq, e.embedding
-         |        FROM embeddings e JOIN qn ON e.vec_id = qn.vec_id
-         |        WHERE qn.nq > 0),
-         |p AS (
-         |  SELECT b.q_id, s.vec_id AS cand_id, eq.embedding AS eqv,
-         |         s.embedding AS ecv, eqn.nq AS na, s.nq AS nb
-         |  FROM best b
-         |  JOIN embeddings eq ON eq.vec_id = b.q_id
-         |  JOIN qn eqn ON eqn.vec_id = b.q_id
-         |  JOIN sel s ON s.label = b.label AND s.vec_id <> b.q_id
-         |),
-         |d AS (
-         |  SELECT q_id, cand_id, na, nb,
-         |    CAST(sum(${quantSqlElem("eqv[i]")} * ${quantSqlElem("ecv[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(eqv))) AS i FROM p)
-         |  GROUP BY q_id, cand_id, na, nb
-         |),
-         |c AS (SELECT q_id, cand_id, $CosExpr AS cos FROM d),
-         |r AS (
-         |  SELECT q_id, cand_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
-         |  FROM c
-         |)
-         |SELECT q_id, rank, cand_id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-
-    "q_ann_pq" ->
-      s"""WITH comp AS (
-         |  SELECT vec_id, label,
-         |    CAST((i-1) // $PqD AS BIGINT) AS m, (i-1) % $PqD AS d, q AS qv
-         |  FROM (SELECT vec_id, label, i, ${quantSqlElem("embedding[i]")} AS q
-         |        FROM (SELECT vec_id, label, embedding,
-         |                     unnest(generate_series(1, len(embedding))) AS i
-         |              FROM embeddings))
-         |),
-         |nz AS (SELECT vec_id FROM comp GROUP BY vec_id HAVING sum(qv*qv) > 0),
-         |qids AS (SELECT vec_id FROM comp GROUP BY vec_id
-         |         HAVING sum(qv*qv) > 0
-         |         ORDER BY CAST(sum(qv*qv) AS BIGINT) DESC, vec_id
-         |         LIMIT $AnnQueryK),
-         |compz AS (SELECT comp.* FROM comp JOIN nz USING (vec_id)),
-         |cb AS (
-         |  SELECT label AS clabel, m, d, CAST(sum(qv) AS BIGINT) AS s,
-         |         count(*) AS n
-         |  FROM compz GROUP BY 1, 2, 3
-         |),
-         |a1 AS (
-         |  SELECT c.vec_id, c.m, cb.clabel,
-         |    CAST(sum((c.qv * cb.n - cb.s) * (c.qv * cb.n - cb.s)) AS BIGINT) AS dn,
-         |    max(cb.n) AS cn
-         |  FROM compz c JOIN cb ON c.m = cb.m AND c.d = cb.d
-         |  GROUP BY 1, 2, 3
-         |),
-         |assign AS (
-         |  SELECT vec_id AS cand_id, m, clabel AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |      ORDER BY CAST(dn AS DOUBLE) / (cn * cn), clabel) AS rn FROM a1)
-         |  WHERE rn = 1
-         |),
-         |a2 AS (
-         |  SELECT c.vec_id AS q_id, c.m, cb.clabel AS code,
-         |    CAST(sum(c.qv * cb.s) AS BIGINT) AS dotnum, max(cb.n) AS n
-         |  FROM compz c JOIN cb ON c.m = cb.m AND c.d = cb.d
-         |  WHERE c.vec_id IN (SELECT vec_id FROM qids)
-         |  GROUP BY 1, 2, 3
-         |),
-         |adc AS (
-         |  SELECT q_id, m, code,
-         |    CAST(round(CAST(dotnum AS DOUBLE) / n, 6) AS DECIMAL(24,6)) AS term
-         |  FROM a2
-         |),
-         |sc AS (
-         |  SELECT q_id, cand_id, sum(term) AS adc_exact
-         |  FROM assign JOIN adc USING (m, code)
-         |  WHERE cand_id <> q_id
-         |  GROUP BY 1, 2
-         |),
-         |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc_exact DESC, cand_id) AS rank
-         |  FROM sc
-         |)
-         |SELECT q_id, CAST(rank AS BIGINT) AS rank, cand_id,
-         |  round(CAST(adc_exact AS DOUBLE), 4) AS adc
-         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-
-    "q_ann_lsh" ->
-      s"""WITH $QuantizedNormSql,
-         |$AnnQidsSql,
-         |$lshBucketSql,
-         |sel AS (SELECT e.vec_id, e.embedding, qn.nq, b.bucket
-         |        FROM embeddings e
-         |        JOIN qn ON e.vec_id = qn.vec_id
-         |        JOIN buckets b ON e.vec_id = b.vec_id
-         |        WHERE qn.nq > 0),
-         |p AS (
-         |  SELECT q.vec_id AS q_id, q.bucket, s.vec_id AS cand_id,
-         |         q.embedding AS eqv, s.embedding AS ecv,
-         |         q.nq AS na, s.nq AS nb
-         |  FROM sel q JOIN sel s
-         |    ON q.bucket = s.bucket AND s.vec_id <> q.vec_id
-         |  WHERE q.vec_id IN (SELECT vec_id FROM qids)
-         |),
-         |d AS (
-         |  SELECT q_id, bucket, cand_id, na, nb,
-         |    CAST(sum(${quantSqlElem("eqv[i]")} * ${quantSqlElem("ecv[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(eqv))) AS i FROM p)
-         |  GROUP BY q_id, bucket, cand_id, na, nb
-         |),
-         |c AS (SELECT q_id, bucket, cand_id, $CosExpr AS cos FROM d),
-         |r AS (
-         |  SELECT q_id, bucket, cand_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
-         |  FROM c
-         |)
-         |SELECT q_id, bucket, rank, cand_id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-
-    // Recomputes the planted-image features from the construction rule
-    // (dims = 8 + doc_id % 25/17, pixel = (x·31 + y·17 + doc_id·13) % 256)
-    // — the Spark side went text→PNG→decode through the real codec.
-    "q_phash_dedup" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, CAST(8 + doc_id % 25 AS INT) AS w,
-         |         CAST(8 + doc_id % 17 AS INT) AS h
-         |  FROM documents
-         |),
-         |samp AS (
-         |  SELECT doc_id, i,
-         |    ((((i % 8) * w // 8) * 31 + ((i // 8) * h // 8) * 17
-         |      + doc_id * 13) % 256) AS px
-         |  FROM g, unnest(generate_series(0, 63)) AS t(i)
-         |),
-         |m AS (SELECT doc_id, CAST(sum(px) // 64 AS BIGINT) AS mean
-         |      FROM samp GROUP BY doc_id),
-         |hs AS (
-         |  SELECT samp.doc_id,
-         |    CAST(sum(CASE WHEN px <= mean THEN 0
-         |      WHEN i = 63 THEN -9223372036854775808
-         |      ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
-         |      AS BIGINT) AS ahash
-         |  FROM samp JOIN m USING (doc_id) GROUP BY samp.doc_id
-         |),
-         |bands AS (
-         |  SELECT doc_id, ahash, b,
-         |    (ahash >> CAST(8 * b AS INT)) & 255 AS bv
-         |  FROM hs, unnest(generate_series(0, 7)) AS t(b)
-         |),
-         |keep AS (SELECT b, bv FROM bands GROUP BY b, bv
-         |         HAVING count(*) <= $BandBucketCap),
-         |bk AS (SELECT bands.* FROM bands JOIN keep USING (b, bv)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-         |    x.ahash AS h1, y.ahash AS h2
-         |  FROM bk x JOIN bk y USING (b, bv) WHERE x.doc_id < y.doc_id
-         |)
-         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS ham
-         |FROM cand WHERE bit_count(xor(h1, h2)) <= 7
-         |ORDER BY d1, d2""".stripMargin,
-
-    "q_multimodal_decode" ->
-      """WITH xs AS (
-        |  SELECT doc_id,
-        |    CAST(8 + doc_id % 25 AS INT) AS width,
-        |    CAST(8 + doc_id % 17 AS INT) AS height,
-        |    unnest(generate_series(0, 8 + doc_id % 25 - 1)) AS x
-        |  FROM documents
-        |),
-        |px AS (
-        |  SELECT doc_id, width, height, x,
-        |    unnest(generate_series(0, height - 1)) AS y
-        |  FROM xs
-        |)
-        |SELECT doc_id, width, height,
-        |  CAST(count(*) AS BIGINT) AS n_px,
-        |  CAST(sum((x*31 + y*17 + doc_id*13) % 256) AS BIGINT) AS px_sum,
-        |  CAST(min((x*31 + y*17 + doc_id*13) % 256) AS INT) AS px_min,
-        |  CAST(max((x*31 + y*17 + doc_id*13) % 256) AS INT) AS px_max
-        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
-
-    // Sampled positions recomputed from the rule: out(x,y) = in(2x,2y),
-    // output dims ceil(w/2) × ceil(h/2).
-    "q_multimodal_resize" ->
-      """WITH dims AS (
-        |  SELECT doc_id,
-        |    CAST(8 + doc_id % 25 AS INT) AS w,
-        |    CAST(8 + doc_id % 17 AS INT) AS h
-        |  FROM documents
-        |),
-        |xs AS (
-        |  SELECT doc_id, w, h,
-        |    CAST((w + 1) // 2 AS INT) AS rw, CAST((h + 1) // 2 AS INT) AS rh,
-        |    unnest(generate_series(0, (w + 1) // 2 - 1)) AS x
-        |  FROM dims
-        |),
-        |px AS (
-        |  SELECT doc_id, rw, rh, x, unnest(generate_series(0, rh - 1)) AS y
-        |  FROM xs
-        |)
-        |SELECT doc_id, rw, rh,
-        |  CAST(count(*) AS BIGINT) AS n_px,
-        |  CAST(sum((x*2*31 + y*2*17 + doc_id*13) % 256) AS BIGINT) AS px_sum,
-        |  CAST(min((x*2*31 + y*2*17 + doc_id*13) % 256) AS INT) AS px_min,
-        |  CAST(max((x*2*31 + y*2*17 + doc_id*13) % 256) AS INT) AS px_max
-        |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin,
-
-    // Every 2nd frame of the 4..8-frame clip, pixel rule replayed per
-    // sampled index.
-    "q_multimodal_frames" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CAST(8 + doc_id % 25 AS INT) AS w,
-        |    CAST(8 + doc_id % 17 AS INT) AS h,
-        |    CAST(4 + doc_id % 5 AS INT) AS frames
-        |  FROM documents
-        |),
-        |fr AS (SELECT doc_id, w, h,
-        |         unnest(generate_series(0, frames - 1, 2)) AS f
-        |       FROM base),
-        |xs AS (SELECT doc_id, w, h, f,
-        |         unnest(generate_series(0, w - 1)) AS x
-        |       FROM fr),
-        |px AS (SELECT doc_id, f, x,
-        |         unnest(generate_series(0, h - 1)) AS y
-        |       FROM xs)
-        |SELECT doc_id, CAST(f AS BIGINT) AS frame,
-        |  CAST(count(*) AS BIGINT) AS n_px,
-        |  CAST(sum((x*31 + y*17 + doc_id*13 + f*7) % 256) AS BIGINT) AS f_sum
-        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
-
-    // The inflate round-trip must recover the text's UTF-8 bytes exactly:
-    // length and md5 both computed from the SOURCE here, from the
-    // recovered bytes on the Spark side.
-    "q_multimodal_inflate" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // replays the PCM construction rule (samples are non-negative doc_id
-    // and index, so plain % matches floorMod)
-    "q_multimodal_audio" ->
-      """WITH n AS (
-        |  SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents
-        |),
-        |s AS (
-        |  SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
-        |  FROM n, unnest(generate_series(0, n - 1)) AS t(i)
-        |)
-        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
-        |  count(*) AS n_samples,
-        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
-        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_pipeline_prep" -> {
-      val scores = Stops.map { case (lang, words) =>
-        s"CAST(sum(CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
-      }.mkString(",\n    ")
-      s"""WITH $ToksSql,
-         |sc AS (
-         |  SELECT doc_id, count(*) AS n_tok,
-         |    $scores
-         |  FROM toks GROUP BY doc_id
-         |),
-         |scp AS (SELECT doc_id, n_tok, $PredCase AS pred FROM sc),
-         |$MinhashSigSql,
-         |$BandsSql,
-         |$NearDupsSql
-         |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
-         |FROM documents d
-         |JOIN scp ON d.doc_id = scp.doc_id
-         |WHERE scp.n_tok >= 20 AND scp.pred = 'en'
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin
-    },
-
-    "q_pipeline_assemble" -> {
-      val wVals = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
-      s"""WITH $ToksSql,
-         |ntok AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-         |$MinhashSigSql,
-         |$BandsSql,
-         |$NearDupsSql,
-         |kept AS (
-         |  SELECT d.doc_id, d.lang, ntok.n_tok
-         |  FROM documents d JOIN ntok ON d.doc_id = ntok.doc_id
-         |  WHERE ntok.n_tok >= 20
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM dropids)
-         |),
-         |w(lang, w) AS (VALUES $wVals),
-         |counts AS (SELECT lang, count(*) AS n FROM kept GROUP BY lang),
-         |u AS (SELECT min(n // w) AS u FROM counts JOIN w USING (lang)),
-         |mr AS (SELECT kept.*,
-         |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |       FROM kept),
-         |mixed AS (
-         |  SELECT mr.doc_id, mr.n_tok FROM mr JOIN w USING (lang) CROSS JOIN u
-         |  WHERE mr.rk <= w.w * u.u
-         |),
-         |shx AS (
-         |  SELECT doc_id, n_tok, ($hashBucketSql) % 8 AS shard,
-         |    md5('ord' || CAST(doc_id AS VARCHAR)) AS h
-         |  FROM mixed
-         |),
-         |pos AS (
-         |  SELECT doc_id, n_tok, shard,
-         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
-         |  FROM shx
-         |),
-         |packed AS (
-         |  SELECT shard, doc_id, n_tok,
-         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM pos
-         |)
-         |SELECT shard, CAST(floor((cum - n_tok) / $PackBudget.0) AS BIGINT) AS bin,
-         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM packed GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
-    },
-
     "q_lang_id" -> {
       val scores = Stops.map { case (lang, words) =>
         s"CAST(sum(CASE WHEN word IN ${inList(words)} THEN 1 ELSE 0 END) AS BIGINT) AS s_$lang"
@@ -4339,114 +1836,6 @@ object LlmOps {
         |  round(CAST(sum(flesch) AS DOUBLE) / count(*), 6) AS avg_flesch
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
-    "q_fingerprint" ->
-      s"""SELECT doc_id,
-         |  md5(array_to_string(list_sort(list_distinct(
-         |    regexp_split_to_array(trim(regexp_replace(text, '$DelimSql', ' ', 'g')), ' '))), ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q_winnow" ->
-      s"""WITH $WinnowSelSql,
-         |a AS (
-         |  SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
-         |    list_sort(list_distinct(list(wm))) AS fps
-         |  FROM f GROUP BY doc_id
-         |)
-         |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fp,
-         |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
-         |FROM a ORDER BY doc_id""".stripMargin,
-
-    "q_winnow_pairs" ->
-      s"""WITH $WinnowSelSql,
-         |fp AS (SELECT DISTINCT doc_id, wm FROM f),
-         |nfp AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
-         |rare AS (SELECT wm FROM fp GROUP BY wm
-         |         HAVING count(*) BETWEEN 2 AND $WinnowDfCap),
-         |p AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
-         |  FROM fp x JOIN rare USING (wm) JOIN fp y USING (wm)
-         |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
-         |)
-         |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
-         |  round(n_shared / least(xa.nf, yb.nf), 4) AS overlap
-         |FROM p JOIN nfp xa ON p.a = xa.doc_id JOIN nfp yb ON p.b = yb.doc_id
-         |WHERE n_shared >= least(xa.nf, yb.nf) * $WinnowOverlap
-         |ORDER BY a, b""".stripMargin,
-
-    "q_kmeans" ->
-      s"""WITH $KmeansCtes
-         |SELECT af.cid, count(*) AS n, min(af.id) AS min_vec, max(af.id) AS max_vec,
-         |       CAST(CAST(sum(af.d2) AS DECIMAL(38,0)) AS VARCHAR) AS inertia,
-         |       any_value(cm.c_md5) AS c_md5
-         |FROM af JOIN cm USING (cid)
-         |GROUP BY af.cid ORDER BY af.cid""".stripMargin,
-
-    // a = af.d2 (the assignment minimum), b = min distance to any OTHER
-    // centroid — both from the same df (all point×centroid distances)
-    // the kmeans chain already exposes
-    "q_silhouette" ->
-      s"""WITH $KmeansCtes,
-         |s2 AS (
-         |  SELECT af.id, af.cid, af.d2 AS a2, min(df.d2) AS b2
-         |  FROM af JOIN df ON df.id = af.id AND df.cid <> af.cid
-         |  GROUP BY af.id, af.cid, af.d2
-         |),
-         |sil AS (
-         |  SELECT cid,
-         |    round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
-         |      / sqrt(CAST(b2 AS DOUBLE)), 6) AS sc
-         |  FROM s2
-         |)
-         |SELECT cid, count(*) AS n,
-         |  round(${dsumSql("sc", 6)} / count(*), 6) AS mean_sil
-         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
-
-    // the kmeans chain's final assignment (af) is the blocking key; the
-    // pair scan mirrors q_dedup_embcos' exact-integer dot spelling
-    "q_semdedup" ->
-      s"""WITH $KmeansCtes,
-         |$QuantizedNormSql,
-         |qa AS (
-         |  SELECT e.vec_id AS id, e.embedding AS emb, qn.nq, af.cid
-         |  FROM embeddings e
-         |  JOIN qn ON qn.vec_id = e.vec_id AND qn.nq > 0
-         |  JOIN af ON af.id = e.vec_id
-         |),
-         |p AS (
-         |  SELECT x.id AS xid, y.id, x.nq AS na, y.nq AS nb,
-         |         x.emb AS ea, y.emb AS eb
-         |  FROM qa x JOIN qa y ON x.cid = y.cid AND x.id < y.id
-         |),
-         |dd AS (
-         |  SELECT xid, id, na, nb,
-         |    CAST(sum(${quantSqlElem("ea[i]")} * ${quantSqlElem("eb[i]")}) AS BIGINT) AS dot
-         |  FROM (SELECT p.*, unnest(generate_series(1, len(ea))) AS i FROM p)
-         |  GROUP BY xid, id, na, nb
-         |),
-         |dropped AS (
-         |  SELECT DISTINCT id FROM dd WHERE $CosExpr >= $SemTau
-         |)
-         |SELECT qa.cid, count(*) AS n,
-         |  CAST(sum(CASE WHEN dropped.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_kept,
-         |  min(CASE WHEN dropped.id IS NULL THEN qa.id END) AS min_kept,
-         |  max(CASE WHEN dropped.id IS NULL THEN qa.id END) AS max_kept
-         |FROM qa LEFT JOIN dropped ON dropped.id = qa.id
-         |GROUP BY qa.cid ORDER BY qa.cid""".stripMargin,
-
-    "q_sample_diverse" ->
-      s"""WITH $KmeansCtes,
-         |rk AS (
-         |  SELECT cid, id,
-         |         row_number() OVER (PARTITION BY cid
-         |           ORDER BY md5('div:' || CAST(id AS VARCHAR)), id) AS rk
-         |  FROM af
-         |),
-         |kept AS (SELECT cid, id FROM rk WHERE rk <= $DiverseQuota)
-         |SELECT cid, count(*) AS n_kept, min(id) AS min_kept, max(id) AS max_kept,
-         |       CAST(sum(id) AS BIGINT) AS sum_kept
-         |FROM kept GROUP BY cid ORDER BY cid""".stripMargin,
-
     "q_mix_sources" -> {
       val wVals = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
       s"""WITH d AS (
@@ -4472,28 +1861,6 @@ object LlmOps {
          |GROUP BY counts.lang, counts.n ORDER BY counts.lang""".stripMargin
     },
 
-    "q_sql_winnow" ->
-      s"""WITH $WinnowSelSql
-         |SELECT doc_id, CAST(count(DISTINCT wm) AS BIGINT) AS n_fp
-         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_stream_window_sink" ->
-      """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS ws,
-        |       event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // the transformWithState final state must equal the batch GROUP BY —
-    // the oracle never sees a stream
-    "q_stream_dedup_sink" ->
-      """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key,
-        |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY key""".stripMargin,
-
-    "q_stream_sink_roundtrip" ->
-s"""WITH $ToksSql
-         |SELECT word, CAST(count(*) AS BIGINT) AS n
-         |FROM toks GROUP BY word ORDER BY word""".stripMargin,
-
     "q_vocab_oov" ->
       s"""WITH $ToksSql,
          |vocab AS (
@@ -4509,310 +1876,6 @@ s"""WITH $ToksSql
          |  CAST(n_oov AS BIGINT) AS n_oov,
          |  round(n_oov / n_toks, 4) AS oov_rate
          |FROM per ORDER BY doc_id""".stripMargin,
-
-    "q_sketch_cms" ->
-      s"""WITH $ToksSql,
-         |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
-         |r AS (
-         |  SELECT word, n, j,
-         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || word)", 1)} % $CmsWidth AS cell
-         |  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)
-         |),
-         |cells AS (
-         |  SELECT j, cell, CAST(sum(n) AS BIGINT) AS cn FROM r GROUP BY j, cell
-         |)
-         |SELECT word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
-         |FROM r JOIN cells USING (j, cell)
-         |GROUP BY word ORDER BY word""".stripMargin,
-
-    "q_sketch_cms_grouped" ->
-      s"""WITH $ToksSql,
-         |tw AS (
-         |  SELECT d.source, t.word FROM toks t
-         |  JOIN documents d ON t.doc_id = d.doc_id
-         |),
-         |wc AS (SELECT source, word, count(*) AS n FROM tw GROUP BY 1, 2),
-         |r AS (
-         |  SELECT source, word, n, j,
-         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || word)", 1)} % $CmsWidth AS cell
-         |  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)
-         |),
-         |cells AS (
-         |  SELECT source, j, cell, CAST(sum(n) AS BIGINT) AS cn
-         |  FROM r GROUP BY 1, 2, 3
-         |)
-         |SELECT source, word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
-         |FROM r JOIN cells USING (source, j, cell)
-         |GROUP BY source, word ORDER BY source, word""".stripMargin,
-
-    "q_heavy_hitters" ->
-      s"""WITH $ToksSql,
-         |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
-         |r AS (
-         |  SELECT word, n, j,
-         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || word)", 1)} % $CmsWidth AS cell
-         |  FROM wc CROSS JOIN (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j)
-         |),
-         |cells AS (
-         |  SELECT j, cell, CAST(sum(n) AS BIGINT) AS cn FROM r GROUP BY j, cell
-         |),
-         |est AS (
-         |  SELECT word, CAST(max(n) AS BIGINT) AS n_true, min(cn) AS n_est
-         |  FROM r JOIN cells USING (j, cell) GROUP BY word
-         |),
-         |tot AS (SELECT count(*) // 64 AS thr FROM toks)
-         |SELECT word, n_est, n_true,
-         |  CAST(CASE WHEN n_true >= thr THEN 1 ELSE 0 END AS BIGINT) AS confirmed
-         |FROM est CROSS JOIN tot
-         |WHERE n_est >= thr ORDER BY word""".stripMargin,
-
-    "q_sketch_hll" ->
-      s"""WITH h AS (
-         |  SELECT ${hexLongSql("md5(CAST(l_orderkey AS VARCHAR))", 1, 15)} AS h
-         |  FROM lineitem
-         |),
-         |br AS (
-         |  SELECT h % $HllM AS bucket, h // $HllM AS rest FROM h
-         |),
-         |mx AS (
-         |  SELECT bucket,
-         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS mrho
-         |  FROM br GROUP BY bucket
-         |),
-         |regs AS (
-         |  SELECT b.bucket, CAST(coalesce(mx.mrho, 0) AS BIGINT) AS reg
-         |  FROM (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
-         |  LEFT JOIN mx ON b.bucket = mx.bucket
-         |),
-         |sk AS (
-         |  SELECT max(R) AS R,
-         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S,
-         |    md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket)) AS reg_md5
-         |  FROM (SELECT bucket, reg, max(reg) OVER () AS R FROM regs)
-         |)
-         |SELECT
-         |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_true,
-         |  CAST($HllM AS BIGINT) AS m,
-         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est,
-         |  reg_md5
-         |FROM sk""".stripMargin,
-
-    "q_shingle_gen" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, substr(text, i, $K) AS sh
-         |  FROM (SELECT doc_id, text,
-         |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
-         |        FROM documents WHERE length(text) >= $K)
-         |)
-         |SELECT doc_id, count(*) AS n_sh,
-         |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
-         |  min(sh) AS min_sh, max(sh) AS max_sh
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_sketch_hll_union" -> {
-      def side(tag: String, t: String) =
-        s"""h_$tag AS (
-           |  SELECT ${hexLongSql("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h
-           |  FROM events WHERE event_type = '$t'
-           |),
-           |br_$tag AS (SELECT h % $HllM AS bucket, h // $HllM AS rest FROM h_$tag),
-           |mx_$tag AS (
-           |  SELECT bucket,
-           |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS mrho
-           |  FROM br_$tag GROUP BY bucket
-           |),
-           |reg_$tag AS (
-           |  SELECT b.bucket, CAST(coalesce(mx_$tag.mrho, 0) AS BIGINT) AS reg
-           |  FROM (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
-           |  LEFT JOIN mx_$tag ON b.bucket = mx_$tag.bucket
-           |),
-           |sk_$tag AS (
-           |  SELECT max(R) AS R,
-           |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
-           |  FROM (SELECT reg, max(reg) OVER () AS R FROM reg_$tag)
-           |)""".stripMargin
-      def est(tag: String) =
-        s"(SELECT round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) FROM sk_$tag)"
-      s"""WITH ${side("a", "view")},
-         |${side("b", "purchase")},
-         |reg_m AS (
-         |  SELECT a.bucket, greatest(a.reg, b.reg) AS reg
-         |  FROM reg_a a JOIN reg_b b ON a.bucket = b.bucket
-         |),
-         |sk_m AS (
-         |  SELECT max(R) AS R,
-         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
-         |  FROM (SELECT reg, max(reg) OVER () AS R FROM reg_m)
-         |)
-         |SELECT
-         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
-         |   WHERE event_type = 'view') AS n_a,
-         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
-         |   WHERE event_type = 'purchase') AS n_b,
-         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
-         |   WHERE event_type IN ('view', 'purchase')) AS n_union_true,
-         |  ${est("a")} AS est_a,
-         |  ${est("b")} AS est_b,
-         |  ${est("m")} AS est_union,
-         |  round(${est("a")} + ${est("b")} - ${est("m")}, 2) AS est_inter""".stripMargin
-    },
-
-    "q_dq_checks" ->
-      """SELECT count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS viol_null_text,
-        |  CAST(sum(CASE WHEN lang NOT IN ('en','fr','de','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS viol_bad_lang,
-        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS viol_n_chars_mismatch,
-        |  CAST(sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS viol_negative_id,
-        |  CAST(sum(CASE WHEN n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS viol_oversize
-        |FROM documents""".stripMargin,
-
-    "q_sketch_bloom" ->
-      s"""WITH members AS (SELECT c_custkey AS key FROM customer),
-         |bits AS (
-         |  SELECT DISTINCT
-         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR))", 1)} % $BloomM AS pos
-         |  FROM members CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
-         |),
-         |probes AS (SELECT key + 1000000 AS pkey FROM members),
-         |pp AS (
-         |  SELECT pkey,
-         |    ${hex2longSql("md5(CAST(j AS VARCHAR) || ':' || CAST(pkey AS VARCHAR))", 1)} % $BloomM AS pos
-         |  FROM probes CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
-         |),
-         |fp AS (
-         |  SELECT pkey FROM pp JOIN bits USING (pos)
-         |  GROUP BY pkey HAVING count(*) = $BloomK
-         |)
-         |SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_fp,
-         |  round((SELECT count(*) FROM fp) / (SELECT count(*) FROM probes), 6) AS fp_rate,
-         |  (SELECT md5(string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)) FROM bits) AS bits_md5""".stripMargin,
-
-    "q_sketch_hll_grouped" ->
-      s"""WITH h AS (
-         |  SELECT event_type,
-         |    ${hexLongSql("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h
-         |  FROM events
-         |),
-         |br AS (
-         |  SELECT event_type, h % $HllM AS bucket, h // $HllM AS rest FROM h
-         |),
-         |mx AS (
-         |  SELECT event_type, bucket,
-         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END) AS mrho
-         |  FROM br GROUP BY event_type, bucket
-         |),
-         |regs AS (
-         |  SELECT t.event_type, b.bucket,
-         |    CAST(coalesce(mx.mrho, 0) AS BIGINT) AS reg
-         |  FROM (SELECT DISTINCT event_type FROM events) t
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
-         |  LEFT JOIN mx ON t.event_type = mx.event_type AND b.bucket = mx.bucket
-         |),
-         |sk AS (
-         |  SELECT event_type, max(R) AS R,
-         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
-         |  FROM (SELECT event_type, reg, max(reg) OVER (PARTITION BY event_type) AS R
-         |        FROM regs)
-         |  GROUP BY event_type
-         |),
-         |truth AS (
-         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
-         |  FROM events GROUP BY event_type
-         |)
-         |SELECT truth.event_type, n_true,
-         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R) / CAST(S AS DOUBLE), 2) AS est
-         |FROM truth JOIN sk ON truth.event_type = sk.event_type
-         |ORDER BY 1""".stripMargin,
-
-    "q_span_corrupt" ->
-      s"""WITH pos AS (
-         |  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS p
-         |  FROM (SELECT doc_id, source,
-         |          unnest(generate_series(1, len(str_split(text, ' ')))) AS i
-         |        FROM documents)
-         |),
-         |st AS (
-         |  SELECT doc_id, source, p,
-         |    CAST(${hex2longSql("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))", 1)} % 10 = 0
-         |      AS INT) AS st
-         |  FROM pos
-         |),
-         |m AS (
-         |  SELECT doc_id, source, p, st,
-         |    max(st) OVER (PARTITION BY doc_id ORDER BY p
-         |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
-         |  FROM st
-         |),
-         |r AS (
-         |  SELECT source, m,
-         |    CASE WHEN m = 1 AND COALESCE(
-         |        lag(m) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
-         |      THEN 1 ELSE 0 END AS run_start
-         |  FROM m
-         |)
-         |SELECT source, count(*) AS n_tokens,
-         |  CAST(sum(m) AS BIGINT) AS n_masked,
-         |  CAST(sum(run_start) AS BIGINT) AS n_spans,
-         |  round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS mask_ratio
-         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
-
-    "q_sketch_hll_window" ->
-      s"""WITH ev AS (
-         |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-         |    user_id
-         |  FROM events
-         |),
-         |h AS (
-         |  SELECT day,
-         |    ${hexLongSql("md5(CAST(user_id AS VARCHAR))", 1, 15)} AS h
-         |  FROM ev
-         |),
-         |br AS (SELECT day, h % $HllM AS bucket, h // $HllM AS rest FROM h),
-         |mx AS (
-         |  SELECT day, bucket,
-         |    max(CASE WHEN rest = 0 THEN 55 ELSE 55 - length(bin(rest)) END)
-         |      AS mrho
-         |  FROM br GROUP BY day, bucket
-         |),
-         |regs AS (
-         |  SELECT t.day, b.bucket, CAST(coalesce(mx.mrho, 0) AS BIGINT) AS reg
-         |  FROM (SELECT DISTINCT day FROM ev) t
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${HllM - 1})) AS bucket) b
-         |  LEFT JOIN mx ON t.day = mx.day AND b.bucket = mx.bucket
-         |),
-         |roll AS (
-         |  SELECT day, bucket,
-         |    max(reg) OVER (PARTITION BY bucket ORDER BY day
-         |                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS reg
-         |  FROM regs
-         |),
-         |sk AS (
-         |  SELECT day, max(R) AS R,
-         |    CAST(sum(1::BIGINT << CAST(R - reg AS INT)) AS BIGINT) AS S
-         |  FROM (SELECT day, reg, max(reg) OVER (PARTITION BY day) AS R
-         |        FROM roll)
-         |  GROUP BY day
-         |),
-         |du AS (SELECT DISTINCT day, user_id FROM ev),
-         |fan AS (
-         |  SELECT rday, user_id FROM (
-         |    SELECT unnest(generate_series(day, day + 6)) AS rday, user_id
-         |    FROM du)
-         |  WHERE rday IN (SELECT day FROM ev)
-         |),
-         |truth AS (
-         |  SELECT rday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
-         |  FROM fan GROUP BY 1
-         |)
-         |SELECT truth.day, n_true,
-         |  round(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * pow(2, R)
-         |        / CAST(S AS DOUBLE), 2) AS est
-         |FROM truth JOIN sk ON truth.day = sk.day
-         |ORDER BY 1""".stripMargin,
 
     "q_repetition" ->
       s"""WITH $ToksSql,
@@ -4842,49 +1905,6 @@ s"""WITH $ToksSql
         |  CAST(1 + (chunk_id - 1) * 24 AS BIGINT) AS chunk_start,
         |  CAST(least(n_tok - (1 + (chunk_id - 1) * 24) + 1, 32) AS BIGINT) AS chunk_len
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "q_dedup_paragraph" ->
-      """WITH arr AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\. ') AS a FROM documents
-        |),
-        |xs AS (
-        |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr
-        |),
-        |p AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS i, trim(a[i]) AS para
-        |  FROM xs WHERE length(trim(a[i])) > 0
-        |),
-        |r AS (
-        |  SELECT doc_id, para,
-        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
-        |  FROM p
-        |)
-        |SELECT doc_id,
-        |  count(*) AS n_paras,
-        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_chars
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q_clean_paragraph" ->
-      """WITH arr AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\. ') AS a FROM documents
-        |),
-        |xs AS (
-        |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr
-        |),
-        |p AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS i, trim(a[i]) AS para
-        |  FROM xs WHERE length(trim(a[i])) > 0
-        |),
-        |r AS (
-        |  SELECT doc_id, i, para,
-        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
-        |  FROM p
-        |)
-        |SELECT doc_id,
-        |  count(*) AS n_kept,
-        |  md5(string_agg(para, '. ' ORDER BY i)) AS clean_md5
-        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_corr" ->
       s"""WITH v AS (
@@ -5086,18 +2106,6 @@ s"""WITH $ToksSql
          |WHERE bucket * W < $PpsK * n_chars * 4294967296
          |ORDER BY doc_id""".stripMargin,
 
-    "q_centroid" ->
-      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS pos,
-         |  count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
-         |  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS c
-         |FROM (
-         |  SELECT label, i, ${quantSqlElem("embedding[i]")} AS q
-         |  FROM (SELECT label, embedding,
-         |          unnest(generate_series(1, len(embedding))) AS i
-         |        FROM embeddings)
-         |)
-         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
-
     "q_split_train" ->
       s"""WITH b AS (SELECT doc_id, n_chars, $hashBucketSql AS bucket
          |           FROM documents),
@@ -5144,24 +2152,6 @@ s"""WITH $ToksSql
          |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
-
-    "q_bm25" ->
-      s"""WITH $ToksSql,
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
-         |       WHERE word IN ${inList(BmTerms)} GROUP BY doc_id, word),
-         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-         |          FROM dl),
-         |c AS (
-         |  SELECT tf.doc_id, $BmContribExpr AS contrib
-         |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
-         |  CROSS JOIN stats
-         |)
-         |SELECT doc_id, count(*) AS n_terms,
-         |  ${dsumSql("contrib", 6)} AS score
-         |FROM c GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_bin_equidepth" ->
       s"""WITH $ToksSql,
@@ -5265,18 +2255,6 @@ s"""WITH $ToksSql
          |  CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym
          |FROM wc3 ORDER BY word""".stripMargin,
 
-    "q_stream_join_sink" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
-        |  FROM events
-        |)
-        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-        |  c.user_id AS user_id, round(p.value, 2) AS purchase_value
-        |FROM e c JOIN e p ON c.user_id = p.user_id
-        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |  AND p.us >= c.us AND p.us <= c.us + 1800000000
-        |ORDER BY click_id, purchase_id""".stripMargin,
-
     "q_shuffle_shards" ->
       s"""WITH d AS (
          |  SELECT doc_id, ($hashBucketSql) % 8 AS shard,
@@ -5288,80 +2266,6 @@ s"""WITH $ToksSql
          |    AS BIGINT) AS pos
          |FROM d ORDER BY shard, pos""".stripMargin,
 
-    "q_sketch_quantile" -> {
-      val sels = HistPs.map { case (lbl, num, den) =>
-        s"min(CASE WHEN cum >= ($num*n + ${den - 1}) // $den THEN bin END) AS b_$lbl"
-      }.mkString(",\n    ")
-      val joins = HistPs.map { case (lbl, _, _) =>
-        s"JOIN d d_$lbl ON d_$lbl.event_type = s.event_type AND d_$lbl.bin = s.b_$lbl"
-      }.mkString("\n")
-      val ests = HistPs.map { case (lbl, num, den) =>
-        histEstExpr(s"d_$lbl.bin", s"d_$lbl.cnt",
-          s"($num*s.n + ${den - 1}) // $den", s"d_$lbl.cumb") + s" AS $lbl"
-      }.mkString(",\n  ")
-      s"""WITH v AS (
-         |  SELECT event_type,
-         |    CAST(floor(value*100 + 0.5) AS BIGINT) // $HistBinW AS bin
-         |  FROM events
-         |),
-         |b AS (SELECT event_type, bin, count(*) AS cnt FROM v GROUP BY 1, 2),
-         |c AS (
-         |  SELECT event_type, bin, cnt,
-         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
-         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-         |  FROM b
-         |),
-         |d AS (SELECT *, cum - cnt AS cumb FROM c),
-         |sel AS (
-         |  SELECT event_type, max(n) AS n,
-         |    $sels
-         |  FROM d GROUP BY event_type
-         |)
-         |SELECT s.event_type, s.n,
-         |  $ests
-         |FROM sel s
-         |$joins
-         |ORDER BY s.event_type""".stripMargin
-    },
-
-    "q_prefix_join" ->
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
-         |),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), $K) AS sh
-         |  FROM (SELECT doc_id, text,
-         |               unnest(generate_series(1, length(text) - ${K - 1}, $Stride)) AS i
-         |        FROM reps WHERE length(text) >= $K)
-         |),
-         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |pref AS (
-         |  SELECT doc_id, sh FROM (
-         |    SELECT s.doc_id, s.sh, z.sz,
-         |      row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
-         |    FROM sh s JOIN dfq d USING (sh) JOIN sz z USING (doc_id)
-         |  ) WHERE rn <= sz - ($PrefixTNum*sz + $PrefixTNum) // $PrefixTDen + 1
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM pref a JOIN pref b USING (sh) WHERE a.doc_id < b.doc_id
-         |),
-         |i AS (
-         |  SELECT c.d1, c.d2, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.d1
-         |  JOIN sh y ON y.doc_id = c.d2 AND y.sh = x.sh
-         |  GROUP BY c.d1, c.d2
-         |)
-         |SELECT i.d1, i.d2, i.inter, z1.sz AS sz1, z2.sz AS sz2,
-         |  round(CAST(i.inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.inter AS DOUBLE), 4) AS jac
-         |FROM i
-         |JOIN sz z1 ON z1.doc_id = i.d1
-         |JOIN sz z2 ON z2.doc_id = i.d2
-         |WHERE ${PrefixTDen + PrefixTNum}*i.inter >= $PrefixTNum*(z1.sz + z2.sz)
-         |ORDER BY i.d1, i.d2""".stripMargin,
-
     "q_ngram_topk" ->
       s"""WITH $BigramCountsSql,
          |r AS (
@@ -5370,64 +2274,6 @@ s"""WITH $ToksSql
          |)
          |SELECT w1, w2, cnt FROM r WHERE rn <= $NgramK
          |ORDER BY w1, w2""".stripMargin,
-
-    "q_sketch_bloom_grouped" -> {
-      def posOf(c: String) =
-        s"${hex2longSql(s"md5(CAST(j AS VARCHAR) || ':' || CAST($c AS VARCHAR))", 1)} % $BloomM"
-      s"""WITH members AS (
-         |  SELECT DISTINCT event_type, user_id AS key FROM events
-         |),
-         |bits AS (
-         |  SELECT DISTINCT event_type, ${posOf("key")} AS pos
-         |  FROM members
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
-         |),
-         |probes AS (
-         |  SELECT event_type, key + 1000000 AS pkey FROM members
-         |),
-         |pp AS (
-         |  SELECT event_type, pkey, ${posOf("pkey")} AS pos
-         |  FROM probes
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j)
-         |),
-         |fp AS (
-         |  SELECT event_type, count(*) AS n_fp FROM (
-         |    SELECT pp.event_type, pp.pkey
-         |    FROM pp JOIN bits b ON pp.event_type = b.event_type AND pp.pos = b.pos
-         |    GROUP BY pp.event_type, pp.pkey HAVING count(*) = $BloomK
-         |  ) GROUP BY event_type
-         |)
-         |SELECT m.event_type, m.n_members, b.n_bits,
-         |  CAST(coalesce(f.n_fp, 0) AS BIGINT) AS n_fp,
-         |  round(CAST(coalesce(f.n_fp, 0) AS DOUBLE) / m.n_members, 6) AS fp_rate
-         |FROM (SELECT event_type, count(*) AS n_members FROM members GROUP BY 1) m
-         |JOIN (SELECT event_type, count(*) AS n_bits FROM bits GROUP BY 1) b
-         |  ON m.event_type = b.event_type
-         |LEFT JOIN fp f ON m.event_type = f.event_type
-         |ORDER BY m.event_type""".stripMargin
-    },
-
-    "q_feature_hash" ->
-      s"""WITH $ToksSql
-         |SELECT doc_id,
-         |  ${hex2longSql("md5(word)", 1)} % $FeatHashDim AS bucket,
-         |  count(*) AS cnt
-         |FROM toks GROUP BY 1, 2
-         |ORDER BY doc_id, bucket""".stripMargin,
-
-    "q_random_projection" -> {
-      val sums = (0 until LshPlanes).map { p =>
-        val arr = LshW(p).mkString("[", ", ", "]")
-        s"CAST(sum(q * ($arr)[i]) AS BIGINT) AS d$p"
-      }.mkString(",\n  ")
-      s"""SELECT vec_id,
-         |  $sums
-         |FROM (SELECT vec_id, i, ${quantSqlElem("embedding[i]")} AS q
-         |      FROM (SELECT vec_id, embedding,
-         |                   unnest(generate_series(1, len(embedding))) AS i
-         |            FROM embeddings))
-         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
-    },
 
     "q_pmi" ->
       s"""WITH $BigramCountsSql,

@@ -1047,7 +1047,7 @@ object Metrics {
 
     // identical semantics, identical oracle — the native aggregate must
     // reproduce the composed sketch bit-for-bit (including reg_md5)
-    "q_sketch_hll_native" -> LlmOps.oracle("q_sketch_hll"),
+    "q_sketch_hll_native" -> LlmMedia.oracle("q_sketch_hll"),
 
     "q_shard_rebalance" ->
       s"""WITH h AS (

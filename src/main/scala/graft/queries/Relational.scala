@@ -1242,10 +1242,13 @@ object Relational {
     // vertex space. The oracle unrolls the identical iterations in SQL —
     // decimal-summed contributions make both engines bit-equal.
     "q_pagerank" -> ((s, dir) => {
+      // ckpt before mirroring: the union below references `pairs` twice,
+      // and un-materialized that doubles the lineitem scan + distinct
+      import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
           (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct()
+        .distinct().ckpt()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       graft.operators.PageRank.run(edges, 3)
@@ -1261,10 +1264,13 @@ object Relational {
     // rank 0 — the asymmetry that distinguishes PPR from the uniform
     // teleport.
     "q_ppr" -> ((s, dir) => {
+      // ckpt before mirroring (see q_pagerank) — `pairs` feeds the union
+      // twice plus the seed set
+      import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
           (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct()
+        .distinct().ckpt()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       val seeds = pairs.select(col("sv").as("v")).distinct()
@@ -1563,10 +1569,12 @@ object Relational {
     // frontier-only expansion; the oracle unrolls the identical rounds
     // (UNION + min-regroup per round).
     "q_bfs" -> ((s, dir) => {
+      // ckpt before mirroring (see q_pagerank)
+      import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
           (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct()
+        .distinct().ckpt()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       val seeds = pairs.where(col("sv") % 7 === 0).select(col("sv").as("v"))
@@ -1589,10 +1597,12 @@ object Relational {
     // integer; the display value divides once at the end. Bounded
     // 3-hop neighborhood — the documented contract, same as q_bfs.
     "q_closeness" -> ((s, dir) => {
+      // ckpt before mirroring (see q_pagerank)
+      import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
           (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct()
+        .distinct().ckpt()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       val seeds = pairs.where(col("sv") % 7 === 0)

@@ -59,6 +59,64 @@ object Wave40 {
       .selectExpr("CAST(u AS BIGINT) AS u", "CAST(v AS BIGINT) AS v")
   }
 
+  /** Full k-core decomposition by synchronous h-index iteration (Lü et
+    * al. '16): c₀ = degree; per round every vertex lowers c to the
+    * h-index of its neighbors' values; the fixpoint is exactly the core
+    * number. Per round: ONE neighbor join + a per-vertex window (local
+    * O(deg log deg) sort — max degree bounded by the basket cap) + the
+    * min update; state is one (v, c) row per vertex.
+    *
+    * ROUND CONTRACT (GraphScaleSpec): the iteration converges in rounds =
+    * the graph's value-unraveling depth, which for hub-dominated /
+    * clique-ish corpora is small (pendant fringes collapse in ONE
+    * simultaneous round), but an adversarial PATH hanging off a core
+    * unravels one vertex per round from each end — a 10⁴-link chain needs
+    * ~5·10³ rounds, which NO synchronous exact-coreness algorithm beats
+    * (the decay is a genuine data dependency, not a plan artifact). The
+    * operator therefore fails LOUDLY via `require` at `maxRounds` instead
+    * of returning a silently-wrong partial decomposition; callers that
+    * expect chain-shaped graphs belong at the fixed-k [[graft.operators.KCore]]
+    * membership test or the peeling LADDER (q_densest_subgraph), both of
+    * which bound rounds by construction.
+    *
+    * @return coreness histogram (coreness, n_vertices, sum_v) — the
+    *   sum-of-vertex-ids checksum pins the exact assignment. */
+  private[graft] def corenessHistogram(edges: DataFrame,
+                                       maxRounds: Int = CorenessRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.ckpt()
+    val sym = e0.select(col("u").as("v"), col("v").as("n"))
+      .unionByName(e0.select(col("v").as("v"), col("u").as("n")))
+      .ckpt()
+    var c = sym.groupBy("v").agg(count(lit(1)).cast("long").as("c")).ckpt()
+    var round = 0
+    var moved = 1L
+    while (moved > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"coreness did not converge in $maxRounds rounds")
+      val nb = sym.join(c.select(col("v").as("n"), col("c").as("cn")), "n")
+        .select(col("v"), col("cn"))
+      val h = nb.withColumn("rn", row_number().over(
+          Window.partitionBy("v").orderBy(desc("cn"))).cast("long"))
+        .groupBy("v").agg(max(least(col("rn"), col("cn"))).as("h"))
+      // the previous value rides through as `co` so convergence is a
+      // column compare over the just-materialized blocks
+      val nxt = c.join(h, "v")
+        .select(col("v"), least(col("c"), col("h")).as("c"),
+          col("c").as("co")).ckpt()
+      moved = graft.operators.Ckpt.fastCount(
+        nxt.where(col("c") =!= col("co")))
+      c = nxt.select("v", "c")
+    }
+    c.groupBy(col("c").as("coreness"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("sum_v"))
+      .selectExpr("CAST(coreness AS BIGINT) AS coreness",
+        "CAST(n_vertices AS BIGINT) AS n_vertices",
+        "CAST(sum_v AS BIGINT) AS sum_v")
+      .orderBy("coreness")
+  }
+
   val queries: Map[String, Q] = strictMap(
 
     // MULTI-PROBE LSH: the scored frame is built ONCE over the 9 probed
@@ -136,39 +194,8 @@ object Wave40 {
     // one (v, c) row per vertex; rounds are bounded and guarded. Output
     // is the coreness histogram with a sum-of-vertex-ids checksum so the
     // hash pins the exact assignment, not just the counts.
-    "q_coreness" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e0 = partEdges(s, dir).ckpt()
-      val sym = e0.select(col("u").as("v"), col("v").as("n"))
-        .unionByName(e0.select(col("v").as("v"), col("u").as("n")))
-        .ckpt()
-      var c = sym.groupBy("v").agg(count(lit(1)).cast("long").as("c")).ckpt()
-      var round = 0
-      var moved = 1L
-      while (moved > 0) {
-        round += 1
-        require(round <= CorenessRounds,
-          s"coreness did not converge in $CorenessRounds rounds")
-        val nb = sym.join(c.select(col("v").as("n"), col("c").as("cn")), "n")
-          .select(col("v"), col("cn"))
-        val h = nb.withColumn("rn", row_number().over(
-            Window.partitionBy("v").orderBy(desc("cn"))).cast("long"))
-          .groupBy("v").agg(max(least(col("rn"), col("cn"))).as("h"))
-        // the previous value rides through as `co` so convergence is a
-        // column compare over the just-materialized blocks
-        val nxt = c.join(h, "v")
-          .select(col("v"), least(col("c"), col("h")).as("c"),
-            col("c").as("co")).ckpt()
-        moved = nxt.where(col("c") =!= col("co")).count()
-        c = nxt.select("v", "c")
-      }
-      c.groupBy(col("c").as("coreness"))
-        .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("sum_v"))
-        .selectExpr("CAST(coreness AS BIGINT) AS coreness",
-          "CAST(n_vertices AS BIGINT) AS n_vertices",
-          "CAST(sum_v AS BIGINT) AS sum_v")
-        .orderBy("coreness")
-    }),
+    "q_coreness" -> ((s, dir) =>
+      corenessHistogram(partEdges(s, dir))),
 
     // STREAM MAPSTATE SINK: per-(user, type) cumulative counts emitted in
     // update mode per micro-batch; latest batch per key is the final

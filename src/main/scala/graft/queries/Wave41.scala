@@ -39,6 +39,38 @@ object Wave41 {
   /** Rich-club degree rungs (part-graph degrees are basket-capped small). */
   private val RichKs = Seq(1L, 2L, 3L, 4L)
 
+  /** The φ(k) rich-club ladder over an undirected canonical edge list —
+    * factored out so GraphScaleSpec can pin it on planted graphs. NO
+    * loop: one projection + one degree pass (both ckpt'd), then the
+    * 4-rung ladder rides two aggregations (vertices and edges each cross
+    * the tiny rung table once — |V|·4 and |E|·4 rows, partial-agg'd), so
+    * rounds/cardinality are constant regardless of graph shape. */
+  private[graft] def richClubLadder(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edges.ckpt()
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+      .ckpt()
+    val ks = broadcast(RichKs.toDF("k"))
+    val nk = deg.crossJoin(ks).where(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val ekd = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val mk = ekd.crossJoin(ks)
+      .where(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("m"))
+    ks.join(nk, Seq("k"), "left_outer").na.fill(0L, Seq("n"))
+      .join(mk, Seq("k"), "left_outer").na.fill(0L, Seq("m"))
+      .selectExpr("CAST(k AS BIGINT) AS k",
+        "CAST(n AS BIGINT) AS club_size",
+        "CAST(m AS BIGINT) AS club_edges",
+        "CASE WHEN n >= 2 THEN round(CAST(2 * m AS DOUBLE) / (n * (n - 1)), 6)" +
+          " ELSE CAST(NULL AS DOUBLE) END AS phi")
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = strictMap(
 
     // RICH CLUB: one projection + one degree pass (both ckpt'd), then the
@@ -46,31 +78,8 @@ object Wave41 {
     // edges each cross the tiny rung table once (|V|·4 and |E|·4 rows,
     // partial-agg'd). φ(k) = 2·E_k / (n_k·(n_k−1)), NULL when the club
     // has < 2 members.
-    "q_rich_club" -> ((s, dir) => {
-      import s.implicits._
-      val e = Wave40.partEdges(s, dir).ckpt()
-      val deg = e.select(col("u").as("x"))
-        .unionAll(e.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("d"))
-        .ckpt()
-      val ks = broadcast(RichKs.toDF("k"))
-      val nk = deg.crossJoin(ks).where(col("d") > col("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
-      val ekd = e
-        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
-      val mk = ekd.crossJoin(ks)
-        .where(col("du") > col("k") && col("dv") > col("k"))
-        .groupBy("k").agg(count(lit(1)).as("m"))
-      ks.join(nk, Seq("k"), "left_outer").na.fill(0L, Seq("n"))
-        .join(mk, Seq("k"), "left_outer").na.fill(0L, Seq("m"))
-        .selectExpr("CAST(k AS BIGINT) AS k",
-          "CAST(n AS BIGINT) AS club_size",
-          "CAST(m AS BIGINT) AS club_edges",
-          "CASE WHEN n >= 2 THEN round(CAST(2 * m AS DOUBLE) / (n * (n - 1)), 6)" +
-            " ELSE CAST(NULL AS DOUBLE) END AS phi")
-        .orderBy("k")
-    }),
+    "q_rich_club" -> ((s, dir) =>
+      richClubLadder(s, Wave40.partEdges(s, dir))),
 
     // WEDGE CENSUS: W from one degree pass (Σ C(d,2) in BIGINT — degrees
     // are basket-capped, so wedge counts stay far under 2^63); T via the

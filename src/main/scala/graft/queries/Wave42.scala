@@ -162,7 +162,12 @@ object Wave42 {
           .option("checkpointLocation", s"$base/ckpt")
           .outputMode("append")
           .foreachBatch { (b: DataFrame, id: Long) =>
-            b.write.mode("append").parquet(s"$base/sink")
+            // batch-id-keyed dir, overwritten: a micro-batch RETRY (or
+            // speculative re-execution) rewrites its own dir instead of
+            // appending duplicate sessions — the idempotent-sink
+            // discipline of Wave43's snapshotSink; read-back unions the
+            // dirs via parquet partition discovery
+            b.write.mode("overwrite").parquet(s"$base/sink/batch=$id")
             ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -56,6 +56,18 @@ object Wave45 {
     * with path quantity-product q; reflexive (v, v, 1) included. */
   private[graft] def partAncestors(s: SparkSession, dir: String): DataFrame = {
     val parts = table(s, dir, "part").select(col("p_partkey").as("v"))
+    // Fail LOUDLY if a larger SF ever exceeds the depth the unrolled
+    // closure (and its SQL oracle twin) covers: parent = v div 10, so
+    // chain depth = digits(max key) − 1 and CloseRounds doubling rounds
+    // reach 2^CloseRounds hops. Previously this bound lived only in a
+    // comment and a violation would surface as an oracle hash mismatch
+    // (ADVICE r9); one scalar agg over the part dimension makes it a
+    // hard error instead.
+    val maxKey = Option(parts.agg(max(col("v"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(maxKey.toString.length - 1 <= (1 << CloseRounds),
+      s"part key $maxKey needs a parent chain deeper than 2^$CloseRounds; " +
+        "raise CloseRounds AND the oracle's unrolled rounds together")
     closeAncestors(
       parts.select(col("v"), col("v").as("a"), lit(1L).as("q"))
         .unionAll(parts.where(col("v") >= 10L)

@@ -52,7 +52,18 @@ object Wave56 {
 
   /** The synchronized deferred-acceptance rounds over a preference table
     * (p, a, rank, ascore) — factored out so the spec can run it to
-    * convergence and assert the no-blocking-pair property. */
+    * convergence and assert the no-blocking-pair property.
+    *
+    * POINTER DISCIPLINE (deliberate, oracle-shared): only losing
+    * PROPOSALS advance a proposer's rejection pointer; a DISPLACED
+    * incumbent keeps its pointer, so its next proposal goes back to the
+    * acceptor that just displaced it (and loses, advancing the pointer
+    * then). That burns one extra round per displacement versus the
+    * textbook count — `Rounds` is calibrated for this slower discipline,
+    * and the SQL oracle replays the identical recursion, so both engines
+    * converge at the same prefix (ADVICE r9: do not "fix" one side
+    * alone; changing the discipline means regenerating the oracle's
+    * unrolled rounds with it). */
   private[graft] def galeShapley(pf0: DataFrame, rounds: Int): DataFrame = {
     val pf = pf0.ckpt()
     val nSide = NSide

@@ -176,10 +176,14 @@ object Wave7 {
     // k·|ball| state (the q_closeness scale contract); top-20 by
     // dependency via TakeOrderedAndProject.
     "q_betweenness" -> ((s, dir) => {
+      // ckpt before mirroring: `pairs` feeds the union twice plus the
+      // seed derivation — un-materialized that triples the lineitem
+      // scan + distinct (the round-10 mirrored-union fix)
+      import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
           (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct()
+        .distinct().ckpt()
       val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
         .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
       val seeds = pairs.where(col("sv") % 7 === 0)

@@ -55,6 +55,13 @@ object GraftSqlShim {
     }
   }
 
+  /** Drain the async listener bus so a QueryExecutionListener registered
+    * by the caller has seen every completed execution (the bus delivers
+    * on its own thread; `waitUntilEmpty` is private[spark]). Used by
+    * PlanAudit's side-effecting-query capture. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
+
   /** private[sql] NormalizeFloatingNumbers.normalize: -0.0 → 0.0 and NaN
     * canonicalization, the same treatment Spark's own Aggregate/Window/
     * Join keys get — needed by custom grouping operators (TopKPerKeyExec)

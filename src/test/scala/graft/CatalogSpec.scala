@@ -20,6 +20,9 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Reference" -> Reference.queries.keySet,
       "Relational" -> Relational.queries.keySet,
       "LlmOps" -> LlmOps.queries.keySet,
+      "LlmDedup" -> LlmDedup.queries.keySet,
+      "LlmSim" -> LlmSim.queries.keySet,
+      "LlmMedia" -> LlmMedia.queries.keySet,
       "Analytics" -> Analytics.queries.keySet,
       "Retrieval" -> Retrieval.queries.keySet,
       "Geo" -> Geo.queries.keySet, "Graphs" -> Graphs.queries.keySet,
@@ -77,7 +80,10 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave56" -> Wave56.queries.keySet,
       "Wave57" -> Wave57.queries.keySet,
       "Wave58" -> Wave58.queries.keySet,
-      "Wave59" -> Wave59.queries.keySet)
+      "Wave59" -> Wave59.queries.keySet,
+      "Wave60" -> Wave60.queries.keySet,
+      "Wave61" -> Wave61.queries.keySet,
+      "Wave62" -> Wave62.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
