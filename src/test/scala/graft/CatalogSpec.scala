@@ -83,7 +83,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave59" -> Wave59.queries.keySet,
       "Wave60" -> Wave60.queries.keySet,
       "Wave61" -> Wave61.queries.keySet,
-      "Wave62" -> Wave62.queries.keySet)
+      "Wave62" -> Wave62.queries.keySet,
+      "Wave63" -> Wave63.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
