@@ -22,7 +22,7 @@ object Relational {
   /** q_triangles: minimum shared-order count for a co-purchase edge.
     * Uniform synthetic data makes the unweighted projection near-complete
     * (453k of 499k possible edges at sf0.1); ≥5 keeps ~10% of them. */
-  private val TriangleMinW = 5
+  private[queries] val TriangleMinW = 5
 
   /** DuckDB replay of [[graft.operators.LabelProp.run]] (3 rounds) on the
     * part↔supplier bipartite graph — CTE fragment ending in
@@ -58,14 +58,14 @@ object Relational {
     * per-basket pair fan-out at C(cap,2) — a degenerate "basket" holding a
     * million items (a bot account, a crawler session) would otherwise emit
     * 10¹² join rows; capped baskets carry no co-purchase signal anyway. */
-  private val PairMinSupport = 2
-  private val BasketCap = 64
+  private[queries] val PairMinSupport = 2
+  private[queries] val BasketCap = 64
 
   /** q_closeness: per-source BFS state is |seeds|·|3-hop ball|, so the
     * seed set must be a CONSTANT — the top-k trusted suppliers by degree
     * (not a constant fraction of the graph, which is Θ(|V|²) state at
     * scale). */
-  private val CloseSeedK = 32
+  private[queries] val CloseSeedK = 32
 
   /** q_luhn expression builder: Luhn digit sums over the 11 payload
     * digits (hex digit i of the md5, mod 10), doubling odd positions
@@ -73,7 +73,7 @@ object Relational {
     * (clean sum, sum with payload digit 5 bumped by one — the planted
     * single-digit corruption Luhn must always catch). `digit(i)` is the
     * per-engine hex-digit extractor over column `h`. */
-  private def luhnSums(digit: Int => String): (String, String) = {
+  private[queries] def luhnSums(digit: Int => String): (String, String) = {
     def dbl(d: String) = s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
     def term(i: Int, d: String) = if (i % 2 == 1) dbl(d) else d
     val clean = (1 to 11).map(i => term(i, digit(i))).mkString("(", " + ", ")")
@@ -89,9 +89,9 @@ object Relational {
   // the DOUBLE casts are exact; each IEEE op is correctly rounded from
   // identical inputs, so both engines produce bit-identical slopes — the
   // q_corr discipline applied to OLS.
-  private val SlopeExpr =
+  private[queries] val SlopeExpr =
     "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)"
-  private val InterceptExpr =
+  private[queries] val InterceptExpr =
     s"(CAST(sy AS DOUBLE) - ($SlopeExpr) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
 
   // ---- q_ewma: 8-lag EWMA kernel with INTEGER weights 2^7..2^0 over the
@@ -99,49 +99,49 @@ object Relational {
   // terms). Numerator and denominator are exact BIGINTs; the single
   // terminal division is the only float op. The expression strings are
   // generated once and fed verbatim to BOTH engines.
-  private val EwmaOver = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-  private def ewmaLag(k: Int): String =
+  private[queries] val EwmaOver = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+  private[queries] def ewmaLag(k: Int): String =
     if (k == 0) "v" else s"lag(v, $k) $EwmaOver"
-  private val EwmaNum = (0 to 7)
+  private[queries] val EwmaNum = (0 to 7)
     .map(k => s"coalesce((${ewmaLag(k)}) * ${1L << (7 - k)}, 0)")
     .mkString(" + ")
-  private val EwmaDen = (0 to 7)
+  private[queries] val EwmaDen = (0 to 7)
     .map(k => s"(CASE WHEN (${ewmaLag(k)}) IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END)")
     .mkString(" + ")
   /** value is quantized ×100, so ÷(den·100) lands back in value units. */
-  private val EwmaExpr =
+  private[queries] val EwmaExpr =
     s"round(CAST($EwmaNum AS DOUBLE) / CAST(($EwmaDen) * 100 AS DOUBLE), 4)"
 
   /** q_concurrency / q_join_interval interval length: 30 simulated
     * minutes in micros (also the overlap join's bin width — fan-out ≤ 2
     * bins per interval). */
-  private val ConcIntervalUs = 1800000000L
+  private[queries] val ConcIntervalUs = 1800000000L
 
   /** q_kanon: minimum group size a quasi-identifier combination must
     * reach to be released. */
-  private val KAnonK = 5L
+  private[queries] val KAnonK = 5L
 
   // ---- q_auc: the terminal Mann-Whitney division. two_sr = 2·ΣR⁺ (sum
   // of positives' AVERAGE ranks, doubled to stay integral on ties), so
   // AUC = (2·ΣR⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻); every operand is an exact
   // BIGINT < 2^53 and the single division is shared verbatim with the
   // oracle.
-  private val AucExpr =
+  private[queries] val AucExpr =
     "round(CAST(two_sr - npos*(npos+1) AS DOUBLE) / CAST(2*npos*(n - npos) AS DOUBLE), 6)"
 
   // ---- q_ttest: Welch's t-statistic over exact integer sums, as ONE
   // engine-identical expression (n1,s1,q1,n2,s2,q2 are BIGINT cohort
   // sums of the ×100-quantized value and its square — every sum < 2^53).
-  private def tMean(i: Int) = s"(CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))"
-  private def tVar(i: Int) =
+  private[queries] def tMean(i: Int) = s"(CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))"
+  private[queries] def tVar(i: Int) =
     s"((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))/CAST(nullif(n$i - 1, 0) AS DOUBLE))"
-  private val WelchTExpr =
+  private[queries] val WelchTExpr =
     s"((${tMean(1)} - ${tMean(2)}) / sqrt(${tVar(1)}/CAST(n1 AS DOUBLE) + ${tVar(2)}/CAST(n2 AS DOUBLE)))"
 
   // ---- q_zscore: (v − mean)/std from the same exact-integer sums (s, q,
   // n per group) — one shared expression; /100 scale factors cancel so
   // the z-score is already in standard units.
-  private val ZScoreExpr =
+  private[queries] val ZScoreExpr =
     """round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) /
       | sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/CAST(nullif(n - 1, 0) AS DOUBLE)), 4)""".stripMargin
 
@@ -769,28 +769,6 @@ object Relational {
         .orderBy("event_id")
     }),
 
-    // Batch sessionization (gap-based), the bounded-input twin of
-    // streaming.StreamOps.sessionize: lag → new-session flag → running sum
-    // as session id → per-session aggregates. Two windows + one groupBy,
-    // all partitioned by user (no global ops).
-    "q_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val gapUs = 30L * 60 * 1000000 // 30 min
-      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      table(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"), col("value"))
-        .withColumn("new_sess",
-          when(col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1L)
-            .otherwise(lit(0L)))
-        .withColumn("session_id", sum(col("new_sess")).over(run))
-        .groupBy("user_id", "session_id")
-        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-          count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
-        .orderBy("user_id", "session_id")
-    }),
-
     // CDC GENERATION (the inverse of q_cdc_apply): diff two snapshots into
     // an I/U/D change feed with one full-outer join — the feed a
     // downstream applyChanges consumer replays. The new snapshot is a
@@ -813,98 +791,6 @@ object Relational {
         .select(col("op"), col("c_custkey"), col("c_name"),
           round(col("c_acctbal"), 2).as("bal"))
         .orderBy("c_custkey", "op")
-    }),
-
-    // Time-series resampling with forward fill — the gap-fill pass behind
-    // metrics dashboards and feature stores: events land on a regular
-    // 6-hour grid per user; empty buckets carry the last observation
-    // forward (NULL before the first). The grid is users × global bucket
-    // span (one 1-row span agg exploded — no per-user scans) and the fill
-    // is the count-non-null group trick: two windows, no self-join, no
-    // per-gap search. Deterministic: the per-bucket observation tie-breaks
-    // on (us, event_id); the fill copies a single value (no arithmetic).
-    "q_resample_ffill" -> ((s, dir) => {
-      val bucketUs = 21600000000L // 6 h in micros
-      val w = Window
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"), col("value"))
-        .withColumn("bucket", expr(s"us div $bucketUs"))
-      val obs = ev.withColumn("rn", row_number().over(
-          w.partitionBy("user_id", "bucket")
-            .orderBy(col("us").desc, col("event_id").desc)))
-        .where(col("rn") === 1)
-        .select(col("user_id"), col("bucket"), col("value").as("obs"))
-      val span = ev.agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      val grid = ev.select("user_id").distinct()
-        .crossJoin(broadcast(span))
-        .select(col("user_id"), explode(expr("sequence(b0, b1)")).as("bucket"))
-      grid.join(obs, Seq("user_id", "bucket"), "left_outer")
-        .withColumn("grp", count(col("obs")).over(
-          w.partitionBy("user_id").orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("filled",
-          round(max(col("obs")).over(w.partitionBy("user_id", "grp")), 2))
-        .select(col("user_id"), col("bucket"), col("filled"),
-          when(col("obs").isNotNull, 1L).otherwise(0L).as("is_obs"))
-        .orderBy("user_id", "bucket")
-    }),
-
-    // The BUILT-IN gap sessionization (session_window — the same operator
-    // Structured Streaming uses for stateful sessions, here in batch):
-    // sessions merge while events fall inside [start, last + gap).
-    // Deliberately strict-boundary (an event at exactly last + gap starts
-    // a NEW session), which the oracle mirrors with `>= gap`; the custom
-    // twin q_sessionize uses `> gap` — both documented, each
-    // oracle-checked under its own rule.
-    "q_session_window" -> ((s, dir) =>
-      table(s, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
-        .select(col("user_id"),
-          unix_micros(col("w.start")).as("start_us"),
-          unix_micros(col("w.end")).as("end_us"),
-          col("n"), col("sum_value"))
-        .orderBy("user_id", "start_us")),
-
-    // Ordered-funnel analysis (view → click → purchase): per step, the
-    // user's earliest qualifying time must follow their earliest
-    // qualifying time for the previous step — min-ts aggs + equi joins on
-    // user_id, never a per-user event sort or collect. Each stage's input
-    // shrinks (filter by type, then semi-like join against survivors), so
-    // at 100 TB the funnel is three pruned shuffles, not an event replay.
-    "q_funnel" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val s1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("t1"))
-      val s2 = ev.where(col("event_type") === "click")
-        .join(s1, Seq("user_id")).where(col("us") > col("t1"))
-        .groupBy("user_id").agg(min(col("us")).as("t2"))
-      val s3 = ev.where(col("event_type") === "purchase")
-        .join(s2, Seq("user_id")).where(col("us") > col("t2"))
-        .groupBy("user_id").agg(min(col("us")).as("t3"))
-      ev.agg(count_distinct(col("user_id")).as("n_users"))
-        .crossJoin(s1.agg(count(lit(1)).as("n_view")))
-        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
-    }),
-
-    // Cohort retention: users grouped by first-active day, counted on each
-    // of the next 7 days they return. One distinct (user, day) pass, one
-    // min-agg for the cohort, one join — counts are exact integers.
-    "q_retention" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      ev.join(cohort, Seq("user_id"))
-        .select(col("cohort_day"),
-          datediff(col("day"), col("cohort_day")).cast("long").as("offset"),
-          col("user_id"))
-        .where(col("offset") <= 7)
-        .groupBy("cohort_day", "offset")
-        .agg(count_distinct(col("user_id")).as("n_users"))
-        .orderBy("cohort_day", "offset")
     }),
 
     // Fuzzy matching: vocabulary word pairs within levenshtein distance 2,
@@ -1235,50 +1121,6 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
     }),
 
-    // Graph-quality signal: PageRank over the bipartite part↔supplier
-    // graph from lineitem (the web-pipeline shape: host-level PageRank as
-    // a document quality prior). Three unrolled damped iterations via
-    // operators.PageRank; supplier ids offset by 10^6 into a shared
-    // vertex space. The oracle unrolls the identical iterations in SQL —
-    // decimal-summed contributions make both engines bit-equal.
-    "q_pagerank" -> ((s, dir) => {
-      // ckpt before mirroring: the union below references `pairs` twice,
-      // and un-materialized that doubles the lineitem scan + distinct
-      import graft.operators.Ckpt._
-      val pairs = table(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct().ckpt()
-      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
-        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
-      graft.operators.PageRank.run(edges, 3)
-        .select(col("v"), round(col("r"), 6).as("rank"))
-        .orderBy("v")
-    }),
-
-    // Personalized (topic-sensitive) PageRank: teleport mass lands ONLY
-    // on the supplier vertices — ranks measure proximity to the trusted
-    // seed side (the TrustRank curation shape: seed a vetted domain list,
-    // rank everything by seed-proximity). Same unrolled-iteration oracle
-    // technique as q_pagerank; vertices unreachable from the seeds keep
-    // rank 0 — the asymmetry that distinguishes PPR from the uniform
-    // teleport.
-    "q_ppr" -> ((s, dir) => {
-      // ckpt before mirroring (see q_pagerank) — `pairs` feeds the union
-      // twice plus the seed set
-      import graft.operators.Ckpt._
-      val pairs = table(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct().ckpt()
-      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
-        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
-      val seeds = pairs.select(col("sv").as("v")).distinct()
-      graft.operators.PageRank.runPersonalized(edges, 3, seeds)
-        .select(col("v"), col("s"), round(col("r"), 6).as("rank"))
-        .orderBy("v")
-    }),
-
     // Per-key p99 anomaly flagging: the event-analytics twin of the
     // perplexity gate — thresholds computed PER event_type by the
     // distributed Percentiles operator (no whole-group buffer), events
@@ -1302,25 +1144,6 @@ object Relational {
         .orderBy("event_type")
     }),
 
-    // Community detection via SYNCHRONOUS label propagation
-    // (operators.LabelProp) over the same part-supplier graph as
-    // q_pagerank: deterministic sweep (most frequent neighbor label, ties
-    // to smallest) makes LPA a pure function of the graph, so the oracle
-    // unrolls the identical rounds — the async textbook variant is
-    // update-order-dependent and unverifiable. Output: community sizes.
-    "q_communities" -> ((s, dir) => {
-      val pairs = table(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct()
-      graft.operators.LabelProp
-        .run(pairs.select(col("p").as("src"), col("sv").as("dst")), 3)
-        .groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"),
-          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
-        .orderBy("community")
-    }),
-
     // Semi-structured ingestion: schema-on-read over the JSON `props`
     // column with from_json (codegen'd Jackson parse, no UDF), then a
     // standard partial-agg rollup. At 100 TB the parse happens map-side
@@ -1336,55 +1159,6 @@ object Relational {
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
-
-    // Triangle counting over the supplier co-purchase graph (suppliers
-    // sharing ≥ TriangleMinW orders — the weight threshold drops the
-    // noise floor of one-off co-occurrences, which in a uniform corpus
-    // make the projection near-complete and any triangle algorithm
-    // quadratic-ish; affinity edges are the graph a pipeline would
-    // actually mine). Edges are oriented low→high by (degree, id), so
-    // the oriented graph is a DAG and every triangle is counted exactly
-    // once at its unique two-out-edge apex — the classic O(E^1.5) bound:
-    // orientation caps wedge fan-out at O(sqrt E) even for power-law
-    // hubs, where the naive per-vertex wedge join is quadratic in the hub
-    // degree. The oracle counts the same triangles with the three-way
-    // a<b<c join (order-free semantics, fine at oracle scale).
-    "q_triangles" -> ((s, dir) => {
-      val os = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      // und has THREE consumers (degree build, orientation, the closing
-      // edge join) and oriented/deg two each — materialize the shared
-      // subplans once (the q_jaccard_sim discipline) instead of
-      // re-executing the co-purchase projection per consumer
-      val und = os.alias("a").join(os.alias("b"), Seq("ok"))
-        .where(col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= TriangleMinW).select("u", "v")
-        .ckpt()
-      val deg = und.select(col("u").as("x"))
-        .unionAll(und.select(col("v").as("x")))
-        .groupBy("x").agg(count(lit(1)).as("d"))
-        .ckpt()
-      val withDeg = und
-        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
-      val oriented = withDeg.select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          struct(col("u").as("s"), col("v").as("t")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"))
-        .ckpt()
-      // apex wedges (s; t1 < t2 by id) closed by the canonical u<v edge set
-      val tri = oriented.alias("e1").join(oriented.alias("e2"), Seq("s"))
-        .where(col("e1.t") < col("e2.t"))
-        .join(und, col("e1.t") === col("u") && col("e2.t") === col("v"))
-        .agg(count(lit(1)).as("n_triangles"))
-      deg.agg(count(lit(1)).as("n_vertices"))
-        .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(tri)
-    }),
 
     // Multimodal: documents ⋈ embeddings with an opaque binary view of the
     // payload (the pattern for image/audio columns: binary + typed metadata).
@@ -1496,129 +1270,6 @@ object Relational {
         .orderBy("lang")
     }),
 
-    // Winsorization (robust clipping): per event_type, clamp values into
-    // [p05, p95] and report how much mass moved — the feature-engineering
-    // staple before scale-sensitive models. Thresholds come from ONE
-    // Percentiles.exact pass (both ps share the rank shuffle); the clip
-    // comparisons carry the q_anomalies relative epsilon, and the
-    // thresholds are output-safe because the oracle replays the engine's
-    // interpolation formula (bit-identical lo/hi both engines).
-    "q_winsorize" -> ((s, dir) => {
-      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
-      val thr = graft.operators.Percentiles
-        .exact(ev, "event_type", "value", Seq(0.05, 0.95))
-        .groupBy("event_type")
-        .agg(max(when(col("p") < 0.5, col("q"))).as("lo"),
-          max(when(col("p") > 0.5, col("q"))).as("hi"))
-      val eps = (c: org.apache.spark.sql.Column) =>
-        lit(1e-9) * greatest(abs(c), lit(1.0))
-      ev.where(col("value").isNotNull).join(broadcast(thr), "event_type")
-        .withColumn("clip_lo", col("value") < col("lo") - eps(col("lo")))
-        .withColumn("clip_hi", col("value") > col("hi") + eps(col("hi")))
-        .withColumn("w", when(col("clip_lo"), col("lo"))
-          .when(col("clip_hi"), col("hi")).otherwise(col("value")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("clip_lo"), 1L).otherwise(0L)).as("n_lo"),
-          sum(when(col("clip_hi"), 1L).otherwise(0L)).as("n_hi"),
-          round(dsum(col("value"), 4) / count(lit(1)), 4).as("mean_before"),
-          round(dsum(col("w"), 4) / count(lit(1)), 4).as("mean_after"),
-          round(max(col("lo")), 4).as("lo"), round(max(col("hi")), 4).as("hi"))
-        .orderBy("event_type")
-    }),
-
-    // Robust outlier detection: median / MAD (median absolute deviation)
-    // per event_type — two COMPOSED passes of the distributed Percentiles
-    // selection (median of values, then median of |value − median|), so
-    // no whole-group buffer exists at either level. The outlier rule
-    // |v − med| > 3·mad carries the same relative epsilon as q_anomalies
-    // (interpolation ulps can't flip a count); med/mad are output-safe
-    // because the oracle replays the engine's exact interpolation formula
-    // (bit-identical doubles), not quantile_cont.
-    "q_mad_outliers" -> ((s, dir) => {
-      val ev = table(s, dir, "events").select(col("event_type"), col("value"))
-      val med = graft.operators.Percentiles
-        .exact(ev, "event_type", "value", Seq(0.5))
-        .select(col("event_type"), col("q").as("med"))
-      // dev feeds BOTH the second Percentiles selection (which itself
-      // reads it twice: rank pass + count pass) and the final aggregate —
-      // materialize once instead of re-running the events scan + med join
-      // per consumer (plan audit r7: 51 Exchanges before, mostly repeats)
-      val dev = ev.join(broadcast(med), "event_type")
-        .select(col("event_type"), col("med"),
-          abs(col("value") - col("med")).as("d"))
-        .ckpt()
-      val mad = graft.operators.Percentiles
-        .exact(dev, "event_type", "d", Seq(0.5))
-        .select(col("event_type"), col("q").as("mad"))
-      dev.join(broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("d") >
-            lit(3.0) * col("mad") + lit(1e-9) * greatest(col("mad"), lit(1.0)),
-            1L).otherwise(0L)).as("n_out"),
-          round(max(col("med")), 4).as("med"),
-          round(max(col("mad")), 4).as("mad"))
-        .orderBy("event_type")
-    }),
-
-    // Bounded-round multi-source BFS (operators.Bfs) over the same
-    // part-supplier graph as q_pagerank: hop distance from the seed
-    // suppliers (sv ≡ 0 mod 7) — the link-distance quality prior of
-    // web curation ("≤ k hops from a trusted seed"). Integer-only state,
-    // frontier-only expansion; the oracle unrolls the identical rounds
-    // (UNION + min-regroup per round).
-    "q_bfs" -> ((s, dir) => {
-      // ckpt before mirroring (see q_pagerank)
-      import graft.operators.Ckpt._
-      val pairs = table(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct().ckpt()
-      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
-        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
-      val seeds = pairs.where(col("sv") % 7 === 0).select(col("sv").as("v"))
-      graft.operators.Bfs.run(edges, seeds, 3).orderBy("v")
-    }),
-
-    // Harmonic closeness centrality from a BOUNDED seed set, on the
-    // per-source BFS (Bfs.perSource — all seeds advance in ONE
-    // frontier×edges join per round, batching k traversals into one job).
-    // Per-source BFS state is Σ per-seed reachable sets ≈ |seeds|·|ball|,
-    // so the seed set MUST be a constant, not a constant FRACTION of the
-    // graph (a mod-7 filter alone would make state ~|V|²/7 at scale —
-    // the r5 plan audit's one real scale-killer): the contract here is
-    // the k = CloseSeedK highest-degree trusted suppliers (deterministic
-    // degree-desc, id-asc tie-break), the "closeness of the top hubs"
-    // question that k-source BFS is actually affordable for. Unbounded
-    // all-vertex closeness belongs to the HLL estimate machinery
-    // (q_hyperanf / Boldi-Vigna), not exact BFS. Harmonic sum over
-    // d ∈ {1..3} is kept EXACT by scaling: h6 = Σ 6/d ∈ {6,3,2} is pure
-    // integer; the display value divides once at the end. Bounded
-    // 3-hop neighborhood — the documented contract, same as q_bfs.
-    "q_closeness" -> ((s, dir) => {
-      // ckpt before mirroring (see q_pagerank)
-      import graft.operators.Ckpt._
-      val pairs = table(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          (col("l_suppkey") + 1000000L).as("sv"))
-        .distinct().ckpt()
-      val edges = pairs.select(col("p").as("src"), col("sv").as("dst"))
-        .unionByName(pairs.select(col("sv").as("src"), col("p").as("dst")))
-      val seeds = pairs.where(col("sv") % 7 === 0)
-        .groupBy("sv").agg(count(lit(1)).as("dg"))
-        .orderBy(desc("dg"), asc("sv")).limit(CloseSeedK)
-        .select(col("sv").as("seed"))
-      graft.operators.Bfs.perSource(edges, seeds, 3)
-        .where(col("dist") > 0)
-        .groupBy("seed")
-        .agg(count(lit(1)).as("n_reached"),
-          sum(expr("6 div dist")).as("h6"))
-        .select(col("seed"), col("n_reached"), col("h6"),
-          expr("round(CAST(h6 AS DOUBLE) / 6, 6)").as("closeness"))
-        .orderBy("seed")
-    }),
-
     // CDC changelog apply: a base snapshot (customer) plus an I/U/D
     // changelog (events as the change stream; op derived deterministically
     // from event_id) folded into the current table state — latest change
@@ -1714,69 +1365,6 @@ object Relational {
         .orderBy("col_name")
     }),
 
-    // TPC-H Q3 (shipping priority): the classic dim-filter → fact-fact
-    // join → grouped revenue → top-10 shape. customer is a broadcast dim
-    // (the segment filter makes it tiny); orders ⋈ lineitem shuffles once
-    // on the order key with both date filters PUSHED to the scans; the
-    // top-10 compiles to TakeOrderedAndProject (k rows per partition cross
-    // the final exchange, no global sort materialization). Revenue is a
-    // decimal-exact sum, and the (revenue desc, orderkey asc) order is
-    // total — the limit boundary cannot flip between engines.
-    "q_tpch_q3" -> ((s, dir) => {
-      val cust = table(s, dir, "customer")
-        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      val ord = table(s, dir, "orders")
-        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-      val li = table(s, dir, "lineitem")
-        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-          .as("revenue"))
-        .orderBy(desc("revenue"), asc("l_orderkey"))
-        .limit(10)
-    }),
-
-    // Per-group mode (most frequent value) with a deterministic tie-break:
-    // two partial-agg'd aggregations — (status, priority) counts, then an
-    // argmax as min(struct(-count, value)) — never a window sort over the
-    // raw rows. The same shape LabelProp uses per vertex: a group with
-    // 10¹⁰ rows contributes |distinct values| rows to the second shuffle.
-    "q_mode" -> ((s, dir) =>
-      table(s, dir, "orders")
-        .groupBy("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("o_orderstatus")
-        .agg(min(struct((-col("cnt")).as("nc"),
-            col("o_orderpriority").as("p"))).as("m"),
-          sum(col("cnt")).cast("long").as("n_rows"))
-        .select(col("o_orderstatus"), col("m.p").as("mode_priority"),
-          (-col("m.nc")).cast("long").as("mode_cnt"), col("n_rows"))
-        .orderBy("o_orderstatus")),
-
-    // Grouped simple OLS (y = intercept + slope·x): extendedprice against
-    // quantity per returnflag, from five exact INTEGER power sums (price
-    // quantized ×100, quantity integral) — the q_corr determinism
-    // discipline for regression. One partial-agg'd aggregation carries the
-    // whole fit; the terminal slope/intercept expressions are shared
-    // verbatim with the oracle. Built-in regr_slope accumulates doubles in
-    // partition order and cannot hash-match across engines.
-    "q_regression" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
-          expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)").as("y"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(expr("x*y")).as("sxy"),
-          sum(expr("x*x")).as("sxx"))
-        .withColumn("slope", round(expr(SlopeExpr), 6))
-        .withColumn("intercept", round(expr(InterceptExpr), 6))
-        .select("l_returnflag", "n", "slope", "intercept")
-        .orderBy("l_returnflag")),
-
     // Wide→long reshaping via the first-class unpivot (melt) operator:
     // per-returnflag decimal-exact measure sums unpivoted to (group,
     // measure, val) rows. Unpivot plans as a narrow Expand over the
@@ -1791,217 +1379,6 @@ object Relational {
         .unpivot(Array(col("l_returnflag")),
           Array(col("qty"), col("price"), col("disc")), "measure", "val")
         .orderBy("l_returnflag", "measure")),
-
-    // 8-lag integer-kernel EWMA per user over event time — the time-series
-    // smoothing twin of q_resample_ffill. One window shuffle on user_id
-    // (parallel across users, a user's history bounded by its own events);
-    // all 16 lag terms share one window spec so the plan carries a single
-    // Window node. Exact integer numerator/denominator, one terminal
-    // division, expression strings shared verbatim with the oracle.
-    "q_ewma" -> ((s, dir) =>
-      table(s, dir, "events")
-        .selectExpr("user_id", "event_id", "ts",
-          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
-        .selectExpr("user_id", "event_id", s"$EwmaExpr AS ewma")
-        .orderBy("user_id", "event_id")),
-
-    // Maximum-drawdown profile of the daily purchase-revenue equity
-    // curve — the risk statistic every monitoring dashboard derives from
-    // a cumulative series. Integer cents throughout; the running-sum and
-    // running-max windows sit on the AGGREGATED daily table (≤ one row
-    // per day — the corpus collapses in the one partial-agg'd shuffle
-    // first), so the unpartitioned window is constant-size at any scale.
-    "q_drawdown" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = table(s, dir, "events")
-        .where(col("event_type") === "purchase")
-        .selectExpr("unix_micros(ts) div 86400000000 AS day",
-          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
-        .groupBy("day").agg(sum("v").as("rev"))
-      val w = Window.orderBy("day")
-      daily
-        .withColumn("equity", sum("rev").over(w))
-        .withColumn("peak", max("equity").over(w))
-        .withColumn("dd", col("peak") - col("equity"))
-        .select("day", "rev", "equity", "peak", "dd")
-        .orderBy("day")
-    }),
-
-    // Frequent co-occurring item pairs (the a-priori first pass /
-    // market-basket shape): baskets = orders, items = distinct parts per
-    // order, pairs generated by a self-join WITHIN basket only — Σ C(b,2)
-    // rows, never corpus × corpus — then support-filtered. Baskets larger
-    // than BasketCap are dropped (mirrored in the oracle): a degenerate
-    // million-item basket would emit 10¹² pairs and carries no
-    // co-occurrence signal — the same cap discipline as the LSH band
-    // buckets.
-    "q_freq_pairs" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
-        .where(col("bsz") <= BasketCap).select("ok")
-      val bb = b.join(small, "ok")
-      bb.select(col("ok"), col("pk").as("p1"))
-        .join(bb.select(col("ok"), col("pk").as("p2")), "ok")
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
-        .where(col("support") >= PairMinSupport)
-        .orderBy("p1", "p2")
-    }),
-
-    // A-priori second pass: frequent TRIPLES from the frequent-pair
-    // lattice. Candidates join L2 with itself on the first item and are
-    // pruned by anti-monotonicity (all three sub-pairs must be frequent
-    // — a semi-join, no support counting wasted on hopeless triples);
-    // only then is support counted, via three basket equi-joins that
-    // touch candidate rows, never C(b,3) enumeration. The classic
-    // candidate-generation discipline that keeps frequent-itemset mining
-    // affordable at any corpus size (at sf0.01: 3445 pairs → 61
-    // candidates → 12 frequent triples).
-    "q_freq_triples" -> ((s, dir) => {
-      val b = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val small = b.groupBy("ok").agg(count(lit(1)).as("bsz"))
-        .where(col("bsz") <= BasketCap).select("ok")
-      // bb has FIVE consumers (both l2 self-join sides + three basket
-      // equi-joins) and l2 three (both candidate sides + the prune
-      // semi-join) — materialize each once (plan audit r7: 34 Exchanges
-      // before, mostly replays of the capped-basket join)
-      val bb = b.join(small, "ok").ckpt()
-      val l2 = bb.select(col("ok"), col("pk").as("p1"))
-        .join(bb.select(col("ok"), col("pk").as("p2")), "ok")
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("w"))
-        .where(col("w") >= PairMinSupport).select("p1", "p2")
-        .ckpt()
-      val c3 = l2.alias("x")
-        .join(l2.alias("y"),
-          col("x.p1") === col("y.p1") && col("x.p2") < col("y.p2"))
-        .select(col("x.p1").as("p1"), col("x.p2").as("p2"),
-          col("y.p2").as("p3"))
-        .join(l2.select(col("p1").as("p2"), col("p2").as("p3")),
-          Seq("p2", "p3"), "left_semi")
-      c3.join(bb.select(col("ok"), col("pk").as("p1")), "p1")
-        .join(bb.select(col("ok"), col("pk").as("p2")), Seq("ok", "p2"))
-        .join(bb.select(col("ok"), col("pk").as("p3")), Seq("ok", "p3"))
-        .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("support"))
-        .where(col("support") >= PairMinSupport)
-        .orderBy("p1", "p2", "p3")
-    }),
-
-    // Sweep-line interval concurrency (peak concurrent sessions): each
-    // event opens a 30-minute half-open interval; ±1 deltas ordered by
-    // (t, delta, event_id) — ends sort before starts at the same instant
-    // (the [s,e) convention) and the tie-break makes the running sum's
-    // intermediate values deterministic. One window shuffle per
-    // event_type (parallel across types); peak and its first-attained
-    // time come from a tiny join-back, not a second data pass. Pure
-    // integer arithmetic end to end.
-    "q_concurrency" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("st"))
-        .withColumn("en", col("st") + ConcIntervalUs)
-      val pts = ev.select(col("event_type"), col("st").as("t"),
-          lit(1L).as("d"), col("event_id"))
-        .unionByName(ev.select(col("event_type"), col("en").as("t"),
-          lit(-1L).as("d"), col("event_id")))
-      val w = Window.partitionBy("event_type").orderBy("t", "d", "event_id")
-      val run = pts.withColumn("c", sum("d").over(w))
-      val peak = run.groupBy("event_type").agg(max(col("c")).as("peak"),
-        (count(lit(1)) / 2).cast("long").as("n_intervals"))
-      run.join(peak, "event_type")
-        .where(col("c") === col("peak"))
-        .groupBy("event_type")
-        .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_at"),
-          max(col("n_intervals")).as("n_intervals"))
-        .orderBy("event_type")
-    }),
-
-    // First-order Markov transitions between event types per user (the
-    // user-journey transition matrix): lead() over each user's event-time
-    // order pairs consecutive events; pair counts partial-aggregate
-    // map-side, and the per-source normalizer is a second tiny aggregate
-    // joined back — never a window over the raw pair rows. The transition
-    // probability is the single terminal division.
-    "q_transitions" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = table(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("from_type"))
-        .withColumn("to_type", lead(col("from_type"), 1).over(w))
-        .where(col("to_type").isNotNull)
-      val cnt = pairs.groupBy("from_type", "to_type")
-        .agg(count(lit(1)).as("cnt"))
-      val tot = cnt.groupBy("from_type").agg(sum(col("cnt")).as("tot"))
-      cnt.join(broadcast(tot), "from_type")
-        .select(col("from_type"), col("to_type"), col("cnt"),
-          round(expr("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)"), 6).as("p"))
-        .orderBy("from_type", "to_type")
-    }),
-
-    // Welch's two-sample t-statistic per event_type (even vs odd user
-    // cohorts — the A/B-test read-out): six exact integer sums (n, Σv,
-    // Σv² per cohort, value ×100-quantized, all < 2^53) in ONE
-    // partial-agg'd pass, then the t-statistic as one shared IEEE
-    // expression — the q_corr determinism discipline for inference.
-    // Built-in stddev/var accumulate doubles in partition order and
-    // cannot hash-match.
-    "q_ttest" -> ((s, dir) =>
-      table(s, dir, "events")
-        .selectExpr("event_type", "user_id % 2 = 0 AS grp_a",
-          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
-        .groupBy("event_type")
-        .agg(sum(when(col("grp_a"), 1L).otherwise(0L)).as("n1"),
-          sum(when(col("grp_a"), col("v"))).as("s1"),
-          sum(when(col("grp_a"), expr("v*v"))).as("q1"),
-          sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n2"),
-          sum(when(!col("grp_a"), col("v"))).as("s2"),
-          sum(when(!col("grp_a"), expr("v*v"))).as("q2"))
-        .select(col("event_type"), col("n1"), col("n2"),
-          round(expr(s"${tMean(1)} / 100"), 4).as("mean1"),
-          round(expr(s"${tMean(2)} / 100"), 4).as("mean2"),
-          round(expr(WelchTExpr), 4).as("t_stat"))
-        .orderBy("event_type")),
-
-    // Z-score feature normalization per event_type — the standard ML
-    // preprocessing pass: group mean/std from the exact integer sums
-    // (q_ttest's state), broadcast back, then one narrow codegen'd map
-    // over the rows. The ×100 quantization scale cancels in
-    // (v − mean)/std, so z is already standard units. At 100 TB: one
-    // tiny agg shuffle + a shuffle-free normalize pass.
-    "q_zscore" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-        .selectExpr("event_id", "event_type",
-          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
-      val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
-        sum(col("v")).as("s"), sum(expr("v*v")).as("q"))
-      ev.join(broadcast(stats), "event_type")
-        .select(col("event_id"), col("event_type"),
-          expr(ZScoreExpr).as("z"))
-        .orderBy("event_id")
-    }),
-
-    // Quantile (percentile-rank) normalization per event_type — the
-    // rank-based scaler robust to outliers: pr = (rk − 1)/(n − 1) over
-    // the UNIQUE (v, event_id) order via `Ranks.withinKey`, so a group
-    // of any size ranks across partitions (no single-task sort) and ties
-    // carry the deterministic event_id break. Integer rank, ONE terminal
-    // division.
-    "q_quantile_normalize" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-        .selectExpr("event_id", "event_type",
-          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
-      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      graft.operators.Ranks.withinKey(ev, "event_type", Seq("v", "event_id"))
-        .join(broadcast(n), "event_type")
-        .select(col("event_id"), col("event_type"),
-          round(expr("CAST(rk - 1 AS DOUBLE) / CAST(nullif(n - 1, 0) AS DOUBLE)"), 6)
-            .as("pr"))
-        .orderBy("event_id")
-    }),
 
     // Interval-OVERLAP join (the two-sided sibling of q_join_range's
     // point-in-interval): every (click, purchase) interval pair of a user
@@ -2053,114 +1430,6 @@ object Relational {
         .orderBy("relationship")
     }),
 
-    // TPC-H Q5 (local supplier volume): the six-table join exercising the
-    // full star including the previously-light region/nation dims — fact
-    // shuffles once on the order key; customer/supplier/nation/region all
-    // broadcast (each shrinks before its join); the local-supplier
-    // condition (c_nationkey = s_nationkey) rides the supplier join as a
-    // second equi key. Decimal-exact revenue, (revenue desc, name) total
-    // order.
-    "q_tpch_q5" -> ((s, dir) => {
-      val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val ord = table(s, dir, "orders")
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        .select("o_orderkey", "o_custkey")
-      val li = table(s, dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(table(s, dir, "supplier")
-            .select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(table(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(table(s, dir, "region")
-            .where(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-          .as("revenue"))
-        .orderBy(desc("revenue"), asc("n_name"))
-    }),
-
-    // TPC-H Q7 (volume shipping): the same-dim-joined-TWICE shape — two
-    // broadcast instances of nation (supplier side, customer side) with
-    // the classic DISJUNCTIVE cross-pair predicate ((A,B) OR (B,A), here
-    // parity groups so every scale factor has rows). Fact shuffles once
-    // on the order key; customer/supplier/nation² broadcast; yearly
-    // revenue decimal-exact.
-    "q_tpch_q7" -> ((s, dir) => {
-      def natLabel(as: String, key: String) = table(s, dir, "nation")
-        .select(col("n_nationkey").as(key),
-          when(col("n_nationkey") % 2 === 0, "even").otherwise("odd").as(as))
-      table(s, dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-          "l_shipdate")
-        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(table(s, dir, "customer")
-          .select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(table(s, dir, "supplier")
-          .select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(natLabel("supp_nation", "n1_key")),
-          col("s_nationkey") === col("n1_key"))
-        .join(broadcast(natLabel("cust_nation", "n2_key")),
-          col("c_nationkey") === col("n2_key"))
-        .where((col("supp_nation") === "even" && col("cust_nation") === "odd") ||
-          (col("supp_nation") === "odd" && col("cust_nation") === "even"))
-        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-          .as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    }),
-
-    // TPC-H Q10 (returned-item reporting): lost revenue per customer over
-    // RETURNED lineitems — the returnflag filter is pushed to the fact
-    // scan, the fact shuffles once on the order key, customer broadcasts,
-    // and the top-20 compiles to TakeOrderedAndProject on a total
-    // (revenue desc, custkey) order.
-    "q_tpch_q10" -> ((s, dir) => {
-      table(s, dir, "lineitem")
-        .where(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(table(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-          .as("revenue"))
-        .orderBy(desc("revenue"), asc("c_custkey"))
-        .limit(20)
-    }),
-
-    // TPC-H Q18 (large-volume customers): the "HAVING subquery" shape —
-    // the fact self-aggregates to find big orders (partial agg map-side,
-    // decimal-exact, integral quantities so the > threshold boundary
-    // can't ulp-flip), then joins BACK to orders and a broadcast
-    // customer dim; top-10 via TakeOrderedAndProject on a total
-    // (totalprice desc, orderkey) order.
-    "q_tpch_q18" -> ((s, dir) => {
-      val big = table(s, dir, "lineitem")
-        .groupBy("l_orderkey").agg(dsum(col("l_quantity"), 2).as("sum_qty"))
-        .where(col("sum_qty") > 250.0)
-      big.join(table(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(table(s, dir, "customer")
-          .select("c_custkey", "c_name")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(10)
-    }),
-
     // Nested columnar round-trip: per-doc ordered token arrays of
     // structs written to parquet and read back — the one sink shape the
     // flat round-trips don't cover (array<struct<i,word>> column
@@ -2185,509 +1454,6 @@ object Relational {
           expr("md5(array_join(transform(toks, t -> t.word), ' '))")
             .as("words_md5"))
         .orderBy("doc_id")
-    }),
-
-    // DISCRETE percentiles (order statistics, no interpolation) — the
-    // convention twin of q_percentile's linear interpolation: the value
-    // AT rank ceil(p·n) in the (v, event_id) total order, selected on
-    // the distributed `Ranks.withinKey` rank (no whole-group buffer,
-    // same machinery as the continuous path). Integer rank targets, so
-    // the selection cannot ulp-flip; the oracle replays the identical
-    // rank rule rather than relying on any built-in's convention.
-    "q_percentile_disc" -> ((s, dir) => {
-      val ev = table(s, dir, "events").selectExpr("event_type", "event_id",
-        "CAST(floor(value*100 + 0.5) AS BIGINT) AS v")
-      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val ranked = graft.operators.Ranks
-        .withinKey(ev, "event_type", Seq("v", "event_id"))
-        .join(broadcast(n), "event_type")
-      val sels = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L))
-        .map { case (lbl, nu, de) =>
-          min(when(col("rk") === expr(s"($nu*n + ${de - 1}) div $de"),
-            col("v"))).as(s"v_$lbl")
-        }
-      ranked.groupBy("event_type")
-        .agg(max(col("n")).as("n"), sels: _*)
-        .select(col("event_type"), col("n"),
-          round(expr("CAST(v_p25 AS DOUBLE) / 100"), 2).as("p25"),
-          round(expr("CAST(v_p50 AS DOUBLE) / 100"), 2).as("p50"),
-          round(expr("CAST(v_p75 AS DOUBLE) / 100"), 2).as("p75"))
-        .orderBy("event_type")
-    }),
-
-    // K-anonymity enforcement over quasi-identifiers (segment ×
-    // generalized nation region): groups smaller than K are SUPPRESSED
-    // from the release — the structural privacy gate that complements
-    // q_scrub_pii's content scrubbing in a training-data pipeline. One
-    // partial-agg'd aggregation + a filter; generalization (nation → 5
-    // regions) is a narrow map.
-    "q_kanon" -> ((s, dir) =>
-      table(s, dir, "customer")
-        .select(col("c_mktsegment"),
-          (col("c_nationkey") % 5).cast("long").as("region"))
-        .groupBy("c_mktsegment", "region").agg(count(lit(1)).as("n"))
-        .where(col("n") >= KAnonK)
-        .orderBy("c_mktsegment", "region")),
-
-    // ROC AUC of "value predicts purchase" via the Mann-Whitney rank-sum
-    // identity: AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks on
-    // ties. Ranks come from the distributed `Ranks.withinKey` (constant
-    // key: the range partitioner spreads the total (v, event_id) order
-    // across tasks — a 10¹¹-row score column never sorts on one task);
-    // tied groups occupy contiguous rank runs, so the per-value
-    // (rmin, rmax, n⁺) aggregate reconstructs average ranks exactly:
-    // 2·ΣR⁺ = Σᵥ n⁺ᵥ·(rminᵥ+rmaxᵥ). Everything is BIGINT until the one
-    // terminal division (shared verbatim with the oracle) — the
-    // classifier-evaluation metric at any corpus size for two shuffles.
-    "q_auc" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
-        .selectExpr("event_id",
-          "CAST(floor(value*100 + 0.5) AS BIGINT) AS v",
-          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
-        .withColumn("k", lit(1))
-      graft.operators.Ranks.withinKey(ev, "k", Seq("v", "event_id"))
-        .groupBy("v")
-        .agg(min("rk").as("rmin"), max("rk").as("rmax"), sum("y").as("np"))
-        .agg(sum(expr("np*(rmin+rmax)")).as("two_sr"),
-          sum(col("np")).as("npos"),
-          sum(expr("rmax - rmin + 1")).as("n"))
-        .select(col("n"), col("npos"), expr("n - npos").as("nneg"),
-          expr(AucExpr).as("auc"))
-    }),
-
-    // Confusion matrix + threshold metrics ("value ≥ 100 predicts
-    // purchase"): TP/FP/FN/TN as one conditional-count pass (map-side
-    // partials, BIGINT), precision/recall/F1 as terminal divisions over
-    // exact integers — each IEEE op correctly rounded from identical
-    // inputs, the q_auc discipline. The classifier-eval staple next to
-    // AUC: one scan, constant state, any corpus size.
-    "q_confusion" -> ((s, dir) => {
-      table(s, dir, "events")
-        .selectExpr(
-          "CAST(CASE WHEN floor(value*100 + 0.5) >= 10000 THEN 1 ELSE 0 END AS BIGINT) AS p",
-          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
-        .agg(sum(expr("p*y")).as("tp"), sum(expr("p*(1-y)")).as("fp"),
-          sum(expr("(1-p)*y")).as("fn"), sum(expr("(1-p)*(1-y)")).as("tn"))
-        .selectExpr("tp", "fp", "fn", "tn",
-          "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision",
-          "round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall",
-          "round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 6) AS f1")
-    }),
-
-    // Calibration (reliability) bins: score deciles (5 000-cent buckets,
-    // clamped) vs empirical purchase rate — the reliability-diagram table
-    // a classifier evaluation publishes beside AUC. Means are terminal
-    // divisions of exact BIGINT sums; one partial-agg'd shuffle of ≤10
-    // groups.
-    "q_calibration" -> ((s, dir) => {
-      table(s, dir, "events")
-        .selectExpr("CAST(floor(value*100 + 0.5) AS BIGINT) AS v",
-          "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y")
-        .selectExpr("least(CAST(9 AS BIGINT), v DIV 5000) AS bin", "v", "y")
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("v").as("sv"))
-        .selectExpr("bin", "n", "n_pos",
-          "round(CAST(sv AS DOUBLE) / n / 100, 6) AS mean_score",
-          "round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos")
-        .orderBy("bin")
-    }),
-
-    // TPC-H Q13 (customer order distribution): the outer-join histogram —
-    // every customer counts, including the order-less ones a plain join
-    // would drop. The join and the per-customer count share the custkey
-    // shuffle (ReuseExchange); the histogram aggregation sees ≤ |distinct
-    // counts| rows. Total (custdist, c_count) descending order.
-    "q_tpch_q13" -> ((s, dir) =>
-      table(s, dir, "customer").select("c_custkey")
-        .join(table(s, dir, "orders")
-          .where(col("o_orderpriority") =!= "1-URGENT")
-          .select("o_custkey", "o_orderkey"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
-        .orderBy(desc("custdist"), desc("c_count"))),
-
-    // TPC-H Q15 (top supplier): revenue-per-supplier view + "equal to the
-    // max" selection, ties included. Revenue sums are exact decimals, so
-    // the max-equality join cannot ulp-miss a tied supplier; the 1-row
-    // max aggregate broadcasts back. Date predicate pushed to the scan.
-    "q_tpch_q15" -> ((s, dir) => {
-      val rev = table(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 6))).as("total_rev"))
-      rev.crossJoin(broadcast(rev.agg(max("total_rev").as("max_rev"))))
-        .where(col("total_rev") === col("max_rev"))
-        .join(broadcast(table(s, dir, "supplier")
-          .select("s_suppkey", "s_name")),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"),
-          col("total_rev").cast("double").as("total_revenue"))
-        .orderBy("s_suppkey")
-    }),
-
-    // TPC-H Q17 (small-quantity-order revenue): the correlated-average
-    // subquery, decorrelated into a per-part aggregate joined back. The
-    // threshold l_quantity < 0.2·avg(l_quantity) is evaluated as the
-    // integer cross-multiplication 5·q·n < sum (quantities are integral)
-    // — no float at the boundary in either engine. Only brand-filtered
-    // parts' lineitems enter the per-part aggregate, and the filter join
-    // broadcasts the tiny part list; one terminal ÷7 division.
-    "q_tpch_q17" -> ((s, dir) => {
-      val pli = table(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
-          col("l_extendedprice"))
-        .join(broadcast(table(s, dir, "part")
-          .where(col("p_brand") === "Brand#23" && col("p_size") <= 5)
-          .select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-      val pq = pli.groupBy("l_partkey")
-        .agg(sum("q").as("sq"), count(lit(1)).as("nq"))
-      pli.join(pq, "l_partkey")
-        .where(expr("5*q*nq < sq"))
-        .agg(count(lit(1)).as("n_li"),
-          round(dsum(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"))
-    }),
-
-    // TPC-H Q22 (global sales opportunity): above-average-balance
-    // customers with no RECENT orders (none since 1999 — the spec's
-    // "no orders for 7 years" intent; the corpus gives every customer at
-    // least one all-time order, so the literal no-orders anti set is
-    // empty at every sf) — LeftAnti against the date-filtered fact plus
-    // a global average threshold, compared as the integer
-    // cross-multiplication bal·n > sum over ×100-quantized balances (no
-    // float boundary). The 1-row threshold aggregate broadcasts; the
-    // anti join is the only fact shuffle.
-    "q_tpch_q22" -> ((s, dir) => {
-      val cust = table(s, dir, "customer")
-        .where(col("c_mktsegment").isin("MACHINERY", "BUILDING", "FURNITURE"))
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-          expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("bal_c"))
-      val thr = cust.where(col("bal_c") > 0)
-        .agg(sum("bal_c").as("sb"), count(lit(1)).as("nb"))
-      cust.join(table(s, dir, "orders")
-          .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
-          .select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .crossJoin(broadcast(thr))
-        .where(expr("bal_c * nb > sb"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("numcust"),
-          dsum(col("c_acctbal"), 2).as("totacctbal"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // ── The remaining 12 TPC-H queries, completing the 22-query suite ──
-    // The harness schema has no partsupp table and lineitem carries only
-    // l_shipdate (no commit/receipt dates, shipmode, container), so the
-    // queries that reference those columns are ADAPTED: the distinct
-    // (l_partkey, l_suppkey) pairs of lineitem stand in for partsupp,
-    // s_acctbal for ps_supplycost, shipped quantity for ps_availqty, and
-    // shipdate arithmetic for the commit/receipt lateness predicates.
-    // Every adaptation preserves the query's CHARACTERISTIC SHAPE — the
-    // correlated min subquery (Q2), the EXISTS semi join (Q4), the
-    // scalar-subquery threshold (Q11), the NOT-IN anti set (Q16), the
-    // double-EXISTS "last to ship" anti pattern (Q21) — which is what
-    // exercises the optimizer; the predicate constants only select rows.
-
-    // TPC-H Q2 (minimum-cost supplier, adapted): correlated MIN subquery
-    // decorrelated into a per-part aggregate joined back on (part, min).
-    // partsupp ≡ distinct shipped (part, supplier) pairs — ONE fact
-    // shuffle for the distinct; part filter and the EUROPE
-    // supplier×nation×region chain broadcast; the min table is ≤ |parts|
-    // rows so it broadcasts too. Balance equality is exact (untouched
-    // parquet doubles on both sides, no arithmetic).
-    "q_tpch_q2" -> ((s, dir) => {
-      val ps = table(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(table(s, dir, "part")
-          .where(col("p_size").between(10, 20) && col("p_type") === "LARGE")
-          .select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(table(s, dir, "supplier")
-          .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
-          .join(table(s, dir, "nation"),
-            col("s_nationkey") === col("n_nationkey"))
-          .join(table(s, dir, "region").where(col("r_name") === "EUROPE"),
-            col("n_regionkey") === col("r_regionkey"))
-          .select("s_suppkey", "s_name", "s_acctbal", "n_name")),
-          col("l_suppkey") === col("s_suppkey"))
-      val mn = ps.groupBy("p_partkey")
-        .agg(min("s_acctbal").as("min_bal"))
-      ps.join(broadcast(mn), "p_partkey")
-        .where(col("s_acctbal") === col("min_bal"))
-        .select(col("s_acctbal"), col("s_name"), col("n_name"),
-          col("p_partkey"))
-        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
-          asc("p_partkey"))
-        .limit(100)
-    }),
-
-    // TPC-H Q4 (order-priority checking, adapted): the EXISTS subquery →
-    // left-semi join with a non-equi conjunct. "Late line item" ≡
-    // shipped > 60 days after the order date (the schema's stand-in for
-    // commit < receipt); the semi join is the only fact shuffle and
-    // duplicates nothing, the quarter filter pushes to the orders scan.
-    "q_tpch_q4" -> ((s, dir) => {
-      val ord = table(s, dir, "orders")
-        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-      ord.join(table(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
-          col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // TPC-H Q6 (forecasting-revenue change): the pure scan-aggregate —
-    // every predicate pushes to the parquet scan, zero joins, one
-    // partial-agg'd global sum. The discount boundary runs on ×100
-    // integer cents (0.05/0.07 are not exact doubles; the quantized
-    // BETWEEN cannot ulp-flip in either engine).
-    "q_tpch_q6" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-          expr("CAST(floor(l_discount*100 + 0.5) AS BIGINT)").between(5, 7) &&
-          col("l_quantity") < 24)
-        .agg(count(lit(1)).as("n_li"),
-          dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))),
-
-    // TPC-H Q8 (national market share, adapted): NATION_1's share of
-    // AMERICA-customer ECONOMY-part revenue per order year. Two measures
-    // from one pass (conditional + total decimal sums); the share is ONE
-    // terminal division of two exactly-determined doubles — IEEE-identical
-    // in both engines. Fact shuffles once on orderkey; all dims broadcast.
-    "q_tpch_q8" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
-          "l_discount")
-        .join(broadcast(table(s, dir, "part")
-          .where(col("p_type") === "ECONOMY").select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey",
-          "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(table(s, dir, "customer")
-          .select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(table(s, dir, "nation")
-          .join(table(s, dir, "region").where(col("r_name") === "AMERICA"),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey").as("cn_key"))),
-          col("c_nationkey") === col("cn_key"))
-        .join(broadcast(table(s, dir, "supplier")
-          .join(table(s, dir, "nation"),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name").as("supp_nation"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
-        .groupBy("o_year")
-        .agg(dsum(when(col("supp_nation") === "NATION_1",
-            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .otherwise(lit(0.0)), 6).as("nation_rev"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-            .as("total_rev"))
-        .select(col("o_year"),
-          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
-        .orderBy("o_year")),
-
-    // TPC-H Q9 (product-type profit, adapted): profit ≡ revenue minus
-    // 10% of retail carrying cost (ps_supplycost stand-in), for parts
-    // named "…bolt". The whole measure is ONE decimal sum (exact, order-
-    // free); part/supplier/nation broadcast, orders joins on the fact's
-    // orderkey shuffle; grouped by supplier nation × order year.
-    "q_tpch_q9" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
-          "l_discount", "l_quantity")
-        .join(broadcast(table(s, dir, "part")
-          .where(col("p_name").endsWith("bolt"))
-          .select("p_partkey", "p_retailprice")),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(table(s, dir, "supplier")
-          .select("s_suppkey", "s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(table(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .join(table(s, dir, "orders").select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
-        .groupBy(col("n_name").as("nation"), col("o_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          col("l_quantity") * col("p_retailprice") * lit(0.1), 6)
-          .as("sum_profit"))
-        .orderBy(asc("nation"), desc("o_year"))),
-
-    // TPC-H Q11 (important stock, adapted): the scalar-subquery
-    // threshold — per-part shipped retail value vs 0.1% of the GLOBAL
-    // value, compared as the integer cross-multiplication value·1000 >
-    // total over ×100-quantized cents (quantity integral, so the product
-    // is exact BIGINT; max ~2^47 stays far under 2^63). The 1-row global
-    // aggregate broadcasts; one fact shuffle on partkey.
-    "q_tpch_q11" -> ((s, dir) => {
-      val value = table(s, dir, "lineitem")
-        .select("l_partkey", "l_quantity")
-        .join(broadcast(table(s, dir, "part")
-          .select(col("p_partkey"),
-            expr("CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)")
-              .as("price_c"))),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg(sum(col("l_quantity").cast("long") * col("price_c"))
-          .as("value_c"))
-      value.crossJoin(broadcast(value.agg(sum("value_c").as("total_c"))))
-        .where(col("value_c") * 1000 > col("total_c"))
-        .select(col("l_partkey"),
-          (col("value_c").cast("double") / 100.0).as("value"))
-        .orderBy(desc("value"), asc("l_partkey"))
-    }),
-
-    // TPC-H Q12 (shipping-mode priority, adapted to l_linestatus): the
-    // conditional-count pivot — high/low priority order counts per line
-    // status for a ship-year window. Pure integer counts; one fact
-    // shuffle on orderkey, then a ≤|statuses|-row aggregate.
-    "q_tpch_q12" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .select("l_orderkey", "l_linestatus")
-        .join(table(s, dir, "orders")
-          .select("o_orderkey", "o_orderpriority"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_linestatus")
-        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-          .otherwise(0L)).as("high_line_count"),
-          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-            .otherwise(0L)).as("low_line_count"))
-        .orderBy("l_linestatus")),
-
-    // TPC-H Q14 (promotion effect): 100·promo/total from ONE pass over a
-    // month of lineitem (two decimal sums, conditional on the broadcast
-    // part type), one terminal division — the measure-ratio shape. Date
-    // range pushes to the scan.
-    "q_tpch_q14" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-        .select("l_partkey", "l_extendedprice", "l_discount")
-        .join(broadcast(table(s, dir, "part").select("p_partkey", "p_type")),
-          col("l_partkey") === col("p_partkey"))
-        .agg(dsum(when(col("p_type") === "PROMO",
-            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .otherwise(lit(0.0)), 6).as("promo_rev"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-            .as("total_rev"))
-        .select(round(col("promo_rev") * 100.0 / col("total_rev"), 6)
-          .as("promo_revenue"))),
-
-    // TPC-H Q16 (part-supplier relationship, adapted): NOT-IN anti set +
-    // COUNT DISTINCT — shippers per part spec, excluding negative-balance
-    // suppliers (the "complaints" stand-in). partsupp ≡ distinct shipped
-    // pairs; the excluded-supplier set is an anti join against a broadcast
-    // dim; counts are integers, total (cnt desc, spec) order.
-    "q_tpch_q16" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(table(s, dir, "part")
-          .where(col("p_brand") =!= "Brand#13")
-          .select("p_partkey", "p_brand", "p_type", "p_size")),
-          col("l_partkey") === col("p_partkey"))
-        .join(broadcast(table(s, dir, "supplier")
-          .where(col("s_acctbal") < 0).select("s_suppkey")),
-          col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
-          asc("p_size"))),
-
-    // TPC-H Q19 (discounted revenue, adapted): the disjunctive
-    // multi-bracket predicate — three (brand, size, quantity) brackets
-    // OR'd into one scan-level filter over the broadcast part join; a
-    // single decimal sum. Exercises OR-of-ANDs predicate handling
-    // (Catalyst factors the common join key; no union-of-scans).
-    "q_tpch_q19" -> ((s, dir) =>
-      table(s, dir, "lineitem")
-        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-        .join(broadcast(table(s, dir, "part")
-          .select("p_partkey", "p_brand", "p_size")),
-          col("l_partkey") === col("p_partkey"))
-        .where((col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
-            col("l_quantity").between(1, 11)) ||
-          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
-            col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
-            col("l_quantity").between(20, 30)))
-        .agg(count(lit(1)).as("n_li"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-            .as("revenue"))),
-
-    // TPC-H Q20 (potential part promotion, adapted): the nested-
-    // aggregation semi-join chain — suppliers holding a >20% shipped-
-    // quantity share of some "…widget" part in 1996 (availqty stand-in),
-    // compared as the integer cross-multiplication qty·5 > total
-    // (quantities integral). Per-(part,supplier) and per-part aggregates
-    // share the partkey shuffle; qualifying suppliers semi-join the
-    // broadcast supplier×nation dim. Total (s_name) order.
-    "q_tpch_q20" -> ((s, dir) => {
-      val shipped = table(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(table(s, dir, "part")
-          .where(col("p_name").endsWith("widget")).select("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"), col("l_suppkey"),
-          col("l_quantity").cast("long").as("q"))
-      val perSupp = shipped.groupBy("l_partkey", "l_suppkey")
-        .agg(sum("q").as("sq"))
-      val perPart = shipped.groupBy("l_partkey").agg(sum("q").as("tq"))
-      val qualifying = perSupp.join(perPart, "l_partkey")
-        .where(col("sq") * 5 > col("tq"))
-        .select("l_suppkey").distinct()
-      table(s, dir, "supplier")
-        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .join(broadcast(table(s, dir, "nation")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select("s_name", "n_name")
-        .orderBy("s_name")
-    }),
-
-    // TPC-H Q21 (suppliers who kept orders waiting, adapted): the
-    // double-EXISTS anti pattern — in each multi-supplier finished
-    // order, the supplier whose item shipped LAST "kept it waiting"
-    // (shipdate stands in for receipt-vs-commit lateness). Decorrelated:
-    // one per-order aggregate computes the distinct-supplier count and
-    // the max (shipdate, suppkey) encoded as the exact BIGINT
-    // epoch·10⁶+suppkey (suppkey < 10⁶ asserted by construction ≤ SF
-    // 100; the tuple max ≡ lexicographic (date, key) max, making the
-    // "no other supplier shipped later" NOT-EXISTS a single equality).
-    // One fact shuffle on orderkey; supplier dim broadcasts; top-20 by
-    // (numwait desc, s_name).
-    "q_tpch_q21" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .join(table(s, dir, "orders")
-          .where(col("o_orderstatus") === "F").select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .select(col("l_orderkey"),
-          (unix_timestamp(col("l_shipdate")) * 1000000L +
-            col("l_suppkey")).as("enc"))
-      val perOrder = li.groupBy("l_orderkey")
-        .agg(max("enc").as("mx"),
-          countDistinct(expr("enc % 1000000")).as("n_supp"))
-        .where(col("n_supp") > 1)
-        .select((col("mx") % 1000000L).as("wait_supp"))
-      perOrder.groupBy("wait_supp").agg(count(lit(1)).as("numwait"))
-        .join(broadcast(table(s, dir, "supplier").select(
-          col("s_suppkey"), col("s_name"))),
-          col("wait_supp") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
-        .orderBy(desc("numwait"), asc("s_name"))
-        .limit(20)
     }),
 
     // Rank-based window functions AT SCALE: ntile / percent_rank /
@@ -2732,43 +1498,6 @@ object Relational {
           array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
             .as("prios"))
         .orderBy("o_orderstatus")),
-
-    // Frequent 3-step user journeys (sequential-pattern mining, the
-    // PrefixSpan seed): two lead()s per user pair consecutive event
-    // triples — the window partitions by user_id (many small groups, the
-    // SAFE window shape), triple counts partial-agg; support filter and
-    // a total (cnt desc, triple) top-25.
-    "q_seq3" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      table(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("e1"))
-        .withColumn("e2", lead(col("e1"), 1).over(w))
-        .withColumn("e3", lead(col("e1"), 2).over(w))
-        .where(col("e3").isNotNull)
-        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= 3)
-        .orderBy(desc("cnt"), asc("e1"), asc("e2"), asc("e3"))
-        .limit(25)
-    }),
-
-    // Exact WEIGHTED percentiles (quantity-weighted price quartiles per
-    // return flag): the smallest value whose cumulative weight reaches
-    // ⌈p·W⌉ — every unit sold counts, not every line item. Rides
-    // `Percentiles.weighted` (single-lineage cumulative weights, decimal
-    // thresholds, argmin selection — no whole-group buffer); the oracle
-    // replays the identical convention with a window cumsum and INTEGER
-    // ceil thresholds, so the boundary cannot ulp-flip.
-    "q_percentile_weighted" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem").selectExpr("l_returnflag",
-        "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS pc",
-        "CAST(l_quantity AS BIGINT) AS w")
-      graft.operators.Percentiles
-        .weighted(li, "l_returnflag", "pc", "w", Seq(0.25, 0.5, 0.75))
-        .select(col("l_returnflag"), col("p"),
-          round(expr("q / 100"), 2).as("wq"))
-        .orderBy("l_returnflag", "p")
-    }),
 
     // Per-group PAGINATION (the "page 2" slice — ranks 11..20 by value
     // desc per event_type): a rank-range filter on the distributed
@@ -3176,24 +1905,6 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
-        |),
-        |f AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |),
-        |g AS (
-        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM f
-        |)
-        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
     // Same synthetic new-snapshot rule, diffed directly in SQL.
     "q_cdc_diff" ->
       """WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
@@ -3224,85 +1935,6 @@ object Relational {
         |SELECT op, c_custkey, c_name, round(bal0, 2) AS bal
         |FROM d WHERE op IS NOT NULL
         |ORDER BY c_custkey, op""".stripMargin,
-    "q_resample_ffill" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
-        |    epoch_us(ts) // 21600000000 AS bucket
-        |  FROM events
-        |),
-        |obs AS (
-        |  SELECT user_id, bucket, value AS obs FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
-        |      ORDER BY us DESC, event_id DESC) AS rn FROM e)
-        |  WHERE rn = 1
-        |),
-        |span AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM e),
-        |grid AS (
-        |  SELECT u.user_id, g.bucket
-        |  FROM (SELECT DISTINCT user_id FROM e) u
-        |  CROSS JOIN (SELECT unnest(generate_series((SELECT b0 FROM span),
-        |                                            (SELECT b1 FROM span))) AS bucket) g
-        |),
-        |f AS (
-        |  SELECT grid.user_id, grid.bucket, obs.obs,
-        |    count(obs.obs) OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM grid LEFT JOIN obs
-        |    ON grid.user_id = obs.user_id AND grid.bucket = obs.bucket
-        |)
-        |SELECT user_id, bucket,
-        |  round(max(obs) OVER (PARTITION BY user_id, grp), 2) AS filled,
-        |  CAST(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
-        |FROM f ORDER BY user_id, bucket""".stripMargin,
-    // Strict gap boundary (>= gap ⇒ new session) — session_window's
-    // [start, last + gap) contract; end = last event + gap.
-    "q_session_window" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
-        |),
-        |f AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
-        |),
-        |g AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM f
-        |)
-        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, session_id
-        |ORDER BY user_id, start_us""".stripMargin,
-    "q_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
-        |),
-        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
-        |SELECT
-        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view_click,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_view_click_purchase""".stripMargin,
-
-    "q_retention" ->
-      """WITH e AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-        |),
-        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
-        |SELECT cohort_day, CAST(e.day - c.cohort_day AS BIGINT) AS "offset",
-        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-        |FROM e JOIN c ON e.user_id = c.user_id
-        |WHERE e.day - c.cohort_day <= 7
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
     "q_fuzzy_match" ->
       s"""WITH ${Reference.ToksSql},
          |words AS (SELECT DISTINCT word FROM toks
@@ -3484,68 +2116,6 @@ object Relational {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
 
-    "q_pagerank" -> {
-      // unroll the same 3 damped iterations the Spark loop runs
-      val iters = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst, sum(CAST(round(r${i - 1}.r / deg.deg, 8) AS DECIMAL(28,10))) AS sc
-           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst
-           |),
-           |r$i AS (
-           |  SELECT verts.v,
-           |    CAST(round(0.15 + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE) AS r
-           |  FROM verts LEFT JOIN c$i ON verts.v = c$i.dst
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
-         |),
-         |e AS (
-         |  SELECT p AS src, sv AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT sv AS src, p AS dst FROM pairs
-         |),
-         |verts AS (SELECT DISTINCT src AS v FROM e),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts),
-         |$iters
-         |SELECT v, round(r, 6) AS rank FROM r3 ORDER BY v""".stripMargin
-    },
-
-    "q_ppr" -> {
-      // same unrolled-iteration technique as q_pagerank, with the
-      // personalized teleport r = 0.15·s + 0.85·Σc and r0 = s
-      val iters = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst, sum(CAST(round(r${i - 1}.r / deg.deg, 8) AS DECIMAL(28,10))) AS sc
-           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst
-           |),
-           |r$i AS (
-           |  SELECT sv.v,
-           |    CAST(round(0.15 * s + 0.85 * coalesce(CAST(sc AS DOUBLE), 0.0), 8) AS DOUBLE) AS r
-           |  FROM sv LEFT JOIN c$i ON sv.v = c$i.dst
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
-         |),
-         |e AS (
-         |  SELECT p AS src, sv AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT sv AS src, p AS dst FROM pairs
-         |),
-         |verts AS (SELECT DISTINCT src AS v FROM e),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |sv AS (SELECT v, CAST(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END AS BIGINT) AS s
-         |       FROM verts),
-         |r0 AS (SELECT v, CAST(s AS DOUBLE) AS r FROM sv),
-         |$iters
-         |SELECT sv.v, sv.s, round(r3.r, 6) AS rank
-         |FROM sv JOIN r3 ON sv.v = r3.v ORDER BY sv.v""".stripMargin
-    },
-
     "q_anomalies" ->
       """WITH ev AS (SELECT event_type, value FROM events),
         |tp AS (
@@ -3577,12 +2147,6 @@ object Relational {
         |FROM ev JOIN thr USING (event_type)
         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
-    "q_communities" ->
-      s"""WITH $LpaOracleChain
-         |SELECT lbl AS community, count(*) AS n_members,
-         |       min(v) AS min_v, max(v) AS max_v
-         |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin,
-
     "q_json_extract" ->
       """WITH t AS (
         |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -3591,27 +2155,6 @@ object Relational {
         |SELECT event_type, count(*) AS n, count(k) AS n_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // naive a<b<c three-way join — same triangle set the oriented DAG
-    // counts, tractable at oracle scale
-    "q_triangles" ->
-      s"""WITH os AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
-        |),
-        |e AS (
-        |  SELECT a.sk AS u, b.sk AS v
-        |  FROM os a JOIN os b USING (ok) WHERE a.sk < b.sk
-        |  GROUP BY 1, 2 HAVING count(*) >= $TriangleMinW
-        |),
-        |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
-        |tri AS (
-        |  SELECT count(*) AS c
-        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
-        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-        |)
-        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
-        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-        |       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
 
     // independent formulation: direct NOT EXISTS domination test over the
     // distinct point set (quadratic — fine at oracle scale, and a genuinely
@@ -3674,189 +2217,6 @@ object Relational {
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents JOIN d USING (lang)
         |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // replays the engine's interpolation formula for p05/p95 (bit-identical
-    // thresholds — the q_anomalies technique), then the clip accounting
-    "q_winsorize" ->
-      """WITH ev AS (SELECT event_type, value FROM events),
-        |tp AS (
-        |  SELECT event_type, p,
-        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
-        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
-        |         r - floor(r) AS f
-        |  FROM (
-        |    SELECT event_type, n, p, p * (n - 1) AS r
-        |    FROM (SELECT event_type, count(value) AS n FROM ev GROUP BY event_type)
-        |    CROSS JOIN (SELECT unnest([CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p)
-        |  )
-        |),
-        |ranked AS (
-        |  SELECT event_type, value,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
-        |  FROM ev WHERE value IS NOT NULL
-        |),
-        |qv AS (
-        |  SELECT t.event_type, t.p,
-        |         CASE WHEN t.f = 0 THEN lo.value
-        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.value + t.f * hi.value
-        |         END AS q
-        |  FROM tp t
-        |  JOIN ranked lo ON lo.event_type = t.event_type AND lo.rk = t.lo
-        |  JOIN ranked hi ON hi.event_type = t.event_type AND hi.rk = t.hi
-        |),
-        |thr AS (
-        |  SELECT event_type,
-        |         max(CASE WHEN p < 0.5 THEN q END) AS lo,
-        |         max(CASE WHEN p > 0.5 THEN q END) AS hi
-        |  FROM qv GROUP BY event_type
-        |),
-        |c AS (
-        |  SELECT ev.event_type, value, thr.lo, thr.hi,
-        |    value < thr.lo - 1e-9 * greatest(abs(thr.lo), 1.0) AS clip_lo,
-        |    value > thr.hi + 1e-9 * greatest(abs(thr.hi), 1.0) AS clip_hi
-        |  FROM ev JOIN thr USING (event_type) WHERE value IS NOT NULL
-        |)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(CASE WHEN clip_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-        |  CAST(sum(CASE WHEN clip_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
-        |    AS mean_before,
-        |  round(CAST(sum(CAST(CASE WHEN clip_lo THEN lo
-        |                           WHEN clip_hi THEN hi
-        |                           ELSE value END AS DECIMAL(18,4))) AS DOUBLE)
-        |        / count(*), 4) AS mean_after,
-        |  round(max(lo), 4) AS lo, round(max(hi), 4) AS hi
-        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // replays the engine's exact interpolation formula at BOTH levels
-    // (median, then median of deviations) so med/mad are bit-identical
-    // doubles — never quantile_cont, whose different FMA spelling can
-    // drift an ulp (the q_anomalies technique, composed)
-    "q_mad_outliers" ->
-      """WITH ev AS (SELECT event_type, value FROM events),
-        |tp1 AS (
-        |  SELECT event_type,
-        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
-        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
-        |         r - floor(r) AS f
-        |  FROM (SELECT event_type, count(value) AS n,
-        |               CAST(0.5 AS DOUBLE) * (count(value) - 1) AS r
-        |        FROM ev GROUP BY event_type)
-        |),
-        |rk1 AS (
-        |  SELECT event_type, value,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk
-        |  FROM ev WHERE value IS NOT NULL
-        |),
-        |med AS (
-        |  SELECT t.event_type,
-        |         CASE WHEN t.f = 0 THEN lo.value
-        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.value + t.f * hi.value
-        |         END AS med
-        |  FROM tp1 t
-        |  JOIN rk1 lo ON lo.event_type = t.event_type AND lo.rk = t.lo
-        |  JOIN rk1 hi ON hi.event_type = t.event_type AND hi.rk = t.hi
-        |),
-        |dv AS (
-        |  SELECT ev.event_type, med.med, abs(value - med.med) AS d
-        |  FROM ev JOIN med USING (event_type)
-        |),
-        |tp2 AS (
-        |  SELECT event_type,
-        |         CAST(floor(r) AS BIGINT) + 1 AS lo,
-        |         least(CAST(floor(r) AS BIGINT) + 2, n) AS hi,
-        |         r - floor(r) AS f
-        |  FROM (SELECT event_type, count(d) AS n,
-        |               CAST(0.5 AS DOUBLE) * (count(d) - 1) AS r
-        |        FROM dv GROUP BY event_type)
-        |),
-        |rk2 AS (
-        |  SELECT event_type, d,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk
-        |  FROM dv WHERE d IS NOT NULL
-        |),
-        |mad AS (
-        |  SELECT t.event_type,
-        |         CASE WHEN t.f = 0 THEN lo.d
-        |              ELSE (CAST(1.0 AS DOUBLE) - t.f) * lo.d + t.f * hi.d
-        |         END AS mad
-        |  FROM tp2 t
-        |  JOIN rk2 lo ON lo.event_type = t.event_type AND lo.rk = t.lo
-        |  JOIN rk2 hi ON hi.event_type = t.event_type AND hi.rk = t.hi
-        |)
-        |SELECT dv.event_type, count(*) AS n,
-        |  CAST(sum(CASE WHEN d > 3.0 * mad.mad + 1e-9 * greatest(mad.mad, 1.0)
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
-        |  round(max(dv.med), 4) AS med, round(max(mad.mad), 4) AS mad
-        |FROM dv JOIN mad USING (event_type)
-        |GROUP BY dv.event_type ORDER BY dv.event_type""".stripMargin,
-
-    "q_bfs" -> {
-      // unroll the same 3 frontier rounds the Spark loop runs:
-      // per round, expand the previous frontier then min-regroup
-      val rounds = (1 to 3).map { i =>
-        s"""n$i AS (
-           |  SELECT e.dst AS v, CAST($i AS BIGINT) AS dist
-           |  FROM e JOIN d${i - 1} f ON e.src = f.v
-           |  WHERE f.dist = ${i - 1}
-           |),
-           |d$i AS (
-           |  SELECT v, min(dist) AS dist FROM
-           |    (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM n$i)
-           |  GROUP BY v
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv FROM lineitem
-         |),
-         |e AS (
-         |  SELECT p AS src, sv AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT sv AS src, p AS dst FROM pairs
-         |),
-         |d0 AS (
-         |  SELECT DISTINCT sv AS v, CAST(0 AS BIGINT) AS dist
-         |  FROM pairs WHERE sv % 7 = 0
-         |),
-         |$rounds
-         |SELECT v, dist FROM d3 ORDER BY v""".stripMargin
-    },
-
-    "q_closeness" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""n$i AS (
-           |  SELECT f.seed, e.dst AS v, CAST($i AS BIGINT) AS dist
-           |  FROM e JOIN d${i - 1} f ON e.src = f.v
-           |  WHERE f.dist = ${i - 1}
-           |),
-           |d$i AS (
-           |  SELECT seed, v, min(dist) AS dist FROM
-           |    (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM n$i)
-           |  GROUP BY seed, v
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT l_partkey AS p, l_suppkey + 1000000 AS sv
-         |  FROM lineitem
-         |),
-         |e AS (
-         |  SELECT p AS src, sv AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT sv AS src, p AS dst FROM pairs
-         |),
-         |d0 AS (
-         |  SELECT sv AS seed, sv AS v, CAST(0 AS BIGINT) AS dist
-         |  FROM (SELECT sv, count(*) AS dg FROM pairs WHERE sv % 7 = 0
-         |        GROUP BY sv ORDER BY dg DESC, sv LIMIT $CloseSeedK)
-         |),
-         |$rounds
-         |SELECT seed, count(*) AS n_reached,
-         |  CAST(sum(6 // dist) AS BIGINT) AS h6,
-         |  round(CAST(CAST(sum(6 // dist) AS BIGINT) AS DOUBLE) / 6, 6)
-         |    AS closeness
-         |FROM d3 WHERE dist > 0
-         |GROUP BY seed ORDER BY seed""".stripMargin
-    },
 
     "q_cdc_apply" ->
       """WITH base AS (
@@ -3935,52 +2295,6 @@ object Relational {
         |SELECT 'l_tax', n_rows, null_t, nd_t, min_t, max_t, viol_t FROM a
         |ORDER BY col_name""".stripMargin,
 
-    "q_tpch_q3" ->
-      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |WHERE c_mktsegment = 'BUILDING'
-         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-         |  AND l_shipdate > TIMESTAMP '1998-01-01'
-         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         |ORDER BY revenue DESC, l_orderkey
-         |LIMIT 10""".stripMargin,
-
-    "q_mode" ->
-      """WITH c AS (
-        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-        |  FROM orders GROUP BY 1, 2
-        |),
-        |r AS (
-        |  SELECT o_orderstatus, o_orderpriority, cnt,
-        |    CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_rows,
-        |    row_number() OVER (PARTITION BY o_orderstatus
-        |      ORDER BY cnt DESC, o_orderpriority) AS rn
-        |  FROM c
-        |)
-        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
-        |  cnt AS mode_cnt, n_rows
-        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
-
-    "q_regression" ->
-      s"""WITH v AS (
-         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
-         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
-         |  FROM lineitem
-         |),
-         |a AS (
-         |  SELECT l_returnflag, count(*) AS n,
-         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
-         |  FROM v GROUP BY l_returnflag
-         |)
-         |SELECT l_returnflag, n,
-         |  round($SlopeExpr, 6) AS slope,
-         |  round($InterceptExpr, 6) AS intercept
-         |FROM a ORDER BY l_returnflag""".stripMargin,
-
     "q_unpivot" -> {
       val agg = s"""SELECT l_returnflag,
          |    ${dsumSql("l_quantity", 2)} AS qty,
@@ -3997,174 +2311,6 @@ object Relational {
          |SELECT l_returnflag, 'disc', disc FROM a
          |ORDER BY l_returnflag, measure""".stripMargin
     },
-
-    "q_drawdown" ->
-      """WITH daily AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS rev
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
-        |),
-        |eq AS (
-        |  SELECT day, rev,
-        |    CAST(sum(rev) OVER (ORDER BY day) AS BIGINT) AS equity
-        |  FROM daily
-        |)
-        |SELECT day, rev, equity,
-        |  CAST(max(equity) OVER (ORDER BY day) AS BIGINT) AS peak,
-        |  CAST(max(equity) OVER (ORDER BY day) - equity AS BIGINT) AS dd
-        |FROM eq ORDER BY day""".stripMargin,
-
-    "q_ewma" ->
-      s"""WITH v AS (
-         |  SELECT user_id, event_id, ts,
-         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-         |  FROM events
-         |)
-         |SELECT user_id, event_id, $EwmaExpr AS ewma
-         |FROM v ORDER BY user_id, event_id""".stripMargin,
-
-    "q_freq_pairs" ->
-      s"""WITH b AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         |),
-         |small AS (
-         |  SELECT ok FROM b GROUP BY ok HAVING count(*) <= $BasketCap
-         |)
-         |SELECT a.pk AS p1, c.pk AS p2, count(*) AS support
-         |FROM (SELECT * FROM b JOIN small USING (ok)) a
-         |JOIN (SELECT * FROM b JOIN small USING (ok)) c USING (ok)
-         |WHERE a.pk < c.pk
-         |GROUP BY a.pk, c.pk
-         |HAVING count(*) >= $PairMinSupport
-         |ORDER BY p1, p2""".stripMargin,
-
-    "q_freq_triples" ->
-      s"""WITH b AS (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-         |),
-         |small AS (
-         |  SELECT ok FROM b GROUP BY ok HAVING count(*) <= $BasketCap
-         |),
-         |bb AS (SELECT * FROM b JOIN small USING (ok)),
-         |l2 AS (
-         |  SELECT a.pk AS p1, c.pk AS p2
-         |  FROM bb a JOIN bb c USING (ok) WHERE a.pk < c.pk
-         |  GROUP BY 1, 2 HAVING count(*) >= $PairMinSupport
-         |),
-         |c3 AS (
-         |  SELECT x.p1, x.p2, y.p2 AS p3
-         |  FROM l2 x JOIN l2 y ON x.p1 = y.p1 AND x.p2 < y.p2
-         |  WHERE EXISTS (SELECT 1 FROM l2 z
-         |                WHERE z.p1 = x.p2 AND z.p2 = y.p2)
-         |)
-         |SELECT c3.p1, c3.p2, c3.p3, count(*) AS support
-         |FROM c3
-         |JOIN bb ba ON ba.pk = c3.p1
-         |JOIN bb bc ON bc.ok = ba.ok AND bc.pk = c3.p2
-         |JOIN bb bd ON bd.ok = ba.ok AND bd.pk = c3.p3
-         |GROUP BY 1, 2, 3 HAVING count(*) >= $PairMinSupport
-         |ORDER BY p1, p2, p3""".stripMargin,
-
-    "q_concurrency" ->
-      s"""WITH ev AS (
-         |  SELECT event_type, event_id, epoch_us(ts) AS st,
-         |    epoch_us(ts) + $ConcIntervalUs AS en
-         |  FROM events
-         |),
-         |pts AS (
-         |  SELECT event_type, st AS t, CAST(1 AS BIGINT) AS d, event_id FROM ev
-         |  UNION ALL
-         |  SELECT event_type, en, CAST(-1 AS BIGINT), event_id FROM ev
-         |),
-         |r AS (
-         |  SELECT event_type, t,
-         |    CAST(sum(d) OVER (PARTITION BY event_type
-         |      ORDER BY t, d, event_id) AS BIGINT) AS c
-         |  FROM pts
-         |),
-         |p AS (
-         |  SELECT event_type, max(c) AS peak,
-         |    CAST(count(*) / 2 AS BIGINT) AS n_intervals
-         |  FROM r GROUP BY event_type
-         |)
-         |SELECT r.event_type, max(p.peak) AS peak, min(r.t) AS peak_at,
-         |  max(p.n_intervals) AS n_intervals
-         |FROM r JOIN p ON r.event_type = p.event_type AND r.c = p.peak
-         |GROUP BY r.event_type
-         |ORDER BY r.event_type""".stripMargin,
-
-    "q_transitions" ->
-      """WITH pairs AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS to_type
-        |  FROM events
-        |),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS cnt
-        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
-        |),
-        |t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.cnt,
-        |  round(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
-        |FROM c JOIN t ON c.from_type = t.from_type
-        |ORDER BY c.from_type, c.to_type""".stripMargin,
-
-    "q_ttest" ->
-      s"""WITH v AS (
-         |  SELECT event_type, user_id % 2 = 0 AS grp_a,
-         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-         |  FROM events
-         |),
-         |a AS (
-         |  SELECT event_type,
-         |    CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         |    CAST(sum(CASE WHEN grp_a THEN v END) AS BIGINT) AS s1,
-         |    CAST(sum(CASE WHEN grp_a THEN v*v END) AS BIGINT) AS q1,
-         |    CAST(sum(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-         |    CAST(sum(CASE WHEN NOT grp_a THEN v END) AS BIGINT) AS s2,
-         |    CAST(sum(CASE WHEN NOT grp_a THEN v*v END) AS BIGINT) AS q2
-         |  FROM v GROUP BY event_type
-         |)
-         |SELECT event_type, n1, n2,
-         |  round(${tMean(1)} / 100, 4) AS mean1,
-         |  round(${tMean(2)} / 100, 4) AS mean2,
-         |  round($WelchTExpr, 4) AS t_stat
-         |FROM a ORDER BY event_type""".stripMargin,
-
-    "q_zscore" ->
-      s"""WITH v AS (
-         |  SELECT event_id, event_type,
-         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-         |  FROM events
-         |),
-         |st AS (
-         |  SELECT event_type, count(*) AS n,
-         |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v*v) AS BIGINT) AS q
-         |  FROM v GROUP BY event_type
-         |)
-         |SELECT v.event_id, v.event_type,
-         |  $ZScoreExpr AS z
-         |FROM v JOIN st ON v.event_type = st.event_type
-         |ORDER BY v.event_id""".stripMargin,
-
-    "q_quantile_normalize" ->
-      """WITH v AS (
-        |  SELECT event_id, event_type,
-        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-        |  FROM events
-        |),
-        |r AS (
-        |  SELECT event_id, event_type,
-        |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY v, event_id) AS BIGINT) AS rk,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM v
-        |)
-        |SELECT event_id, event_type,
-        |  round(CAST(rk - 1 AS DOUBLE) / CAST(nullif(n - 1, 0) AS DOUBLE), 6) AS pr
-        |FROM r ORDER BY event_id""".stripMargin,
 
     "q_join_interval" ->
       s"""WITH c AS (
@@ -4213,98 +2359,6 @@ object Relational {
         |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |ORDER BY relationship""".stripMargin,
 
-    "q_percentile_disc" ->
-      """WITH v AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-        |  FROM events
-        |),
-        |r AS (
-        |  SELECT event_type, v,
-        |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY v, event_id) AS BIGINT) AS rk,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM v
-        |)
-        |SELECT event_type, max(n) AS n,
-        |  round(CAST(min(CASE WHEN rk = (1*n + 3) // 4 THEN v END) AS DOUBLE) / 100, 2) AS p25,
-        |  round(CAST(min(CASE WHEN rk = (1*n + 1) // 2 THEN v END) AS DOUBLE) / 100, 2) AS p50,
-        |  round(CAST(min(CASE WHEN rk = (3*n + 3) // 4 THEN v END) AS DOUBLE) / 100, 2) AS p75
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q_kanon" ->
-      s"""SELECT c_mktsegment, CAST(c_nationkey % 5 AS BIGINT) AS region,
-         |  count(*) AS n
-         |FROM customer
-         |GROUP BY 1, 2
-         |HAVING count(*) >= $KAnonK
-         |ORDER BY c_mktsegment, region""".stripMargin,
-
-    "q_tpch_q5" ->
-      s"""SELECT n_name,
-         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |  AND c_nationkey = s_nationkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-         |GROUP BY n_name
-         |ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "q_tpch_q7" ->
-      s"""SELECT
-         |  CASE WHEN n1.n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS supp_nation,
-         |  CASE WHEN n2.n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS cust_nation,
-         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         |WHERE (n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
-         |   OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0)
-         |GROUP BY 1, 2, 3
-         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-
-    "q_tpch_q10" ->
-      s"""SELECT c_custkey, c_name, c_mktsegment,
-         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |WHERE l_returnflag = 'R'
-         |GROUP BY c_custkey, c_name, c_mktsegment
-         |ORDER BY revenue DESC, c_custkey
-         |LIMIT 20""".stripMargin,
-
-    "q_percentile_weighted" ->
-      s"""WITH r AS (
-         |  SELECT l_returnflag AS k,
-         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v,
-         |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
-         |  FROM lineitem),
-         |o AS (SELECT k, v, cw FROM (
-         |  SELECT k, v, sum(w) OVER (PARTITION BY k
-         |    ORDER BY v, l_orderkey, l_linenumber) AS cw FROM r)),
-         |t AS (SELECT k, CAST(sum(w) AS BIGINT) AS tw FROM r GROUP BY k),
-         |th AS (SELECT k, CAST(p AS DOUBLE) AS p,
-         |    greatest(1, (num*tw + den - 1) // den) AS thr
-         |  FROM t, (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4))
-         |    AS ps(p, num, den))
-         |SELECT o.k AS l_returnflag, th.p,
-         |  round(CAST(min(CASE WHEN o.cw >= th.thr THEN o.v END) AS DOUBLE)
-         |    / 100, 2) AS wq
-         |FROM o JOIN th ON th.k = o.k
-         |GROUP BY o.k, th.p
-         |ORDER BY l_returnflag, p""".stripMargin,
-
     "q_page_per_key" ->
       s"""SELECT event_type, rk, event_id,
          |  round(CAST(v AS DOUBLE) / 100, 2) AS value
@@ -4335,305 +2389,6 @@ object Relational {
          |FROM orders
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
-
-    "q_seq3" ->
-      s"""WITH t AS (
-         |  SELECT event_type AS e1,
-         |    lead(event_type, 1) OVER w AS e2,
-         |    lead(event_type, 2) OVER w AS e3
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT e1, e2, e3, count(*) AS cnt
-         |FROM t WHERE e3 IS NOT NULL
-         |GROUP BY e1, e2, e3
-         |HAVING count(*) >= 3
-         |ORDER BY cnt DESC, e1, e2, e3
-         |LIMIT 25""".stripMargin,
-
-    "q_auc" ->
-      s"""WITH r AS (
-         |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
-         |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-         |      AS BIGINT) AS y,
-         |    event_id
-         |  FROM events),
-         |rk AS (SELECT v, y,
-         |  row_number() OVER (ORDER BY v, event_id) AS rk FROM r),
-         |g AS (SELECT v, min(rk) AS rmin, max(rk) AS rmax, sum(y) AS np
-         |      FROM rk GROUP BY v),
-         |t AS (SELECT CAST(sum(np*(rmin+rmax)) AS BIGINT) AS two_sr,
-         |  CAST(sum(np) AS BIGINT) AS npos,
-         |  CAST(sum(rmax - rmin + 1) AS BIGINT) AS n FROM g)
-         |SELECT n, npos, n - npos AS nneg, $AucExpr AS auc
-         |FROM t""".stripMargin,
-
-    "q_confusion" ->
-      """WITH b AS (
-        |  SELECT CAST(CASE WHEN floor(value*100 + 0.5) >= 10000
-        |              THEN 1 ELSE 0 END AS BIGINT) AS p,
-        |    CAST(CASE WHEN event_type = 'purchase'
-        |         THEN 1 ELSE 0 END AS BIGINT) AS y
-        |  FROM events
-        |),
-        |m AS (
-        |  SELECT CAST(sum(p*y) AS BIGINT) AS tp,
-        |    CAST(sum(p*(1-y)) AS BIGINT) AS fp,
-        |    CAST(sum((1-p)*y) AS BIGINT) AS fn,
-        |    CAST(sum((1-p)*(1-y)) AS BIGINT) AS tn
-        |  FROM b
-        |)
-        |SELECT tp, fp, fn, tn,
-        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-        |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
-        |  round(CAST(2*tp AS DOUBLE) / (2*tp + fp + fn), 6) AS f1
-        |FROM m""".stripMargin,
-
-    "q_calibration" ->
-      """WITH b AS (
-        |  SELECT least(CAST(9 AS BIGINT),
-        |               CAST(floor(value*100 + 0.5) AS BIGINT) // 5000) AS bin,
-        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
-        |    CAST(CASE WHEN event_type = 'purchase'
-        |         THEN 1 ELSE 0 END AS BIGINT) AS y
-        |  FROM events
-        |)
-        |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
-        |  round(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*) / 100, 6)
-        |    AS mean_score,
-        |  round(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / count(*), 6)
-        |    AS frac_pos
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
-
-    "q_tpch_q13" ->
-      s"""WITH cc AS (
-         |  SELECT c_custkey, count(o_orderkey) AS c_count
-         |  FROM customer
-         |  LEFT JOIN orders ON c_custkey = o_custkey
-         |    AND o_orderpriority <> '1-URGENT'
-         |  GROUP BY c_custkey)
-         |SELECT c_count, count(*) AS custdist
-         |FROM cc GROUP BY c_count
-         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    "q_tpch_q15" ->
-      s"""WITH rev AS (
-         |  SELECT l_suppkey,
-         |    sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)))
-         |      AS total_rev
-         |  FROM lineitem
-         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-         |    AND l_shipdate < TIMESTAMP '1996-04-01'
-         |  GROUP BY l_suppkey)
-         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
-         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
-         |ORDER BY s_suppkey""".stripMargin,
-
-    "q_tpch_q17" ->
-      s"""WITH pli AS (
-         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
-         |    l_extendedprice
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-         |  WHERE p_brand = 'Brand#23' AND p_size <= 5),
-         |pq AS (SELECT l_partkey, sum(q) AS sq, count(*) AS nq
-         |       FROM pli GROUP BY l_partkey)
-         |SELECT count(*) AS n_li,
-         |  round(${dsumSql("l_extendedprice", 2)} / 7.0, 4) AS avg_yearly
-         |FROM pli JOIN pq USING (l_partkey)
-         |WHERE 5*q*nq < sq""".stripMargin,
-
-    "q_tpch_q22" ->
-      s"""WITH cust AS (
-         |  SELECT c_custkey, c_mktsegment, c_acctbal,
-         |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
-         |  FROM customer
-         |  WHERE c_mktsegment IN ('MACHINERY','BUILDING','FURNITURE')),
-         |thr AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sb,
-         |  count(*) AS nb FROM cust WHERE bal_c > 0)
-         |SELECT c_mktsegment, count(*) AS numcust,
-         |  ${dsumSql("c_acctbal", 2)} AS totacctbal
-         |FROM cust, thr
-         |WHERE bal_c * nb > sb
-         |  AND NOT EXISTS (SELECT 1 FROM orders
-         |    WHERE o_custkey = c_custkey
-         |      AND o_orderdate >= TIMESTAMP '1999-01-01')
-         |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin,
-
-    "q_tpch_q2" ->
-      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-         |j AS (
-         |  SELECT p_partkey, s_acctbal, s_name, n_name
-         |  FROM ps
-         |  JOIN part ON l_partkey = p_partkey
-         |    AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
-         |  JOIN supplier ON l_suppkey = s_suppkey
-         |  JOIN nation ON s_nationkey = n_nationkey
-         |  JOIN region ON n_regionkey = r_regionkey
-         |  WHERE r_name = 'EUROPE')
-         |SELECT s_acctbal, s_name, n_name, p_partkey
-         |FROM j
-         |WHERE s_acctbal = (SELECT min(s_acctbal) FROM j j2
-         |                   WHERE j2.p_partkey = j.p_partkey)
-         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-         |LIMIT 100""".stripMargin,
-
-    "q_tpch_q4" ->
-      s"""SELECT o_orderpriority, count(*) AS order_count
-         |FROM orders
-         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-         |  AND o_orderdate < TIMESTAMP '1996-10-01'
-         |  AND EXISTS (SELECT 1 FROM lineitem
-         |              WHERE l_orderkey = o_orderkey
-         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-         |GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin,
-
-    "q_tpch_q6" ->
-      s"""SELECT count(*) AS n_li,
-         |  ${dsumSql("l_extendedprice*l_discount", 6)} AS revenue
-         |FROM lineitem
-         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-         |  AND l_shipdate < TIMESTAMP '1997-01-01'
-         |  AND CAST(floor(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
-         |  AND l_quantity < 24""".stripMargin,
-
-    "q_tpch_q8" ->
-      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         |  round(${dsumSql(
-        "CASE WHEN sn.n_name = 'NATION_1' " +
-          "THEN l_extendedprice*(1-l_discount) ELSE 0.0 END", 6)}
-         |    / ${dsumSql("l_extendedprice*(1-l_discount)", 6)}, 6)
-         |    AS mkt_share
-         |FROM lineitem
-         |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation cn ON c_nationkey = cn.n_nationkey
-         |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation sn ON s_nationkey = sn.n_nationkey
-         |GROUP BY 1
-         |ORDER BY o_year""".stripMargin,
-
-    "q_tpch_q9" ->
-      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         |  ${dsumSql(
-        "l_extendedprice*(1-l_discount) - l_quantity*p_retailprice*0.1", 6)}
-         |    AS sum_profit
-         |FROM lineitem
-         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt'
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY 1, 2
-         |ORDER BY nation, o_year DESC""".stripMargin,
-
-    "q_tpch_q11" ->
-      s"""WITH value AS (
-         |  SELECT l_partkey,
-         |    sum(CAST(l_quantity AS BIGINT) *
-         |        CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS value_c
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-         |  GROUP BY l_partkey)
-         |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100 AS value
-         |FROM value
-         |WHERE value_c * 1000 > (SELECT sum(value_c) FROM value)
-         |ORDER BY value DESC, l_partkey""".stripMargin,
-
-    "q_tpch_q12" ->
-      s"""SELECT l_linestatus,
-         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-         |GROUP BY l_linestatus
-         |ORDER BY l_linestatus""".stripMargin,
-
-    "q_tpch_q14" ->
-      s"""SELECT round(${dsumSql(
-        "CASE WHEN p_type = 'PROMO' " +
-          "THEN l_extendedprice*(1-l_discount) ELSE 0.0 END", 6)}
-         |    * 100 / ${dsumSql("l_extendedprice*(1-l_discount)", 6)}, 6)
-         |    AS promo_revenue
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
-
-    "q_tpch_q16" ->
-      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-         |SELECT p_brand, p_type, p_size,
-         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-         |FROM ps JOIN part ON l_partkey = p_partkey
-         |WHERE p_brand <> 'Brand#13'
-         |  AND l_suppkey NOT IN
-         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-         |GROUP BY 1, 2, 3
-         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
-
-    "q_tpch_q19" ->
-      s"""SELECT count(*) AS n_li,
-         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
-         |       AND l_quantity BETWEEN 1 AND 11)
-         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
-         |       AND l_quantity BETWEEN 10 AND 20)
-         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
-
-    "q_tpch_q20" ->
-      s"""WITH shipped AS (
-         |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-         |  WHERE p_name LIKE '%widget'
-         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
-         |    AND l_shipdate < TIMESTAMP '1997-01-01'),
-         |per_supp AS (
-         |  SELECT l_partkey, l_suppkey, sum(q) AS sq
-         |  FROM shipped GROUP BY 1, 2),
-         |per_part AS (SELECT l_partkey, sum(q) AS tq FROM shipped GROUP BY 1)
-         |SELECT s_name, n_name
-         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-         |WHERE s_suppkey IN
-         |  (SELECT l_suppkey FROM per_supp
-         |   JOIN per_part USING (l_partkey) WHERE sq * 5 > tq)
-         |ORDER BY s_name""".stripMargin,
-
-    "q_tpch_q21" ->
-      s"""WITH li AS (
-         |  SELECT l_orderkey,
-         |    CAST(epoch(l_shipdate) AS BIGINT) * 1000000 + l_suppkey AS enc
-         |  FROM lineitem
-         |  WHERE l_orderkey IN
-         |    (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
-         |po AS (
-         |  SELECT l_orderkey, max(enc) AS mx,
-         |    count(DISTINCT enc % 1000000) AS n_supp
-         |  FROM li GROUP BY 1)
-         |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-         |FROM po JOIN supplier ON mx % 1000000 = s_suppkey
-         |WHERE n_supp > 1
-         |GROUP BY s_name
-         |ORDER BY numwait DESC, s_name
-         |LIMIT 20""".stripMargin,
-
-    "q_tpch_q18" ->
-      s"""WITH big AS (
-         |  SELECT l_orderkey, ${dsumSql("l_quantity", 2)} AS sum_qty
-         |  FROM lineitem GROUP BY l_orderkey
-         |  HAVING ${dsumSql("l_quantity", 2)} > 250
-         |)
-         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-         |  sum_qty
-         |FROM big
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |ORDER BY o_totalprice DESC, o_orderkey
-         |LIMIT 10""".stripMargin,
 
     "q_sink_nested_roundtrip" -> {
       val keepLambda =

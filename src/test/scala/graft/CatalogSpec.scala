@@ -19,6 +19,10 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
     val files = Seq(
       "Reference" -> Reference.queries.keySet,
       "Relational" -> Relational.queries.keySet,
+      "RelTpch" -> RelTpch.queries.keySet,
+      "RelGraph" -> RelGraph.queries.keySet,
+      "RelStats" -> RelStats.queries.keySet,
+      "RelEvents" -> RelEvents.queries.keySet,
       "LlmOps" -> LlmOps.queries.keySet,
       "LlmDedup" -> LlmDedup.queries.keySet,
       "LlmSim" -> LlmSim.queries.keySet,
