@@ -91,7 +91,8 @@ class CatalogSpec extends AnyFunSuite with SparkFixture {
       "Wave63" -> Wave63.queries.keySet,
       "Wave64" -> Wave64.queries.keySet,
       "Wave65" -> Wave65.queries.keySet,
-      "Wave66" -> Wave66.queries.keySet)
+      "Wave66" -> Wave66.queries.keySet,
+      "Wave67" -> Wave67.queries.keySet)
     assert(files.map(_._2.size).sum == SparkEntry.queries.size,
       s"cross-file duplicate keys: ${
         files.combinations(2).flatMap { case Seq((a, ka), (b, kb)) =>
