@@ -1,0 +1,23 @@
+#!/bin/bash
+# Like dev/run.sh but against the frozen target/audit-classes snapshot,
+# so long background runs survive recompiles of target/scala-2.13/classes.
+MAIN="$1"; shift
+exec java \
+  --add-opens java.base/java.lang=ALL-UNNAMED \
+  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens java.base/java.io=ALL-UNNAMED \
+  --add-opens java.base/java.net=ALL-UNNAMED \
+  --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Duser.language=en -Duser.country=US \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/root/repo/target/audit-classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"

@@ -47,6 +47,10 @@ object Bench {
     }
     var gcDone = false
     var tailIdx = 0
+    // spread-gated re-measurement budget (see below): 150 re-measurements
+    // ≈ +30% worst-case bench wall, enough to stabilize the r10-style
+    // worst-20 tail several times over
+    var retryBudget = 150
     val results = names.map { name =>
       if (!gcDone && !Headline(name)) { System.gc(); gcDone = true }
       // Periodic gc through the tail (r8 verdict task 4): without it,
@@ -61,33 +65,63 @@ object Bench {
         if (tailIdx % 25 == 0) System.gc()
       }
       val fn = SparkEntry.queries(name)
-      val times = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink forces full evaluation of every output column —
-        // count() would let Catalyst prune the expensive projections.
-        val t = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            FailPenalty
+      def measure(): (Double, Double) = {
+        val times = (1 to Reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink forces full evaluation of every output column —
+          // count() would let Catalyst prune the expensive projections.
+          val t = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              FailPenalty
+          }
+          // drop caches persist()ed inside query builders (dedup pipelines)
+          // so repeat runs measure cold plans, not cache hits
+          spark.catalog.clearCache()
+          t
         }
-        // drop caches persist()ed inside query builders (dedup pipelines)
-        // so repeat runs measure cold plans, not cache hits
-        spark.catalog.clearCache()
-        t
+        // ANY failed rep records the penalty — a median would let an
+        // intermittent failure (1 of 3) read as a clean passing time,
+        // defeating the "failure must not read as a speedup" invariant.
+        // The spread is ALSO the penalty then: mixing the sentinel into
+        // max−min arithmetic would report a meaningless penalty-sized
+        // spread instead of signaling the failure.
+        if (times.contains(FailPenalty)) (FailPenalty, FailPenalty)
+        else (times.sorted.apply(times.length / 2), times.max - times.min)
       }
-      // ANY failed rep records the penalty — a median would let an
-      // intermittent failure (1 of 3) read as a clean passing time,
-      // defeating the "failure must not read as a speedup" invariant
-      val med = if (times.contains(FailPenalty)) FailPenalty
-                else times.sorted.apply(times.length / 2)
       // run-to-run spread (max − min over the reps): the box-drift
       // visibility the round-9 verdict asked for — per-query noise is
       // recorded next to the median so cross-round comparisons can tell
-      // plan changes from environment drift (full map file only)
-      (name, med, times.max - times.min)
+      // plan changes from environment drift (full map file only).
+      // SPREAD-GATED RE-RUN (round-11, SCALE.md convention): a first
+      // measurement whose spread exceeds 0.5× its median was hit by box
+      // pressure mid-rep (the r10 tail had 20 entries with spread >
+      // median — pure noise, useless as a cross-round signal). Those
+      // entries get up to two quiet re-measurements after a gc, keeping
+      // the run with the best spread/median ratio: plan changes survive
+      // (a genuinely slower plan is slow in every re-run), one-off
+      // stalls don't. Two guards keep a fully-contended session from
+      // tripling the bench: sub-0.15 s absolute spreads are scheduler
+      // jitter that re-running cannot buy down (and are harmless as a
+      // signal), and a global budget caps total re-measurements — under
+      // sustained pressure EVERY query looks unstable and unlimited
+      // retries would never converge.
+      var (med, sp) = measure()
+      var retries = 0
+      while (med != FailPenalty && med > 0 && sp > 0.5 * med && sp > 0.15 &&
+             retries < 2 && retryBudget > 0) {
+        System.gc()
+        retryBudget -= 1
+        val (m2, s2) = measure()
+        if (m2 != FailPenalty && s2 / math.max(m2, 1e-9) < sp / med) {
+          med = m2; sp = s2
+        }
+        retries += 1
+      }
+      (name, med, sp)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -7,45 +7,61 @@ import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Plan-audit artifact: per catalog query, counts of the physical-plan
   * features the SCALE.md shuffle inventory makes claims about —
-  * Exchanges (shuffles), broadcast vs sort-merge joins, nested-loop /
+  * Exchanges (shuffles), broadcast vs sort-merge vs nested-loop joins,
   * cartesian fallbacks, whole-stage-codegen spans — emitted as one JSON
   * file so the inventory is machine-checkable instead of prose-only.
   *
   *   sbt "runMain graft.PlanAudit [sfDir] [outPath] [names...]"
   *
   * Formatted mode prints each node once in the numbered tree; counting
-  * `(n) NodeName` lines keeps duplicates out.
+  * `(n) NodeName` lines keeps duplicates out. Codegen spans are counted
+  * as DISTINCT `codegen id : k` annotations per plan (formatted mode has
+  * no WholeStageCodegen node line; each fused span carries one id).
   *
-  * SIDE-EFFECTING queries (sinks, streams, upserts — the `Executed` set)
-  * are audited by EXECUTION instead of being skipped (round-10: a write
-  * query could hide a cartesian in the plan it executes): a
-  * QueryExecutionListener captures the physical plan of every action the
-  * builder runs — including writes to temp tables and foreachBatch
-  * micro-batches — and the counts aggregate over all captured plans plus
-  * the returned read-back plan. Pure streaming incremental executions do
-  * not fire the listener; those queries' sink plans all route through
-  * foreachBatch batch writes, which do.
+  * EVERY query is audited BY EXECUTION (round-11; previously only the
+  * side-effecting set was): the returned frame is driven through a noop
+  * write and a QueryExecutionListener captures the formatted plan of
+  * every completed execution — the final noop-write plan, construction-
+  * time checkpoint rounds of graph loops and Ranks riders, temp-table
+  * writes, and foreachBatch micro-batches alike. Executed plans are the
+  * only ones that carry `codegen id` annotations under AQE (the
+  * pre-execution AdaptiveSparkPlan prints none) and reflect AQE's real
+  * join selections, so the counts are runtime-true: a cartesian hiding
+  * in a checkpoint round or a join degrading at runtime surfaces here.
+  * `audited_executions` records how many captured executions each query
+  * contributed. Pure streaming incremental executions do not fire the
+  * listener; those queries' sink plans all route through foreachBatch
+  * batch writes, which do.
   *
-  * Note: operators that localCheckpoint internally (graph loops, Ranks
-  * riders) execute their early rounds during CONSTRUCTION; in this audit
-  * those rounds are CAPTURED by the same listener (each checkpoint is an
-  * execution), so the per-round shapes show up in the counts rather than
-  * being lost behind the checkpoint boundary.
+  * BroadcastNestedLoopJoin is reported as its own `bnlj` field, NOT
+  * folded into `broadcast_joins` (round-11): the legitimate BNLJs in the
+  * catalog are 1-row scalar-carrier crossings, and an equi-join that
+  * silently degrades to a nested loop must surface as an audit diff
+  * (PlanSpec pins the flagship families at bnlj = 0).
   */
 object PlanAudit {
 
-  /** Builders that side-effect (write temp tables, run streams): audited
-    * by executing them under the capture listener. */
-  private val Executed = Set(
-    "q_sink_roundtrip", "q_sink_text_roundtrip", "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip", "q_sink_orc_roundtrip", "q_sink_xml_roundtrip",
-    "q_sink_nested_roundtrip", "q_stream_synth", "q_csv_corrupt",
-    "q_partitioned_scan", "q_partition_overwrite", "q_compact",
-    "q_join_bucketed", "q_upsert", "q_cdc_apply", "q_schema_evolution",
-    "q_synth_source", "q_dpp", "q_stream_join_sink",
-    "q_stream_sink_roundtrip", "q_stream_window_sink", "q_zorder",
-    "q_stream_dedup_sink", "q_stream_cms_sink", "q_stream_hll_sink",
-    "q_stream_session_sink", "q_stream_recent_sink", "q_stream_typecount_sink")
+  /** An EXECUTED AdaptiveSparkPlan's formatted explain prints the final
+    * tree AND the initial tree, and the node-details section numbers the
+    * nodes of both — so naive `(n) NodeName` counting doubles every
+    * count. This keeps only detail entries whose node id appears in the
+    * FINAL tree (everything before the `== Initial Plan ==` marker);
+    * non-adaptive plans pass through untouched. Shared with PlanSpec so
+    * the CI pins and the audit artifact count identically. */
+  def finalPlanOnly(p: String): String = {
+    val init = p.indexOf("== Initial Plan ==")
+    if (init < 0) p
+    else {
+      val finalIds = "\\((\\d+)\\)".r
+        .findAllMatchIn(p.substring(0, init)).map(_.group(1)).toSet
+      p.linesIterator.filter { line =>
+        "^\\((\\d+)\\) ".r.findFirstMatchIn(line) match {
+          case Some(m) => finalIds(m.group(1))
+          case None => true
+        }
+      }.mkString("\n")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -55,16 +71,17 @@ object PlanAudit {
     val spark = Sessions.build(cpus = "4", logLevel = "ERROR")
     def nodeCount(p: String, name: String): Int =
       s"\\(\\d+\\) $name".r.findAllIn(p).length
+    def codegenSpans(p: String): Int =
+      "codegen id : (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
     def counts(plans: Seq[String], executed: Int): Map[String, Int] = Map(
       "exchanges" -> plans.map(nodeCount(_, "Exchange")).sum,
-      "broadcast_joins" -> plans.map(p => nodeCount(p, "BroadcastHashJoin") +
-        nodeCount(p, "BroadcastNestedLoopJoin")).sum,
+      "broadcast_joins" -> plans.map(nodeCount(_, "BroadcastHashJoin")).sum,
+      "bnlj" -> plans.map(nodeCount(_, "BroadcastNestedLoopJoin")).sum,
       "sortmerge_joins" -> plans.map(nodeCount(_, "SortMergeJoin")).sum,
       "shuffled_hash_joins" -> plans.map(nodeCount(_, "ShuffledHashJoin")).sum,
       "cartesian" -> plans.map(nodeCount(_, "CartesianProduct")).sum,
       "windows" -> plans.map(nodeCount(_, "Window")).sum,
-      "codegen_spans" ->
-        plans.map("WholeStageCodegen".r.findAllIn(_).length).sum,
+      "codegen_spans" -> plans.map(codegenSpans).sum,
       "audited_executions" -> executed)
     // capture listener: explain strings of every completed execution.
     // The listener bus is async — drained via waitUntilEmpty before read.
@@ -83,22 +100,17 @@ object PlanAudit {
       .filter(n => only.isEmpty || only(n))
       .flatMap { name =>
         try {
-          if (Executed(name)) {
-            captured.clear()
-            capturing = true
-            val df = SparkEntry.queries(name)(spark, sfDir)
-            val ret = df.queryExecution
-              .explainString(org.apache.spark.sql.execution.FormattedMode)
-            // drain the async listener bus so every captured plan is in
-            org.apache.spark.sql.graft.GraftSqlShim.drainListenerBus(spark)
-            capturing = false
-            val plans = ret +: captured.toArray(Array.empty[String]).toSeq
-            Some(name -> counts(plans, plans.size - 1))
-          } else {
-            val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
-              .explainString(org.apache.spark.sql.execution.FormattedMode)
-            Some(name -> counts(Seq(p), 0))
-          }
+          captured.clear()
+          capturing = true
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          // drain the async listener bus so every captured plan is in
+          org.apache.spark.sql.graft.GraftSqlShim.drainListenerBus(spark)
+          capturing = false
+          spark.catalog.clearCache()
+          val plans = captured.toArray(Array.empty[String]).toSeq
+            .map(finalPlanOnly)
+          Some(name -> counts(plans, plans.size))
         } catch { case e: Throwable =>
           capturing = false
           System.err.println(s"[audit] $name failed: ${e.getMessage}")
@@ -112,8 +124,9 @@ object PlanAudit {
     Files.writeString(Paths.get(outPath), json)
     val totEx = rows.map(_._2("exchanges")).sum
     val nCart = rows.count(_._2("cartesian") > 0)
+    val nCg = rows.count(_._2("codegen_spans") > 0)
     println(s"PLAN_AUDIT queries=${rows.size} total_exchanges=$totEx " +
-      s"cartesian_queries=$nCart -> $outPath")
+      s"cartesian_queries=$nCart codegen_queries=$nCg -> $outPath")
     spark.stop()
   }
 }

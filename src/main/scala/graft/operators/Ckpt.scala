@@ -49,7 +49,16 @@ object Ckpt {
     * static planner already makes the same broadcast-vs-shuffle calls
     * AQE would make at runtime — without the per-stage barriers. Scoped
     * to the loop only: upstream plan construction (scans, first
-    * aggregations) keeps AQE's runtime re-planning. */
+    * aggregations) keeps AQE's runtime re-planning.
+    *
+    * SINGLE-THREADED-SESSION ASSUMPTION: the setting is session-global
+    * for the duration of `body` — a query built or executed CONCURRENTLY
+    * on the same SparkSession would silently plan without AQE, and two
+    * overlapping noAqe scopes can restore the wrong value. Every caller
+    * in this repo (catalog builders under Verify/Bench/PlanAudit, specs
+    * under SparkFixture) drives the session from one thread at a time;
+    * do not call this from parallel test runners or multi-threaded
+    * drivers sharing a session. */
   def noAqe[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)

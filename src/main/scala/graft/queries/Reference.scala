@@ -152,6 +152,29 @@ object Reference {
           element_at(col("kv"), 2).cast("long").as("cnt"))
         .orderBy(desc("cnt"), asc("word"))
     }),
+    // Custom DSv2 WRITE commit protocol, oracle-gated end-to-end (the
+    // one custom tier that was spec-only until r11): the flagship word
+    // count flows through ChecksumSink under TWO different partitionings;
+    // each task's DataWriter surfaces (count, xor-of-row-hashes) as its
+    // commit message and the driver aggregates only COMMITTED messages —
+    // xor/count commute, so the aggregate must be identical across
+    // partitionings. The returned frame carries wordcount stats the
+    // oracle recomputes, the committed row count (must equal the
+    // wordcount cardinality — nothing dropped or double-counted), and
+    // the partitioning-invariance pin.
+    "q_checksum_sink" -> ((s, dir) => {
+      val wc = wordcount(s, dir)
+      def through(df: DataFrame, name: String): (Long, Long) = {
+        df.write.format("graft.sources.ChecksumSink")
+          .option("name", name).mode("overwrite").save()
+        graft.sources.ChecksumSink.result(name).get
+      }
+      val (ca, xa) = through(wc, "q_cs_a")
+      val (cb, xb) = through(wc.repartition(7), "q_cs_b")
+      wc.agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_tokens"))
+        .withColumn("rows_committed", lit(ca))
+        .withColumn("checksum_stable", lit(ca == cb && xa == xb))
+    }),
     // SQL front door: the flagship expressed through spark.sql over a temp
     // view — the catalog is equally reachable via SQL text. NB the Spark
     // SQL literal needs backslashes doubled (the parser consumes escapes).
@@ -253,7 +276,16 @@ object Reference {
     // the source table, with files_collapsed pinned true.
     "q_compact" -> ((s, dir) => {
       val out = s"$TmpRoot/compact_docs"
-      docs(s, dir).repartition(64).write.mode("overwrite").parquet(out)
+      // The pathological layout scales with the fixture (r11 verdict
+      // task 6): 64 tiny files ×3 bench reps at sf0.1 was ~1 bench
+      // minute of pure fixture IO; 16 files at sf≥0.1 exercises the
+      // same collapse (16 → 1-2 files, files_collapsed still pinned)
+      // at a benchable cost. sf parsed from the data dir name; the
+      // sf0.01 correctness gate keeps the original 64-file layout.
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+        .map(_.group(1).toDouble).getOrElse(0.01)
+      val nFiles = if (sf >= 0.1) 16 else 64
+      docs(s, dir).repartition(nFiles).write.mode("overwrite").parquet(out)
       val (before, after) =
         graft.operators.Compact.compact(s, out, targetBytes = 4L * 1024 * 1024)
       s.read.parquet(out)
@@ -351,6 +383,14 @@ object Reference {
          |WHERE NOT regexp_matches(word, '[\\r\\n]')
          |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
     "q_sql_frontend" -> WordcountSql,
+    // rows_committed must equal the wordcount cardinality; the xor
+    // partitioning-invariance pin is TRUE by the commit protocol
+    "q_checksum_sink" ->
+      s"""WITH $ToksSql,
+         |wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word)
+         |SELECT count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  count(*) AS rows_committed, true AS checksum_stable
+         |FROM wc""".stripMargin,
     "q_csv_corrupt" ->
       """SELECT count(*) + CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
         |  count(*) AS n_good,

@@ -273,6 +273,57 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  /** EXECUTED formatted plan: under AQE only the finalized plan carries
+    * `codegen id` annotations and the runtime join selections — the
+    * pre-execution AdaptiveSparkPlan prints neither. collect() drives the
+    * dataset's OWN QueryExecution (a write would execute a separate
+    * command plan), so the explain below reflects what actually ran. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf)
+    df.collect()
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    spark.catalog.clearCache()
+    // executed adaptive explains print final AND initial trees — count
+    // only the final one (same pruning as the PlanAudit artifact)
+    PlanAudit.finalPlanOnly(p)
+  }
+
+  test("flagship + native-expression queries participate in whole-stage codegen") {
+    // the flagship or a native-Expression query (EncodeWordExpression,
+    // IntVecDot under q_ann_topk) silently falling off codegen is a perf
+    // regression that must fail CI, not surface as a bench mystery
+    // (r11 verdict task 2)
+    val lost = Seq("q_wordcount", "q1_agg", "q_encode_exact", "q_ann_topk",
+                   "q_dedup_minhash")
+      .filterNot(q => executedPlan(q).contains("codegen id :"))
+    assert(lost.isEmpty, s"queries that lost whole-stage codegen: $lost")
+  }
+
+  test("BNLJ pins: equi joins never silently degrade to nested-loop") {
+    // expected BroadcastNestedLoopJoin count per flagship-family query —
+    // the only legitimate BNLJs are constant-size scalar/query-set
+    // crossings (q_ann_topk's k-row non-equi query broadcast, q_tfidf's
+    // 1-row global doc-count carrier); every equi-join family pins 0 so
+    // a join degradation shows up as a CI diff, not a bench mystery
+    // (r11 verdict task 3). Counted on the EXECUTED plan — AQE's final
+    // join selection, same counter as PlanAudit's `bnlj` field.
+    val pins = Seq(
+      "q_wordcount" -> 0, "q1_agg" -> 0, "q_join_broadcast" -> 0,
+      "q_join_sortmerge" -> 0, "q_join_semi" -> 0, "q_join_anti" -> 0,
+      "q_dedup_exact" -> 0, "q_dedup_minhash" -> 0, "q_dedup_simhash" -> 0,
+      "q_dedup_ngram" -> 0, "q_token_count" -> 0,
+      "q_ann_ivf" -> 0, "q_ann_lsh" -> 0,
+      "q_tfidf" -> 1,   // the 1-row global doc-count scalar carrier
+      "q_ann_topk" -> 1) // the constant-k broadcast query-set crossing
+    val bad = pins.flatMap { case (q, want) =>
+      val n = "\\(\\d+\\) BroadcastNestedLoopJoin".r
+        .findAllIn(executedPlan(q)).length
+      if (n == want) None else Some(s"$q: expected $want BNLJ, got $n")
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("catalog-wide: no query plans a CartesianProduct") {
     // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
     // are fine; an actual CartesianProduct (both sides big, no key) is
@@ -286,7 +337,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_csv_corrupt", "q_partitioned_scan", "q_partition_overwrite",
       "q_compact", "q_join_bucketed", "q_upsert",
       "q_cdc_apply", "q_schema_evolution", "q_synth_source", "q_dpp",
-      "q_stream_join_sink")
+      "q_stream_join_sink", "q_checksum_sink")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip)
       .filter { name =>
