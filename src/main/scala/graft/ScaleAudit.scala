@@ -31,7 +31,13 @@ object ScaleAudit {
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("/root/repo/target/scale_audit.json")
-    val sfDirs = if (args.length > 1) args.drop(1).toSeq
+    // args after outPath: absolute paths are sf dirs, anything else
+    // selects specific queries (targeted re-runs merge into the full
+    // artifact via dev/scale_table.py tooling). Classify by path shape,
+    // not a q_ prefix — q1_agg has none.
+    val only = args.drop(1).filterNot(_.startsWith("/")).toSet
+    val dirArgs = args.drop(1).filter(_.startsWith("/"))
+    val sfDirs = if (dirArgs.nonEmpty) dirArgs.toSeq
                  else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
                           "/root/repo/target/sf1")
     val spark = Sessions.build()
@@ -72,6 +78,7 @@ object ScaleAudit {
       (wall, tasks, shufBytes)
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, Seq[(String, (Double, Long, Long))]]
     var idx = 0

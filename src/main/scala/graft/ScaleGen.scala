@@ -41,9 +41,25 @@ object ScaleGen {
     import spark.implicits._
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts).write.mode(SaveMode.Overwrite)
-        .parquet(s"$dst/$t.parquet")
+    // SINGLE-FILE layout, exactly like the driver's testdata: several
+    // catalog queries (the streaming sinks) glob `<table>.parquet` as a
+    // literal file name, so a directory-per-table layout silently gives
+    // them an empty stream. Small row groups (8 MB) keep the one file
+    // byte-range-splittable so scan parallelism survives at sf1.
+    def write(t: String, df: DataFrame): Unit = {
+      val tmp = s"$dst/_tmp_$t"
+      df.repartition(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $t")).getPath
+      val target = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"SCALEGEN $t rows=${spark.read.parquet(s"$dst/$t.parquet").count()}")
     }
     /** max(key)+1 — the per-copy shift keeping key spaces disjoint. */
@@ -51,13 +67,13 @@ object ScaleGen {
       df.agg(max(col(key))).head.getLong(0) + 1L
 
     // tiny fixed dimensions: copy untouched (TPC-H keeps them constant)
-    write("region", read("region"), 1)
-    write("nation", read("nation"), 1)
+    write("region", read("region"))
+    write("nation", read("nation"))
 
     val cps = broadcast(spark.range(copies).select(col("id").as("cp")))
     /** 10 key-shifted copies: every column in `shift` becomes
       * col + cp * itsOffset; all other columns replicate verbatim. */
-    def replicate(t: String, shift: Map[String, Long], parts: Int): Unit = {
+    def replicate(t: String, shift: Map[String, Long]): Unit = {
       val d = read(t)
       val out = d.crossJoin(cps).select(d.columns.map { c =>
         shift.get(c) match {
@@ -65,7 +81,7 @@ object ScaleGen {
           case None => col(c)
         }
       }.toSeq: _*)
-      write(t, out, parts)
+      write(t, out)
     }
 
     val offC = off(read("customer"), "c_custkey")
@@ -77,13 +93,13 @@ object ScaleGen {
     val offD = off(read("documents"), "doc_id")
     val offV = off(read("embeddings"), "vec_id")
 
-    replicate("customer", Map("c_custkey" -> offC), 4)
-    replicate("supplier", Map("s_suppkey" -> offS), 1)
-    replicate("part", Map("p_partkey" -> offP), 2)
-    replicate("orders", Map("o_orderkey" -> offO, "o_custkey" -> offC), 16)
+    replicate("customer", Map("c_custkey" -> offC))
+    replicate("supplier", Map("s_suppkey" -> offS))
+    replicate("part", Map("p_partkey" -> offP))
+    replicate("orders", Map("o_orderkey" -> offO, "o_custkey" -> offC))
     replicate("lineitem", Map("l_orderkey" -> offO, "l_partkey" -> offP,
-      "l_suppkey" -> offS), 32)
-    replicate("events", Map("event_id" -> offE, "user_id" -> offU), 8)
+      "l_suppkey" -> offS))
+    replicate("events", Map("event_id" -> offE, "user_id" -> offU))
 
     // documents: per-copy Caesar rotation (copy 0 = original). translate
     // needs a literal mapping per copy, so this is a 10-branch union —
@@ -98,7 +114,7 @@ object ScaleGen {
          else translate(col("text"), Lower + Upper, rotL + rotU)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
-    write("documents", docCopies, 4)
+    write("documents", docCopies)
 
     // embeddings: per-copy circular rotation of the float vector
     val emb = read("embeddings")
@@ -110,7 +126,7 @@ object ScaleGen {
                    s"slice(embedding, 1, $c))")).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
-    write("embeddings", embCopies, 2)
+    write("embeddings", embCopies)
 
     println(s"SCALEGEN_DONE dst=$dst copies=$copies")
     spark.stop()

@@ -39,7 +39,22 @@ object Betweenness {
     *   on some truncated shortest path, 8-decimal deterministic. */
   def run(edges0: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= 6, s"depth must be in [1, 6], got $depth")
-    val edges = edges0.select(col("src"), col("dst")).ckpt()
+    // Hash-repartition BEFORE the ckpt (r11, JobBreakdown finding): the
+    // caller's edge list often arrives AQE-coalesced to a handful of
+    // partitions (it is small in BYTES), but every forward round probes
+    // it under a broadcast frontier join whose output — the σ-candidate
+    // expansion, the biggest frame this operator touches — INHERITS the
+    // probe side's partitioning. At 8 inherited partitions the round-3
+    // expand+partial-agg ran 8-wide on a 32-core box (measured 1.3 s for
+    // a 67 MB shuffle write); one cheap up-front shuffle of the edge
+    // list restores full parallelism to every round.
+    // explicit partition count: a column-only repartition is an exchange
+    // AQE may re-coalesce (it did — right back to 8); the session's
+    // shuffle-partition setting pinned explicitly is exempt
+    val nPart = edges0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(nPart, col("src")).ckpt()
     // forward: one materialized LEVEL of (seed, v, sig) per round —
     // "first reached this round" = σ-candidates anti-joined against the
     // union of prior levels (the Bfs level discipline: each (seed, v) is
@@ -62,25 +77,43 @@ object Betweenness {
     def lazyPersist(df: DataFrame): DataFrame = {
       val p = df.persist(); persisted += p; p
     }
+    // per-round TRANSITIONS (seed, pred@ℓ-1, v-candidate, σ_pred) — the
+    // frontier×edges expansion the round computes anyway. Lazily
+    // persisted (r11): the backward sweep's contribution join needs
+    // exactly these rows (levels(ℓ-1)⋈edges ≡ trans(ℓ)), so caching
+    // them here replaces one frontier×edges re-join PER BACKWARD LEVEL
+    // with a cache read. Cache-vs-recompute: |trans| = Σ deg over the
+    // frontier — the same rows the σ-groupBy streams through, so the
+    // marginal cost is one in-memory copy, released with the rest of
+    // the lazy persists after the final union materializes. trans(1) is
+    // never consumed twice (backward stops at lvl 1 reading trans(2)),
+    // so it skips the cache.
+    val trans = new Array[DataFrame](depth + 1)
     for (i <- 1 to depth) {
+      val t = frontier
+        .join(edges, col("v") === col("src"))
+        .select(col("seed"), col("v").as("pred"), col("dst").as("v"),
+          col("sig"))
+      trans(i) = if (i >= 2) lazyPersist(t) else t
       // σ-aggregation and settled-membership FUSED into ONE shuffle (the
       // Bfs discipline): settled rows ride the same groupBy tagged 1 with
       // a zero σ contribution; keys whose max tag is 0 are genuinely new
       // and their sum IS σ — where agg + left_anti paid a second full
       // sort-merge-join shuffle per round.
       val settled = levels.map(_.select("seed", "v")).reduce(_ unionByName _)
-      val next = frontier
-        .join(edges, col("v") === col("src"))
-        .select(col("seed"), col("dst").as("v"), col("sig"),
-          lit(0).as("tag"))
+      val next = trans(i)
+        .select(col("seed"), col("v"), col("sig"), lit(0).as("tag"))
         .unionByName(settled
           .select(col("seed"), col("v"), lit(0L).as("sig"), lit(1).as("tag")))
         .groupBy("seed", "v")
         .agg(sum(col("sig")).as("sig"), max(col("tag")).as("mt"))
         .where(col("mt") === 0)
         .select(col("seed"), col("v"), col("sig"))
-      frontier = if (i % 2 == 0 || i == depth) next.ckpt()
-                 else lazyPersist(next)
+      // terminal level included in the lazy cadence (r11): L_depth has
+      // bounded consumers (δ_depth projection, the lvl depth-1 succ join,
+      // the final union), so a lazy persist serves them from cache
+      // without the extra eager barrier the old `i == depth` forced.
+      frontier = if (i % 2 == 0) next.ckpt() else lazyPersist(next)
       levels += frontier
     }
     // backward: δ at the deepest level is 0; walk levels depth-1 … 1.
@@ -96,14 +129,19 @@ object Betweenness {
         .select(col("seed").as("sseed"), col("v").as("w"), col("sig").as("sigw"))
         .join(deltas(lvl + 1).select(col("seed").as("sseed"),
           col("v").as("w"), col("delta").as("dw")), Seq("sseed", "w"))
-      val contrib = fr
-        .join(edges, col("v") === col("src"))
-        .join(succ, col("seed") === col("sseed") && col("dst") === col("w"))
+      // DAG edges level ℓ → ℓ+1 are exactly the forward transitions of
+      // round ℓ+1 restricted to vertices that LANDED at level ℓ+1 (the
+      // succ inner join does the restriction; trans.pred ∈ level ℓ by
+      // construction) — reading the cached trans replaces the
+      // fr×edges re-expansion the sweep used to pay per level.
+      val contrib = trans(lvl + 1)
+        .join(succ, col("seed") === col("sseed") && col("v") === col("w"))
         .withColumn("c", expr(
           "round((CAST(sig AS DOUBLE) / CAST(sigw AS DOUBLE)) * (1.0 + dw), 8)"))
       val d = fr.join(
-          contrib.groupBy("seed", "v")
-            .agg(graft.queries.dsum(col("c"), 8).as("s")),
+          contrib.groupBy("seed", "pred")
+            .agg(graft.queries.dsum(col("c"), 8).as("s"))
+            .select(col("seed"), col("pred").as("v"), col("s")),
           Seq("seed", "v"), "left_outer")
         .select(col("seed"), col("v"),
           expr("round(coalesce(s, 0.0), 8)").as("delta"))
