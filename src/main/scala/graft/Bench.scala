@@ -1,173 +1,283 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-facing benchmark gate. Prints (at most) two stdout lines:
+  * the FULL per-query map first, and — ALWAYS LAST, even on deadline
+  * exhaustion or a measurement-phase crash — the compact headline JSON
+  * the driver grades. Round-11 lesson: the driver bench has a hard wall
+  * cap (r10 completed at 42:16; r11's fixed 400-draw retry budget pushed
+  * past it → rc=124, no parseable artifact), and the driver captures
+  * only a 2,000-char stdout TAIL — so Bench must (a) budget its own
+  * wall clock and shed work, never the final line, and (b) keep Spark's
+  * logging (the WindowExec single-partition WARN flood) off the tail.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.build()
-    // Warm up the session (codegen, parquet footer reads) so the first
-    // measured query doesn't absorb JVM/session init. Must not be able to
-    // kill the run — a broken sfDir has to surface as per-query penalties
-    // in the JSON line, not a missing line.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
-    }
-    // Fixed execution order and median-of-3 per query: an n=1 unordered
-    // run on a contended box can triple the recorded total (round 1:
-    // driver 178 s vs judge re-run 59.9 s of the same binary); the median
-    // absorbs one-off stalls and the order makes runs comparable across
-    // rounds. The FROZEN headline set runs FIRST (sorted within each
-    // group): the graded number must measure headline plan quality, not
-    // the JVM/GC pressure the 350+-query catalog tail builds up over a
-    // full session (r7: 38.5 s quiet-box vs 45.3 s when the headline ran
-    // interleaved with the tail). Because headline-first also means
-    // COLD-JIT-first (measured: q_multimodal_decode 9.9 s in rep 1-3 of a
-    // fresh JVM vs 3.3 s warm; q1_agg 2.0 vs 0.4), the headline set gets
-    // ONE untimed warmup lap before the timed reps — ~40 s that buys
-    // plan-quality numbers instead of JIT-compilation numbers. A gc() at
-    // the group boundary keeps the tail from inheriting headline garbage.
+    // Self-imposed wall deadline, measured from HERE (the driver's cap
+    // additionally covers sbt/JVM spin-up — hence the default sits well
+    // under the 42:16 that r10 survived): 34 min. The deadline governs
+    // work-shedding order: tail reps shed first, then the sf1 lap, then
+    // retries; the headline pass sheds only in the final emergency
+    // minute (and a shed GRADED query records the failure penalty — a
+    // deadline must not read as a speedup).
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2040").toDouble
+    // log level ERROR (not the session default WARN): WindowExec emits a
+    // WARN per single-partition window execution and the r11 driver tail
+    // was 100% that flood — the JSON line must own the tail.
+    val spark = Sessions.build(logLevel = "ERROR")
+    try run(spark, sfDir, deadlineSec, Some("/root/repo/target/sf1"))
+    finally spark.stop()
+  }
+
+  /** Runs the full benchmark protocol; returns the final headline line
+    * (also printed as the LAST stdout line — BenchSpec pins that
+    * contract). Does not stop the session. */
+  def run(spark: SparkSession, sfDir: String, deadlineSec: Double,
+          sf1Dir: Option[String],
+          outPath: String = "target/bench.json"): String = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    def remaining: Double = deadlineSec - elapsed
+
     val all = SparkEntry.queries.keys.toSeq
-    val names = all.filter(Headline).sorted ++ all.filterNot(Headline).sorted
-    // one lap suffices: a second lap was measured at 37.45 s vs 37.47 —
-    // the residual per-query cost is execution, not JIT
-    all.filter(Headline).sorted.foreach { name =>
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      } catch {
-        // NonFatal only: an OutOfMemoryError / dead SparkContext here would
-        // poison every timed rep — let it propagate instead of discarding
-        // it with no log pointing at the warmup. Non-fatal failures still
-        // surface as penalties in the timed reps; log the name for traceability.
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    val headNames = all.filter(Headline).sorted
+    val tailNames = all.filterNot(Headline).sorted
+
+    /** reps timed runs through the noop sink (forces full evaluation of
+      * every output column — count() would let Catalyst prune the
+      * expensive projections). Aggregation per protocol: the GRADED
+      * headline keeps the round-1 median-of-3 (comparable across every
+      * round); the 430-query tail uses MIN-of-2 — the ScaleAudit
+      * methodology (min absorbs one-off stalls and first-use JIT; a
+      * genuine plan cost is present in both laps) — which is what makes
+      * the whole protocol fit the round-12 wall deadline with retry
+      * budget left over (3-rep tail alone was ~24 of the 34 min).
+      * Failure penalty in BOTH positions if ANY rep fails (a median
+      * would let an intermittent 1-of-3 failure read as a clean time,
+      * and mixing the sentinel into max−min arithmetic would report a
+      * meaningless penalty-sized spread instead of signaling it). */
+    def measure(name: String, dir: String, reps: Int): (Double, Double) = {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        val r = try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            FailPenalty
+        }
+        // drop caches persist()ed inside query builders (dedup
+        // pipelines) so repeat runs measure cold plans, not cache hits
+        spark.catalog.clearCache()
+        r
       }
-      spark.catalog.clearCache()
+      if (times.contains(FailPenalty)) (FailPenalty, FailPenalty)
+      else {
+        val m = if (reps == TailReps) times.min
+                else times.sorted.apply(times.length / 2)
+        (m, times.max - times.min)
+      }
     }
-    var gcDone = false
-    var tailIdx = 0
-    // spread-gated re-measurement budget (see below): sized from the
-    // first r11 sf0.1 run, where 122 entries violated the 0.5×-median
-    // spread bar and a 150-draw budget ran dry ~380 queries in
-    // (alphabetical), leaving the streaming sinks' structural rep-1
-    // cold starts unretried; 400 covers every observed violator twice
-    // with headroom (~+15 min worst-case bench wall)
-    var retryBudget = 400
-    val results = names.map { name =>
-      if (!gcDone && !Headline(name)) { System.gc(); gcDone = true }
-      // Periodic gc through the tail (r8 verdict task 4): without it,
-      // accumulated GC pressure inflates late-tail queries up to 6.5×
-      // vs quiet-box (judge-measured q_percentile_weighted 13.94 s
-      // session vs 2.16 s quiet), so cross-round tail comparisons mix
-      // plan changes with pressure drift. A gc every 25 tail queries
-      // costs ~1 s each (untimed — between queries) and pins each query
-      // to a comparable heap state across rounds.
-      if (!Headline(name)) {
+
+    val med = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spr = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var sheddedTail = 0
+    var retriesRun = 0
+
+    // Everything before `finalize`-equivalent below is fail-safed: a
+    // phase-level crash (dead context, OOM-adjacent state) must still
+    // leave a parseable last line with penalties where data is missing.
+    try {
+      // Warm up the session (codegen, parquet footer reads) so the first
+      // measured query doesn't absorb JVM/session init. Must not be able
+      // to kill the run — a broken sfDir has to surface as per-query
+      // penalties in the JSON line, not a missing line.
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      try spark.read.parquet(s"$sfDir/region.parquet").count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
+      }
+      // Fixed execution order and median-of-reps per query: an n=1
+      // unordered run on a contended box can triple the recorded total
+      // (round 1: driver 178 s vs judge re-run 59.9 s of the same
+      // binary). The FROZEN headline set runs FIRST: the graded number
+      // must measure headline plan quality, not the GC pressure the
+      // 400+-query tail builds up (r7: 38.5 s quiet vs 45.3 s
+      // interleaved). Headline-first also means COLD-JIT-first
+      // (measured: q_multimodal_decode 9.9 s cold vs 3.3 s warm), so
+      // the headline gets ONE untimed warmup lap — unless the deadline
+      // is already too tight to afford it (tiny-deadline BenchSpec runs).
+      if (remaining > 300) headNames.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch {
+          // NonFatal only: an OutOfMemoryError / dead SparkContext here
+          // would poison every timed rep — let it propagate with a log
+          // instead of discarding it.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+      }
+      // PASS 1a — headline, full reps. Emergency shed only (last 30 s):
+      // a shed GRADED entry records the penalty, per the invariant.
+      headNames.foreach { n =>
+        if (remaining < 30) { med(n) = FailPenalty; spr(n) = FailPenalty }
+        else { val (m, s) = measure(n, sfDir, Reps); med(n) = m; spr(n) = s }
+      }
+      System.gc() // group boundary: tail must not inherit headline garbage
+      // PASS 1b — tail. Shedding ladder as the clock tightens: keep a
+      // reserve for the sf1 lap + retries + finalization; inside the
+      // reserve drop to 1 rep (spread then unmeasurable → recorded -1);
+      // in the final minute skip outright (median -1 = "deadline-shed,
+      // not measured" — tail entries are NOT in the graded total, so the
+      // sentinel is honest bookkeeping, not grade laundering). Periodic
+      // gc through the tail (r8): without it accumulated GC pressure
+      // inflates late-tail queries up to 6.5× vs quiet-box.
+      var tailIdx = 0
+      tailNames.foreach { n =>
         tailIdx += 1
         if (tailIdx % 25 == 0) System.gc()
+        if (remaining < 60) { med(n) = -1.0; spr(n) = -1.0; sheddedTail += 1 }
+        else if (remaining < 420) {
+          val (m, _) = measure(n, sfDir, 1); med(n) = m; spr(n) = -1.0
+          sheddedTail += 1
+        }
+        else { val (m, s) = measure(n, sfDir, TailReps); med(n) = m; spr(n) = s }
       }
-      val fn = SparkEntry.queries(name)
-      def measure(): (Double, Double) = {
-        val times = (1 to Reps).map { _ =>
-          val t0 = System.nanoTime()
-          // noop sink forces full evaluation of every output column —
-          // count() would let Catalyst prune the expensive projections.
-          val t = try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              FailPenalty
+      // PASS 2 — sf1 headline lap (round-11 verdict task 4): one rep of
+      // the frozen headline set against the ScaleGen sf1 copy, so every
+      // round carries a measured sf0.1→sf1 headline ratio instead of a
+      // one-off scaling artifact. ~2–3 min by the scale table; skipped
+      // (with a stderr note) if the dir is absent or the clock is tight.
+      sf1Dir.filter(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(d, "lineitem.parquet"))) match {
+        case Some(d) if remaining > 300 =>
+          System.gc()
+          headNames.foreach { n =>
+            if (remaining > 120) { val (m, _) = measure(n, d, 1); sf1(n) = m }
           }
-          // drop caches persist()ed inside query builders (dedup pipelines)
-          // so repeat runs measure cold plans, not cache hits
-          spark.catalog.clearCache()
-          t
-        }
-        // ANY failed rep records the penalty — a median would let an
-        // intermittent failure (1 of 3) read as a clean passing time,
-        // defeating the "failure must not read as a speedup" invariant.
-        // The spread is ALSO the penalty then: mixing the sentinel into
-        // max−min arithmetic would report a meaningless penalty-sized
-        // spread instead of signaling the failure.
-        if (times.contains(FailPenalty)) (FailPenalty, FailPenalty)
-        else (times.sorted.apply(times.length / 2), times.max - times.min)
+        case Some(_) =>
+          System.err.println(f"[bench] sf1 lap shed (${remaining}%.0f s left)")
+        case None =>
+          System.err.println("[bench] sf1 lap skipped: no sf1 dir (ScaleGen)")
       }
-      // run-to-run spread (max − min over the reps): the box-drift
-      // visibility the round-9 verdict asked for — per-query noise is
-      // recorded next to the median so cross-round comparisons can tell
-      // plan changes from environment drift (full map file only).
-      // SPREAD-GATED RE-RUN (round-11, SCALE.md convention): a first
-      // measurement whose spread exceeds 0.5× its median was hit by box
-      // pressure mid-rep (the r10 tail had 20 entries with spread >
-      // median — pure noise, useless as a cross-round signal). Those
-      // entries get up to two quiet re-measurements after a gc, keeping
-      // the run with the best spread/median ratio: plan changes survive
-      // (a genuinely slower plan is slow in every re-run), one-off
-      // stalls don't. Two guards keep a fully-contended session from
-      // tripling the bench: sub-0.08 s absolute spreads are scheduler
-      // jitter that re-running cannot buy down (and are harmless as a
-      // signal), and a global budget caps total re-measurements — under
-      // sustained pressure EVERY query looks unstable and unlimited
-      // retries would never converge.
-      var (med, sp) = measure()
-      var retries = 0
-      while (med != FailPenalty && med > 0 && sp > 0.5 * med && sp > 0.08 &&
-             retries < 2 && retryBudget > 0) {
-        System.gc()
-        retryBudget -= 1
-        val (m2, s2) = measure()
-        if (m2 != FailPenalty && s2 / math.max(m2, 1e-9) < sp / med) {
-          med = m2; sp = s2
+      // PASS 3 — spread-gated re-measurement (SCALE.md convention), now
+      // CLOCK-budgeted instead of the fixed 400-draw budget that blew
+      // the r11 driver cap: a first measurement whose spread exceeds
+      // 0.5× its median was hit by box pressure mid-rep; re-measure
+      // after a gc and keep the run with the best spread/median ratio —
+      // plan changes survive (a genuinely slower plan is slow in every
+      // re-run), one-off stalls don't. Sub-0.08 s absolute spreads are
+      // scheduler jitter re-running cannot buy down. CHEAPEST-first
+      // order maximizes the number of entries brought under the bar per
+      // clock second (the 95% spread-coverage target is a count of
+      // entries, and a violator's retry costs ~reps × its own median).
+      def violators = med.keys.toSeq.filter { n =>
+        med(n) > 0 && med(n) != FailPenalty &&
+          spr(n) > 0.5 * med(n) && spr(n) > 0.08
+      }.sortBy(med)
+      var pass = 0
+      var fixedAny = true
+      while (pass < 2 && fixedAny && remaining > 90) {
+        pass += 1
+        fixedAny = false
+        violators.foreach { n =>
+          val reps = if (Headline(n)) Reps else TailReps
+          if (remaining > reps * med(n) + 75) {
+            System.gc()
+            retriesRun += 1
+            val (m2, s2) = measure(n, sfDir, reps)
+            // a retry that FAILS records the penalty (round-11 ADVICE):
+            // silently keeping the earlier clean result would hide a
+            // failure that only occurs under retry-lap conditions —
+            // the same "failure must not read as a speedup" invariant.
+            if (m2 == FailPenalty) { med(n) = FailPenalty; spr(n) = FailPenalty }
+            else if (s2 / math.max(m2, 1e-9) < spr(n) / med(n)) {
+              med(n) = m2; spr(n) = s2; fixedAny = true
+            }
+          }
         }
-        retries += 1
       }
-      (name, med, sp)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] measurement phase died: ${e.getMessage}")
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) =>
-      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, sp)
-    }.mkString("{", ",", "}")
-    // The graded total is the sum over the FROZEN round-1 headline set, so
-    // adding queries in later rounds cannot inflate it into a fake
-    // regression; the per-query map still reports everything. A headline
-    // query that no longer EXISTS (renamed/removed) counts as the failure
-    // penalty — losing a query must not read as a speedup.
-    val resultKeys = results.map(_._1).toSet
-    val total = results.collect { case (k, v, _) if Headline(k) => v }.sum +
-      (Headline -- resultKeys).size * FailPenalty
-    // Two stdout lines + one file, sized for the driver's 2000-char TAIL
-    // capture (which also keeps ~130 chars of sbt epilogue): the FULL
-    // 129-query map is ~3.3 kB and cannot fit, so it goes first on stdout
-    // and verbatim into target/bench.json; the LAST line is compact enough
-    // (~1.3 kB) to survive whole — the frozen 47-query headline map at
-    // 3 decimals, a pointer to the full map file, and the graded
-    // "metric"/"value" fields in final position.
-    val line =
-      s"""{"queries":$qs,"spread":$spreads,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
-    println(line)
+    // FINALIZATION — always reached. Entries never visited (phase crash,
+    // extreme deadline): graded ones take the penalty, tail ones the
+    // shed sentinel.
+    headNames.foreach(n => if (!med.contains(n)) {
+      med(n) = FailPenalty; spr(n) = FailPenalty
+    })
+    tailNames.foreach(n => if (!med.contains(n)) { med(n) = -1.0; spr(n) = -1.0 })
+    def jmap(m: collection.Map[String, Double], fmt: Boolean): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + (if (fmt) "%.3f".formatLocal(java.util.Locale.ROOT, v)
+                            else v.toString)
+      }.mkString("{", ",", "}")
+    // The graded total is the sum over the FROZEN round-1 headline set,
+    // so adding queries in later rounds cannot inflate it into a fake
+    // regression. A headline query that no longer EXISTS
+    // (renamed/removed) counts as the failure penalty — losing a query
+    // must not read as a speedup.
+    val total = headNames.map(med).sum + (Headline -- med.keySet).size * FailPenalty
+    // Spread coverage (round-10/11 convention): share of entries whose
+    // run-to-run spread is within 0.5× their median (or under the
+    // 0.08 s jitter floor). Counted over spread-MEASURED entries only —
+    // a deadline-shed 1-rep entry has no spread and claiming it as
+    // compliant would launder the bar; `shed_tail` reports those.
+    val measured = med.keys.filter(n => spr(n) >= 0 && med(n) != FailPenalty)
+    val nViol = measured.count(n =>
+      med(n) > 0 && spr(n) > 0.5 * med(n) && spr(n) > 0.08)
+    val coverage = 100.0 * (measured.size - nViol) / math.max(measured.size, 1)
+    val sf1Part =
+      if (sf1.isEmpty) ""
+      else {
+        val t = "%.3f".formatLocal(java.util.Locale.ROOT, sf1.values.sum)
+        s""","headline_sf1":${jmap(sf1, fmt = true)},"headline_sf1_total":$t"""
+      }
+    // Two stdout lines + one file, sized for the driver's 2,000-char
+    // TAIL capture: the FULL per-query map cannot fit, so it goes first
+    // on stdout and verbatim into target/bench.json; the LAST line is
+    // compact enough to survive whole — the frozen headline map at 3
+    // decimals plus the graded "metric"/"value" fields in final position.
+    val stats = f""","spread_coverage_pct":$coverage%.1f,"spread_measured":${measured.size}%d,"retries":$retriesRun,"shed_tail":$sheddedTail,"elapsed_sec":$elapsed%.1f"""
+    val full =
+      s"""{"queries":${jmap(med, fmt = false)},"spread":${jmap(spr, fmt = true)}$sf1Part,"sf":"$sfDir"$stats,"unit":"sec","metric":"total","value":$total}"""
+    println(full)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
     }
-    val hq = results.collect { case (k, v, _) if Headline(k) =>
-      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    }.mkString("{", ",", "}")
-    println(s"""{"queries":$hq,"full_map":"target/bench.json","sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
-    spark.stop()
+    val hq = jmap(med.filter(kv => Headline(kv._1)), fmt = true)
+    val line =
+      s"""{"queries":$hq,"full_map":"$outPath","sf":"$sfDir"$stats,"unit":"sec","metric":"total","value":$total}"""
+    Console.out.flush(); System.out.flush()
+    println(line)
+    Console.out.flush(); System.out.flush()
+    line
   }
 
-  /** A failed (or missing) query must read as a REGRESSION, not a
-    * speedup: recorded instead of its time-to-exception. */
+  /** A failed (or missing, or deadline-shed GRADED) query must read as a
+    * REGRESSION, not a speedup: recorded instead of its time. Tail
+    * entries shed by the deadline record -1 instead ("not measured"):
+    * they are outside the graded total, and a penalty there would read
+    * as 400 phantom failures. */
   val FailPenalty = 999.0
 
-  /** Runs per query; the reported time is the median. */
+  /** Headline runs per query; the reported time is the median. */
   val Reps = 3
+
+  /** Tail runs per query; the reported time is the MIN (ScaleAudit
+    * methodology — see `measure`). */
+  val TailReps = 2
 
   /** Round-1 query set — frozen; do not remove entries, only measure. */
   val Headline: Set[String] = Set(

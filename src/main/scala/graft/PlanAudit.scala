@@ -54,12 +54,24 @@ object PlanAudit {
     else {
       val finalIds = "\\((\\d+)\\)".r
         .findAllMatchIn(p.substring(0, init)).map(_.group(1)).toSet
-      p.linesIterator.filter { line =>
+      val pruned = p.linesIterator.filter { line =>
         "^\\((\\d+)\\) ".r.findFirstMatchIn(line) match {
           case Some(m) => finalIds(m.group(1))
           case None => true
         }
       }.mkString("\n")
+      // Guard (round-11 ADVICE): the pruning assumes ExplainUtils numbers
+      // the final and initial trees with ONE counter, so detail ids are
+      // plan-unique. A future Spark restarting numbering per tree would
+      // make the initial tree's details survive the prune under reused
+      // ids and silently double every count — fail loudly instead.
+      val detailIds = "(?m)^\\((\\d+)\\) ".r
+        .findAllMatchIn(pruned).map(_.group(1)).toSeq
+      require(detailIds.size == detailIds.distinct.size,
+        "formatted-explain node ids collide across final/initial trees — " +
+          "the finalPlanOnly pruning (and every count built on it) is " +
+          "unsound on this Spark version")
+      pruned
     }
   }
 
@@ -73,7 +85,8 @@ object PlanAudit {
       s"\\(\\d+\\) $name".r.findAllIn(p).length
     def codegenSpans(p: String): Int =
       "codegen id : (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
-    def counts(plans: Seq[String], executed: Int): Map[String, Int] = Map(
+    def counts(plans: Seq[String], executed: Int, unboundedWin: Int)
+        : Map[String, Int] = Map(
       "exchanges" -> plans.map(nodeCount(_, "Exchange")).sum,
       "broadcast_joins" -> plans.map(nodeCount(_, "BroadcastHashJoin")).sum,
       "bnlj" -> plans.map(nodeCount(_, "BroadcastNestedLoopJoin")).sum,
@@ -81,17 +94,31 @@ object PlanAudit {
       "shuffled_hash_joins" -> plans.map(nodeCount(_, "ShuffledHashJoin")).sum,
       "cartesian" -> plans.map(nodeCount(_, "CartesianProduct")).sum,
       "windows" -> plans.map(nodeCount(_, "Window")).sum,
+      // global windows with no limit-class operator below them (the one
+      // window shape that serializes a corpus into ONE task at 100 TB) —
+      // structural walk of the executed physical plan, round-11 task 5.
+      // Non-zero values are the adjudicated aggregation-bounded
+      // decile/cohort frames; PlanSpec pins the flagship families at 0,
+      // and this artifact carries the catalog-wide census per round.
+      "global_windows_unbounded" -> unboundedWin,
       "codegen_spans" -> plans.map(codegenSpans).sum,
       "audited_executions" -> executed)
     // capture listener: explain strings of every completed execution.
     // The listener bus is async — drained via waitUntilEmpty before read.
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val capturedWin = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var capturing = false
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit =
-        if (capturing) captured.add(
-          qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+        if (capturing) {
+          captured.add(
+            qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+          // structural (non-textual) walk — the partition spec of a
+          // Window node is not reliably parseable out of formatted text
+          capturedWin.addAndGet(org.apache.spark.sql.graft.GraftSqlShim
+            .unboundedGlobalWindows(qe.executedPlan))
+        }
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     }
@@ -101,6 +128,7 @@ object PlanAudit {
       .flatMap { name =>
         try {
           captured.clear()
+          capturedWin.set(0)
           capturing = true
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
@@ -110,7 +138,7 @@ object PlanAudit {
           spark.catalog.clearCache()
           val plans = captured.toArray(Array.empty[String]).toSeq
             .map(finalPlanOnly)
-          Some(name -> counts(plans, plans.size))
+          Some(name -> counts(plans, plans.size, capturedWin.get()))
         } catch { case e: Throwable =>
           capturing = false
           System.err.println(s"[audit] $name failed: ${e.getMessage}")
@@ -125,8 +153,10 @@ object PlanAudit {
     val totEx = rows.map(_._2("exchanges")).sum
     val nCart = rows.count(_._2("cartesian") > 0)
     val nCg = rows.count(_._2("codegen_spans") > 0)
+    val nWin = rows.count(_._2("global_windows_unbounded") > 0)
     println(s"PLAN_AUDIT queries=${rows.size} total_exchanges=$totEx " +
-      s"cartesian_queries=$nCart codegen_queries=$nCg -> $outPath")
+      s"cartesian_queries=$nCart codegen_queries=$nCg " +
+      s"unbounded_global_window_queries=$nWin -> $outPath")
     spark.stop()
   }
 }

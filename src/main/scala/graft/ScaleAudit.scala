@@ -43,18 +43,25 @@ object ScaleAudit {
     val spark = Sessions.build()
     @volatile var tasks = 0L
     @volatile var shufBytes = 0L
+    // Accumulation is GATED on the measured region (round-11 ADVICE):
+    // without the gate, a stage from a cancelled run completing late —
+    // after the timeout path returned but before the next query's
+    // drain — would pollute the next query's counters.
+    @volatile var counting = false
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        tasks += s.stageInfo.numTasks
-        shufBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
-      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (counting) {
+          tasks += s.stageInfo.numTasks
+          shufBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val pool = Executors.newSingleThreadExecutor()
+    var pool = Executors.newSingleThreadExecutor()
     /** (wall sec or -1 on timeout/failure, tasks, shuffle bytes) */
     def runOnce(name: String, sf: String): (Double, Long, Long) = {
       org.apache.spark.sql.graft.GraftSqlShim.drainListenerBus(spark)
       tasks = 0L; shufBytes = 0L
+      counting = true
       val limit = if (sf.endsWith("sf1")) TimeoutSf1Sec else TimeoutSmallSec
       val t0 = System.nanoTime()
       val fut = pool.submit(new Runnable {
@@ -68,6 +75,20 @@ object ScaleAudit {
             System.err.println(s"[scale] $name @ $sf TIMED OUT (${limit}s)")
             spark.sparkContext.cancelAllJobs()
             try fut.get(60, TimeUnit.SECONDS) catch { case _: Throwable => () }
+            // Wedged-worker guard (round-11 ADVICE): if the runnable is
+            // stuck somewhere job cancellation cannot reach (driver-side
+            // planning, a non-Spark loop), the single-thread pool would
+            // stay occupied and every later submit would queue behind it,
+            // recording spurious -1s for HEALTHY queries. Abandon the
+            // wedged thread to its fate and hand later queries a fresh
+            // worker.
+            if (!fut.isDone) {
+              System.err.println(
+                s"[scale] $name @ $sf still WEDGED after cancel + 60s " +
+                  "grace — replacing the worker pool")
+              pool.shutdownNow()
+              pool = Executors.newSingleThreadExecutor()
+            }
             -1.0
           case e: Throwable =>
             System.err.println(s"[scale] $name @ $sf failed: ${e.getMessage}")
@@ -75,6 +96,7 @@ object ScaleAudit {
         }
       spark.catalog.clearCache()
       org.apache.spark.sql.graft.GraftSqlShim.drainListenerBus(spark)
+      counting = false
       (wall, tasks, shufBytes)
     }
     val names = SparkEntry.queries.keys.toSeq.sorted

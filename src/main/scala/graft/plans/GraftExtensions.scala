@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.interleaveBitsFn)
     ext.injectFunction(GraftExtensions.charShinglesFn)
     ext.injectFunction(GraftExtensions.winnowFingerprintsFn)
+    ext.injectFunction(GraftExtensions.pairCombosFn)
     ext.injectFunction(GraftExtensions.hllRegisterAggFn)
     ext.injectFunction(GraftExtensions.hilbertIndexFn)
     ext.injectFunction(GraftExtensions.kmvAggFn)
@@ -138,6 +139,21 @@ object GraftExtensions {
           s"winnow_fingerprints: $what must be an INT literal, got $other")
       }
       WinnowGenerator(children(0), intLit(children(1), "k"), intLit(children(2), "w"))
+    })
+
+  private val pairCombosFn = (
+    new FunctionIdentifier("pair_combos"),
+    info(classOf[PairCombosGenerator], "pair_combos",
+      "pair_combos(arr) - Generator: all C(n,2) index-ordered element " +
+        "pairs (p, q) of an ARRAY<BIGINT> — the wedge-enumeration " +
+        "primitive for common-neighbor scoring. Pass a sort_array'd " +
+        "input for value-ordered (p < q) pairs. Lazy emission: pairs " +
+        "stream into the consuming pipeline.",
+      "    Examples:\n      > SELECT pair_combos(array(1L, 2L, 3L));\n       (1,2)\n       (1,3)\n       (2,3)"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1,
+        s"pair_combos expects (arr), got ${children.length} arguments")
+      PairCombosGenerator(children(0))
     })
 
   private val hllRegisterAggFn = (
@@ -266,6 +282,8 @@ object GraftExtensions {
       charShinglesFn._1, charShinglesFn._2, charShinglesFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       winnowFingerprintsFn._1, winnowFingerprintsFn._2, winnowFingerprintsFn._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      pairCombosFn._1, pairCombosFn._2, pairCombosFn._3)
     spark.sessionState.functionRegistry.registerFunction(
       kmvAggFn._1, kmvAggFn._2, kmvAggFn._3)
     spark.sessionState.functionRegistry.registerFunction(

@@ -164,13 +164,22 @@ object Reference {
     // the partitioning-invariance pin.
     "q_checksum_sink" -> ((s, dir) => {
       val wc = wordcount(s, dir)
+      // sink names carry a per-invocation nonce (round-11 ADVICE): the
+      // ChecksumSink result registry is JVM-global, so two concurrent
+      // builds of this query under fixed names would race on result()
+      // and could read each other's committed counts — the nonce makes
+      // the builder reentrant beyond the repo's documented
+      // single-threaded-session assumption
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
       def through(df: DataFrame, name: String): (Long, Long) = {
         df.write.format("graft.sources.ChecksumSink")
           .option("name", name).mode("overwrite").save()
-        graft.sources.ChecksumSink.result(name).get
+        val r = graft.sources.ChecksumSink.result(name).get
+        graft.sources.ChecksumSink.clear(name) // nonce names: don't leak
+        r
       }
-      val (ca, xa) = through(wc, "q_cs_a")
-      val (cb, xb) = through(wc.repartition(7), "q_cs_b")
+      val (ca, xa) = through(wc, s"q_cs_a_$nonce")
+      val (cb, xb) = through(wc.repartition(7), s"q_cs_b_$nonce")
       wc.agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_tokens"))
         .withColumn("rows_committed", lit(ca))
         .withColumn("checksum_stable", lit(ca == cb && xa == xb))

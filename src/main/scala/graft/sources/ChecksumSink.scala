@@ -37,6 +37,10 @@ object ChecksumSink {
   /** (rows written, xor checksum) per sink name — last committed write. */
   private val results = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   def result(name: String): Option[(Long, Long)] = Option(results.get(name))
+  /** Release a consumed entry — nonce-suffixed sink names (the
+    * q_checksum_sink reentrancy fix) must not accumulate in the
+    * JVM-global registry across repeated builds in one session. */
+  def clear(name: String): Unit = results.remove(name)
   private[sources] def record(name: String, v: (Long, Long)): Unit =
     results.put(name, v)
 

@@ -62,6 +62,57 @@ object GraftSqlShim {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
 
+  /** Count of GLOBAL (empty partition spec) window operators whose input
+    * subtree contains no limit-class operator — the one window shape
+    * that is a 100 TB scale-killer (every corpus row into ONE task's
+    * sort). The catalog's ~93 window-bearing plans are safe only by the
+    * convention that every global window runs over a `.limit(k)` head or
+    * a bounded decile/cohort frame; this makes the convention
+    * machine-checkable (round-11 verdict task 5): PlanAudit records the
+    * count per query and PlanSpec pins the flagship families at 0, so a
+    * future corpus-scale global window fails CI instead of becoming a
+    * silent scale regression. Counted on the EXECUTED physical plan —
+    * descends through adaptive wrappers, query stages, reused exchanges
+    * and cached-relation plans (lazily persisted subtrees are where
+    * iterative operators hide their windows).
+    *
+    * NOTE the "bounded decile/cohort frame" half of the convention is
+    * aggregation-bounded, not limit-bounded — those windows DO count
+    * here and are pinned at their adjudicated values in the audit
+    * artifact; the CI bar is that pinned values never grow. */
+  def unboundedGlobalWindows(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case im: InMemoryTableScanExec => Seq(im.relation.cachedPlan)
+      case other => other.children
+    }
+    // limit-class: bounds the row count flowing into the window sort.
+    // WindowGroupLimitExec qualifies — for a global window it caps the
+    // single partition at the rank limit before the sort.
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec |
+           _: WindowGroupLimitExec => true
+      case other => kids(other).exists(boundedBelow)
+    }
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          if (kids(w).exists(boundedBelow)) 0 else 1
+        case _ => 0
+      }
+      self + kids(p).map(walk).sum
+    }
+    walk(plan)
+  }
+
   /** private[sql] NormalizeFloatingNumbers.normalize: -0.0 → 0.0 and NaN
     * canonicalization, the same treatment Spark's own Aggregate/Window/
     * Join keys get — needed by custom grouping operators (TopKPerKeyExec)

@@ -324,6 +324,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("headline queries execute zero unbounded global windows") {
+    // round-11 verdict task 5: ~93 catalog plans contain WindowExec, and
+    // the global-window sites are safe only by the convention that their
+    // input is a `.limit(k)` head or a bounded decile/cohort frame. This
+    // pins the machine-checkable half for the FROZEN headline set: a
+    // corpus-scale global window (every row into one task's sort — the
+    // canonical 100 TB scale-killer) appearing in a flagship family
+    // fails CI instead of surfacing as a bench mystery. The structural
+    // walk (GraftSqlShim.unboundedGlobalWindows) runs on the EXECUTED
+    // plan and descends through AQE wrappers, query stages and cached
+    // relations. Sink/side-effecting headline queries are exercised via
+    // their own specs + the PlanAudit artifact (collect() here would
+    // re-run their writes).
+    val skip = Set("q_sink_roundtrip", "q_sink_csv_roundtrip",
+      "q_sink_json_roundtrip", "q_partitioned_scan", "q_upsert")
+    val bad = Bench.Headline.toSeq.sorted.filterNot(skip).flatMap { q =>
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect()
+      val n = org.apache.spark.sql.graft.GraftSqlShim.unboundedGlobalWindows(
+        df.queryExecution.executedPlan)
+      spark.catalog.clearCache()
+      if (n == 0) None else Some(s"$q: $n")
+    }
+    assert(bad.isEmpty, s"unbounded global windows in: $bad")
+  }
+
   test("catalog-wide: no query plans a CartesianProduct") {
     // 1-row stat-assembly crossjoins plan as BroadcastNestedLoopJoin and
     // are fine; an actual CartesianProduct (both sides big, no key) is
