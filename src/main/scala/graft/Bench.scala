@@ -169,18 +169,22 @@ object Bench {
       }
       // PASS 3 — spread-gated re-measurement (SCALE.md convention), now
       // CLOCK-budgeted instead of the fixed 400-draw budget that blew
-      // the r11 driver cap: a first measurement whose spread exceeds
-      // 0.5× its median was hit by box pressure mid-rep; re-measure
-      // after a gc and keep the run with the best spread/median ratio —
-      // plan changes survive (a genuinely slower plan is slow in every
+      // the r11 driver cap: a measurement whose spread exceeds its
+      // median was hit by box pressure mid-rep; re-measure after a gc
+      // and keep the run with the best spread/median ratio — plan
+      // changes survive (a genuinely slower plan is slow in every
       // re-run), one-off stalls don't. Sub-0.08 s absolute spreads are
-      // scheduler jitter re-running cannot buy down. CHEAPEST-first
-      // order maximizes the number of entries brought under the bar per
-      // clock second (the 95% spread-coverage target is a count of
-      // entries, and a violator's retry costs ~reps × its own median).
+      // scheduler jitter re-running cannot buy down. The retry bar is
+      // 1.0× median (round-12 revision, measured in SCALE.md: the box's
+      // MEDIAN rep-to-rep ratio is ~0.4, so the old 0.5× bar classified
+      // the median query as unstable and no budget could converge it —
+      // r11 burned 400 draws chasing it past the driver cap).
+      // CHEAPEST-first order maximizes entries brought under the bar
+      // per clock second (the coverage target is a count of entries,
+      // and a violator's retry costs ~reps × its own median).
       def violators = med.keys.toSeq.filter { n =>
         med(n) > 0 && med(n) != FailPenalty &&
-          spr(n) > 0.5 * med(n) && spr(n) > 0.08
+          spr(n) > 1.0 * med(n) && spr(n) > 0.08
       }.sortBy(med)
       var pass = 0
       var fixedAny = true
@@ -226,15 +230,21 @@ object Bench {
     // (renamed/removed) counts as the failure penalty — losing a query
     // must not read as a speedup.
     val total = headNames.map(med).sum + (Headline -- med.keySet).size * FailPenalty
-    // Spread coverage (round-10/11 convention): share of entries whose
-    // run-to-run spread is within 0.5× their median (or under the
-    // 0.08 s jitter floor). Counted over spread-MEASURED entries only —
-    // a deadline-shed 1-rep entry has no spread and claiming it as
-    // compliant would launder the bar; `shed_tail` reports those.
+    // Spread coverage at BOTH bars: the legacy r10 0.5×-median criterion
+    // (reported for cross-round continuity) and the round-12 revised
+    // 1.0×-median bar (see SCALE.md — 0.5× sits below the box's median
+    // rep-to-rep drift, so it measures the hardware, not the plans).
+    // Counted over spread-MEASURED entries only — a deadline-shed 1-rep
+    // entry has no spread and claiming it as compliant would launder
+    // the bar; `shed_tail` reports those.
     val measured = med.keys.filter(n => spr(n) >= 0 && med(n) != FailPenalty)
-    val nViol = measured.count(n =>
-      med(n) > 0 && spr(n) > 0.5 * med(n) && spr(n) > 0.08)
-    val coverage = 100.0 * (measured.size - nViol) / math.max(measured.size, 1)
+    def cov(bar: Double): Double = {
+      val nViol = measured.count(n =>
+        med(n) > 0 && spr(n) > bar * med(n) && spr(n) > 0.08)
+      100.0 * (measured.size - nViol) / math.max(measured.size, 1)
+    }
+    val coverage = cov(0.5)
+    val coverage1x = cov(1.0)
     val sf1Part =
       if (sf1.isEmpty) ""
       else {
@@ -246,7 +256,7 @@ object Bench {
     // on stdout and verbatim into target/bench.json; the LAST line is
     // compact enough to survive whole — the frozen headline map at 3
     // decimals plus the graded "metric"/"value" fields in final position.
-    val stats = f""","spread_coverage_pct":$coverage%.1f,"spread_measured":${measured.size}%d,"retries":$retriesRun,"shed_tail":$sheddedTail,"elapsed_sec":$elapsed%.1f"""
+    val stats = f""","spread_coverage_pct":$coverage%.1f,"spread_coverage_1x_pct":$coverage1x%.1f,"spread_measured":${measured.size}%d,"retries":$retriesRun,"shed_tail":$sheddedTail,"elapsed_sec":$elapsed%.1f"""
     val full =
       s"""{"queries":${jmap(med, fmt = false)},"spread":${jmap(spr, fmt = true)}$sf1Part,"sf":"$sfDir"$stats,"unit":"sec","metric":"total","value":$total}"""
     println(full)

@@ -85,13 +85,18 @@ object Betweenness {
     // Broadcast-hint gate (the PageRank broadcastMaxVerts discipline):
     // frontier/settled/δ frames are ball-sized by the seed contract, but
     // an explicit hint is a promise the planner can't veto — so it is
-    // gated on the measured edge count, and past the threshold the
-    // operator runs the plain shuffle shape. fastCount is one narrow
-    // job over the just-materialized edge blocks.
-    val maxEdges = edges0.sparkSession.conf
-      .getOption("graft.betweenness.broadcastMaxEdges")
-      .map(_.toLong).getOrElse(50_000_000L)
-    val useBroadcast = Ckpt.fastCount(edges) <= maxEdges
+    // gated on the measured graph size, and past the threshold the
+    // operator runs the plain shuffle shape. The gate reads the ckpt's
+    // MEASURED block size off the plan stats (localCheckpointMeasured) —
+    // driver-side, zero jobs, where a count would cost one more of the
+    // fixed-cost barriers this operator is budgeted by. ~1 GiB of edge
+    // blocks ≈ 50 M+ edges: well past the point where a ball could
+    // plausibly stay broadcast-sized.
+    val maxBytes = edges0.sparkSession.conf
+      .getOption("graft.betweenness.broadcastMaxEdgeBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val useBroadcast =
+      edges.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
     def hint(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df
     // level 0 — the seeds themselves; σ(seed, seed) = 1. Eager ckpt: it
