@@ -135,13 +135,57 @@ object Multimodal {
 
   // ---- real decoders ----
 
+  /** PNG signature (the 8-byte magic every PNG stream starts with). */
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One reusable JDK PNG reader per task thread. `ImageIO.read` pays,
+    * PER CALL: a reader-registry scan, a reader instantiation + dispose,
+    * and — with the default `ImageIO.getUseCache` — a DISK-backed
+    * FileCacheImageInputStream (create + write + delete one temp file per
+    * payload). None of that is decoding; for a column of millions of small
+    * in-memory payloads it dominates the real inflate+unfilter work
+    * (measured at sf0.1: q_multimodal_decode 6.1 s → see SCALE.md r12).
+    * The reader instance is the SAME JDK PNG plugin `ImageIO.read`
+    * selects, so the decode path (and every oracle-checked byte) is
+    * unchanged; readers are not thread-safe, hence one per thread. */
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
+  }
+
+  /** Decode a payload to a BufferedImage like `ImageIO.read` (null when
+    * undecodable), but through the cached per-thread PNG reader and a
+    * memory-backed stream when the bytes carry the PNG signature; any
+    * other format falls back to `ImageIO.read` (format sniffing), so the
+    * accepted-input contract is identical. */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val isPng = payload.length >= 8 && {
+      var i = 0
+      var ok = true
+      while (i < 8) { if (payload(i) != PngMagic(i)) ok = false; i += 1 }
+      ok
+    }
+    if (!isPng) return ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val r = pngReader.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      r.setInput(iis, true, true)
+      r.read(0)
+    } finally {
+      r.setInput(null) // drop the stream reference; keep the reader
+      iis.close()
+    }
+  }
+
   /** PNG (or any ImageIO format) → dimension + pixel-statistics features.
     * None on corrupt/undecodable payloads (ImageIO returns null or throws
     * on garbage — both map to None, the droppable-and-countable shape). */
   def decodeImage(docId: Long, payload: Array[Byte]): Option[ImageFeatures] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
@@ -170,7 +214,7 @@ object Multimodal {
                   factor: Int = 2): Option[ResizeFeatures] = {
     if (payload == null || payload.isEmpty || factor <= 0) return None
     try {
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val raster = img.getRaster
       val (rw, rh) = ((img.getWidth + factor - 1) / factor,
@@ -421,7 +465,7 @@ object Multimodal {
   def aHashImage(docId: Long, payload: Array[Byte]): Option[HashFeatures] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
       if (w == 0 || h == 0) return None
@@ -458,7 +502,7 @@ object Multimodal {
   def tileHashImage(docId: Long, payload: Array[Byte]): Option[Seq[TileHashFeatures]] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImage(payload)
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
       val (tw, th) = (w / 2, h / 2)
