@@ -261,13 +261,16 @@ object LlmDedup {
           Tokenize.tokenArray(col("text")).as("ws"))
         .where(size(col("ws")) >= 3)
       // tri feeds the df computation and (via trif) sizes + both join
-      // sides — persist (callers run inside Bench/Verify, which
-      // clearCache() per query).
-      val tri = maybePersist(ws.select(col("doc_id"), col("source"),
+      // sides — EAGER ckpt, not lazy persist: the consumers materialize
+      // concurrently under the single terminal action and race a lazy
+      // cache, each recomputing the tokenize+explode+distinct pipeline
+      // (JobBreakdown r12: two duplicate ~0.9 s jobs). One materialization,
+      // blocks re-read by every consumer (the prefixTruePairs discipline).
+      val tri = ws.select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', element_at(ws,i), element_at(ws,i+1), element_at(ws,i+2)))"))
           .as("sh"))
-        .distinct())
+        .distinct().ckpt()
       val rare = tri.groupBy("source", "sh")
         .agg(count(lit(1)).as("dfreq")).where(col("dfreq") <= NgramDfCap)
         .select("source", "sh")

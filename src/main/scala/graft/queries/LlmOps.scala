@@ -382,7 +382,28 @@ object LlmOps {
       .select("doc_id", "text")
 
   private[queries] def repDocs(s: SparkSession, dir: String): DataFrame =
-    repsOf(docs(s, dir))
+    widenIfSmall(repsOf(docs(s, dir)))
+
+  /** Restore machine-width parallelism under a compute-AMPLIFYING stage
+    * (shingle explode + per-shingle md5) whose input arrives through an
+    * exchange AQE coalesces by BYTES: the rep corpus at harness scale is
+    * a few MB of shuffle output, so AQE folds it to one partition and the
+    * downstream signature build runs single-task (JobBreakdown r12: a
+    * 1.2 s one-task job = half of q_dedup_minhash's wall). The fix is the
+    * Betweenness edge-list discipline — an explicit conf-driven
+    * repartition — but SIZE-GATED like its broadcast hints: past the gate
+    * (cluster-scale inputs, where the exchange is already wide and an
+    * extra corpus-text shuffle would be pure cost) this is the identity.
+    * Gate = shuffle width × the 64 MB AQE advisory size: below it,
+    * size-based coalescing can starve an amplifying stage; above it AQE
+    * keeps ≥ width partitions on its own. */
+  private[queries] def widenIfSmall(df: DataFrame): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(nPart) * 64L * 1024 * 1024)
+      df.repartition(nPart, col("doc_id"))
+    else df
+  }
 
   /** w-bit simhash per doc: majority vote per bit over md5-derived token
     * hashes. One narrow aggregation — linear at any corpus size; the
@@ -521,11 +542,17 @@ object LlmOps {
     * shingle → 16 minhashes from one md5 (Kirsch-Mitzenmacher) → 4 bands ×
     * 4 rows → capped band-bucket self-join. The 100 TB dedup path: no
     * all-pairs comparison ever happens, and no bucket exceeds
-    * [[BandBucketCap]] docs. `bands` is persisted — it feeds the bucket
-    * sizing AND both self-join sides (callers run inside Bench/Verify,
-    * which clearCache() per query). */
+    * [[BandBucketCap]] docs. `bands` is eagerly checkpointed, NOT lazily
+    * persisted: it feeds the bucket sizing AND both self-join sides, and
+    * under AQE those consumers materialize as CONCURRENT broadcast-build
+    * jobs that race a lazy cache and each recompute the whole signature
+    * pipeline (shingle explode + md5 per shingle + 16-way min-agg) —
+    * JobBreakdown r12: two duplicate ~1.3 s build jobs, the dominant cost
+    * of q_dedup_minhash. The prefixTruePairs discipline: one eager
+    * materialization of the narrow |docs|×Bands table, every consumer
+    * reads blocks. */
   private[queries] def cappedBandPairs(sh: DataFrame): DataFrame = {
-    val bands = maybePersist(bandRowsFromShingles(sh))
+    val bands = bandRowsFromShingles(sh).ckpt()
     val smallBuckets = bands.groupBy("band", "v")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
       .select("band", "v")
