@@ -80,8 +80,15 @@ object Betweenness {
     // σ-expansion on a 32-core box).
     val nPart = edges0.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val edges = edges0.select(col("src"), col("dst"))
-      .repartition(nPart, col("dst")).ckpt()
+    val sc = edges0.sparkSession.sparkContext
+    def label[T](l: String)(body: => T): T = {
+      sc.setJobDescription(s"betweenness: $l")
+      try body finally sc.setJobDescription(null)
+    }
+    val edges = label("edges ckpt") {
+      edges0.select(col("src"), col("dst"))
+        .repartition(nPart, col("dst")).ckpt()
+    }
     // Broadcast-hint gate (the PageRank broadcastMaxVerts discipline):
     // frontier/settled/δ frames are ball-sized by the seed contract, but
     // an explicit hint is a promise the planner can't veto — so it is
@@ -101,9 +108,11 @@ object Betweenness {
       if (useBroadcast) broadcast(df) else df
     // level 0 — the seeds themselves; σ(seed, seed) = 1. Eager ckpt: it
     // is tiny and truncates the caller's seed-derivation lineage.
-    var frontier = seeds.select(col("seed")).distinct()
-      .select(col("seed"), col("seed").as("v"), lit(1L).as("sig"))
-      .ckpt()
+    var frontier = label("seed frontier") {
+      seeds.select(col("seed")).distinct()
+        .select(col("seed"), col("seed").as("v"), lit(1L).as("sig"))
+        .ckpt()
+    }
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     // Lazy-persist cadence (r11): frames with >1 consumer are persisted;
     // the first consumer materializes, the rest read cache (worst case a
@@ -146,7 +155,9 @@ object Betweenness {
       // even levels pay the eager ckpt barrier that truncates lineage;
       // odd + terminal levels are lazy (bounded consumers — the r11
       // cadence, every alternative A/B'd neutral-or-worse)
-      frontier = if (i % 2 == 0) next.ckpt().coalesce(8) else lazyPersist(next)
+      frontier =
+        if (i % 2 == 0) label(s"fwd round $i ckpt")(next.ckpt()).coalesce(8)
+        else lazyPersist(next)
       levels += frontier
     }
     // backward: δ at the deepest level is 0; walk levels depth-1 … 1.
@@ -188,7 +199,7 @@ object Betweenness {
       // union); δ(1) exactly one — same cadence: eager barrier on even
       // levels only, lazy persist on odd (none at all for δ(1))
       deltas(lvl) =
-        if (lvl % 2 == 0) d.ckpt().coalesce(8)
+        if (lvl % 2 == 0) label(s"bwd level $lvl ckpt")(d.ckpt()).coalesce(8)
         else if (lvl > 1) lazyPersist(d) else d
     }
     // bc(v) = Σ over seeds of δ; the seed row itself (dist 0) never
@@ -197,11 +208,13 @@ object Betweenness {
     // lazily persisted σ/δ frame can be released HERE: their last
     // consumer is this union, and without the unpersist the cached
     // blocks would pile up on executors across run() invocations.
-    val out = (1 to depth).map(deltas).reduce(_ unionByName _).groupBy("v")
-      .agg(count(lit(1)).as("n_seeds"),
-        expr("round(CAST(sum(CAST(delta AS DECIMAL(18,8))) AS DOUBLE), 6)")
-          .as("bc"))
-      .ckpt()
+    val out = label("final union ckpt") {
+      (1 to depth).map(deltas).reduce(_ unionByName _).groupBy("v")
+        .agg(count(lit(1)).as("n_seeds"),
+          expr("round(CAST(sum(CAST(delta AS DECIMAL(18,8))) AS DOUBLE), 6)")
+            .as("bc"))
+        .ckpt()
+    }
     persisted.foreach(_.unpersist(blocking = false))
     out
   }

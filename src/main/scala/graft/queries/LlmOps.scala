@@ -44,7 +44,10 @@ object LlmOps {
   private[queries] val R = 4        // ... of R rows each (H = Bands * R)
   private[queries] val Mod = 4294967296L // 2^32
 
-  private[queries] def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  // wideTable: the single-row-group corpus file otherwise serializes every
+  // text query's scan-fused compute (tokenize/shingle explodes, regex
+  // scoring, md5 hashing) into one task — see queries.wideTable.
+  private[queries] def docs(s: SparkSession, dir: String) = wideTable(s, dir, "documents")
   private[queries] def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
   private[queries] def toks(s: SparkSession, dir: String): DataFrame = corpusToks(s, dir)
 

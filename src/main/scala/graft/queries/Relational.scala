@@ -149,7 +149,7 @@ object Relational {
     // TPC-H Q1-shaped pricing summary: partial agg map-side, 2 grouping cols
     // → tiny shuffle regardless of input size (scales linearly to 100 TB).
     "q1_agg" -> ((s, dir) =>
-      table(s, dir, "lineitem")
+      wideTable(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n"),
@@ -513,14 +513,14 @@ object Relational {
 
     // ROLLUP: hierarchical grouping sets in one pass (Expand + partial agg).
     "q_rollup" -> ((s, dir) =>
-      table(s, dir, "lineitem")
+      wideTable(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     // CUBE: all grouping-set combinations.
     "q_cube" -> ((s, dir) =>
-      table(s, dir, "lineitem")
+      wideTable(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
@@ -747,7 +747,7 @@ object Relational {
 
     // GROUPING SETS: explicit grouping-set list in one Expand pass.
     "q_grouping_sets" -> ((s, dir) =>
-      table(s, dir, "lineitem")
+      wideTable(s, dir, "lineitem")
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
@@ -1044,7 +1044,7 @@ object Relational {
     // Scalar function families: json, date/time, math, string — all
     // codegen'd built-ins, no UDFs in the hot path.
     "q_scalar_funcs" -> ((s, dir) =>
-      table(s, dir, "events")
+      wideTable(s, dir, "events")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           year(col("ts")).cast("long").as("y"),

@@ -191,7 +191,10 @@ object Wave7 {
     "q_betweenness" -> ((s, dir) => {
       // ckpt before mirroring: `pairs` feeds the union twice plus the
       // seed derivation — un-materialized that triples the lineitem
-      // scan + distinct (the round-10 mirrored-union fix)
+      // scan + distinct (the round-10 mirrored-union fix). wideTable was
+      // A/B'd here (3 interleaved laps vs the frozen binary) and measured
+      // a wash-to-regression: the serialized scan overlaps the ckpt
+      // barrier, so the extra exchange only adds a hop.
       import graft.operators.Ckpt._
       val pairs = table(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),

@@ -40,6 +40,80 @@ package object queries {
     if (name == "events") normalizeTs(df) else df
   }
 
+  /** [[table]], widened to machine-width parallelism when the parquet file
+    * physically cannot feed it: Spark's scan splits at ROW-GROUP
+    * boundaries, and the harness inputs are single-file tables written as
+    * ONE row group — so every scan stage (and all the per-row compute
+    * whole-stage codegen fuses into it: tokenize explodes, decimal
+    * aggregation, scalar projections) runs as one task no matter how many
+    * byte-range splits the planner makes (JobBreakdown r12: q1_agg's
+    * "32-task" scan+partial-agg job ran 1.8 s = one real task; 31 splits
+    * contained no row-group start). This is guide-§2.5 input skew — "one
+    * huge unsplittable file: repartition immediately after the read".
+    *
+    * The widen is gated on the file FOOTER (real row-group count, not a
+    * size estimate): it fires only when the file offers fewer row groups
+    * than the configured shuffle width AND carries enough bytes for
+    * first-stage compute to matter. A cluster-scale table (row groups ≈
+    * bytes / 128 MB >> width) never trips the gate, so this is the
+    * identity at 100 TB — and a genuinely pathological big single-row-group
+    * file (one gzip-style unsplittable blob) correctly pays one shuffle to
+    * unlock the cluster. Keyless round-robin keeps the scan's ReadSchema
+    * untouched (no partition-key column is forced into the read — the
+    * q_wordcount column-pruning pin stays exact); Spark's
+    * sort-before-repartition default keeps the assignment deterministic
+    * under task retry. Footer metadata is cached per path (file METADATA,
+    * like Spark's own file index — never query results). */
+  def wideTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(s, dir, name)
+    // `spark.graft.scan.widen`: auto (footer gate, default) | off — the
+    // runtime A/B switch (the dedup-persist-knob discipline).
+    if (s.conf.get("spark.graft.scan.widen", "auto") == "off") return df
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (groups, bytes) = parquetFooterMeta(s, s"$dir/$name.parquet")
+    if (groups < nPart && bytes > 2L * 1024 * 1024)
+      df.repartition(nPart, col(WidenKey(name)))
+    else df
+  }
+
+  /** Hash keys for [[wideTable]]'s spreading repartition. Keyless
+    * round-robin would keep ReadSchema untouched but pays Spark's
+    * sort-before-repartition (the whole input sorted BINARY on the one
+    * real scan task — measured a wash); a hash key costs nothing extra
+    * and is chosen per table to MATCH the dominant downstream shuffle key
+    * (lineitem/orders join on orderkey, events window/join on user_id,
+    * documents dedup-group on text), so consumers keyed the same way
+    * reuse the widen exchange instead of adding their own (guide §2.4).
+    * `documents` uses `text` — not doc_id — so token consumers' scans
+    * stay pruned to the text column alone (the q_wordcount pin). */
+  private val WidenKey: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey",
+    "events" -> "user_id",
+    "documents" -> "text",
+    "customer" -> "c_custkey",
+    "part" -> "p_partkey",
+    "supplier" -> "s_suppkey",
+    "embeddings" -> "vec_id",
+    "nation" -> "n_nationkey",
+    "region" -> "r_regionkey")
+
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  /** (row groups, file bytes) of a parquet file — footer-only read, cached
+    * per path. */
+  private def parquetFooterMeta(s: SparkSession, path: String): (Int, Long) =
+    footerCache.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = hp.getFileSystem(conf)
+      val st = fs.getFileStatus(hp)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (r.getRowGroups.size, st.getLen) finally r.close()
+    })
+
   /** Normalize an `events.ts` column to instant TimestampType whatever the
     * generator wrote: nanosecond INT64 (read as long under
     * spark.sql.legacy.parquet.nanosAsLong) or microseconds with
@@ -125,9 +199,11 @@ package object queries {
     f.delete(): Unit
   }
 
-  /** The corpus tokens (doc_id, word) shared by every text query. */
+  /** The corpus tokens (doc_id, word) shared by every text query.
+    * [[wideTable]]: the explode multiplies rows ~200×, so a single-task
+    * scan serializes the whole tokenize pipeline. */
   def corpusToks(s: SparkSession, dir: String): DataFrame =
     graft.operators.Tokenize
-      .tokenize(table(s, dir, "documents").select("doc_id", "text"), "text")
+      .tokenize(wideTable(s, dir, "documents").select("doc_id", "text"), "text")
       .select("doc_id", "word")
 }
