@@ -164,12 +164,13 @@ object LlmDedup {
           s"stack($SimBands, ${(0 until SimBands).map(b => s"$b, b$b").mkString(", ")}) AS (band, v)")
       val small = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
         .where(col("bn") <= BandBucketCap).select("band", "v")
-      val capped = bands.join(small, Seq("band", "v"))
-      val pairs = capped.alias("x")
-        .join(capped.alias("y"),
-          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // capped bucket → sorted member list → pair_combos (see
+      // cappedBandPairs — same self-join-to-generator rewrite, lists
+      // bounded at BandBucketCap)
+      val pairs = bands.join(small, Seq("band", "v"))
+        .groupBy("band", "v")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .selectExpr("pair_combos(ids) AS (d1, d2)")
         .distinct()
       pairs
         .join(sig.select(col("doc_id").as("d1"), col("sim").as("sim1")), "d1")
@@ -276,11 +277,16 @@ object LlmDedup {
         .select("source", "sh")
       val trif = tri.join(rare, Seq("source", "sh"))
       val sz = trif.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val co = trif.alias("x")
-        .join(trif.alias("y"),
-          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      // co-occurrence via per-shingle sorted doc lists + the native
+      // pair_combos generator (the q_adamic_adar r12 shape): one shuffle
+      // collects each rare shingle's doc list — bounded at NgramDfCap by
+      // the rare filter, so the agg buffer is capped at any corpus
+      // size — and the generator streams exactly C(df,2) value-ordered
+      // (d1 < d2) pairs where the trif⋈trif sort-merge self-join sorted
+      // both sides and streamed df² joined rows before its filter.
+      val co = trif.groupBy("source", "sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .selectExpr("pair_combos(ids) AS (d1, d2)")
         .groupBy("d1", "d2").agg(count(lit(1)).as("co"))
       co.join(sz.select(col("doc_id").as("d1"), col("sz").as("sa")), "d1")
         .join(sz.select(col("doc_id").as("d2"), col("sz").as("sb")), "d2")

@@ -559,12 +559,16 @@ object LlmOps {
     val smallBuckets = bands.groupBy("band", "v")
       .agg(count(lit(1)).as("bn")).where(col("bn") <= BandBucketCap)
       .select("band", "v")
-    val capped = bands.join(smallBuckets, Seq("band", "v"))
-    capped.alias("x")
-      .join(capped.alias("y"),
-        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // bucket members → sorted doc list (bounded at BandBucketCap by the
+    // filter above, so the agg buffer is capped at any corpus size) →
+    // native pair_combos generator streaming exactly C(|bucket|,2)
+    // value-ordered pairs — where the capped⋈capped sort-merge self-join
+    // sorted both sides and streamed |bucket|² joined rows before its
+    // d1 < d2 filter (the q_adamic_adar r12 shape).
+    bands.join(smallBuckets, Seq("band", "v"))
+      .groupBy("band", "v")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr("pair_combos(ids) AS (d1, d2)")
       .distinct()
   }
 

@@ -108,7 +108,14 @@ object LlmSim {
     // word, idf = ln((N+1)/(df+1)). Two narrow aggregations plus a
     // broadcast of the single-row N — no fact-side re-shuffle.
     "q_tfidf" -> ((s, dir) => {
-      val tf = toks(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // EAGER ckpt: tf feeds three consumers (dfreq, the doc count, the
+      // final join); relying on AQE exchange reuse left the token
+      // pipeline materializing once per consumer under the concurrent
+      // broadcast builds (JobBreakdown r12: three ~400 ms duplicate
+      // jobs). One materialization, consumers read blocks.
+      import graft.operators.Ckpt._
+      val tf = toks(s, dir).groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf")).ckpt()
       // dfreq AND n_docs derive from tf: same canonical exchange → AQE
       // stage reuse, and the doc set is locale-consistent with the token
       // pipeline (a whole-text keep(text) shortcut would route non-ASCII

@@ -71,7 +71,12 @@ package object queries {
     if (s.conf.get("spark.graft.scan.widen", "auto") == "off") return df
     val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val (groups, bytes) = parquetFooterMeta(s, s"$dir/$name.parquet")
-    if (groups < nPart && bytes > 2L * 1024 * 1024)
+    // 512 KB floor: skips the KB-scale dimension tables (nation/region/
+    // customer — no amplifying consumers, the exchange would be pure
+    // overhead) while catching documents/embeddings, whose consumers
+    // amplify 100-200× (tokenize/shingle/vector explodes), so file bytes
+    // understate the compute behind the scan.
+    if (groups < nPart && bytes > 512L * 1024)
       df.repartition(nPart, col(WidenKey(name)))
     else df
   }
